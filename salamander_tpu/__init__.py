@@ -1,0 +1,50 @@
+"""salamander_tpu: a TPU-native NMF framework for mutational-signature analysis.
+
+A ground-up JAX rebuild of the capabilities of parklab/Salamander v0.4.2:
+KLNMF, minimum-volume NMF, correlated NMF and multimodal correlated NMF over
+annotated data containers, with initialization, signature matching,
+dimensionality reduction and plotting - compute expressed as jitted XLA/Pallas
+programs that vmap over restarts and shard over device meshes.
+"""
+
+from . import consts, containers, ops, utils
+from .containers import AnnData, MuData
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "__version__",
+    "AnnData",
+    "MuData",
+    "consts",
+    "containers",
+    "ops",
+    "utils",
+]
+
+
+def _optional_namespaces():
+    """models/pl/tl are imported lazily as they come online."""
+
+
+try:  # plotting style applied on import, as in the reference facade
+    from . import plot as pl  # noqa: F401
+
+    pl.set_salamander_style()
+    __all__.append("pl")
+except ImportError:  # pragma: no cover - plotting lands later in the build
+    pass
+
+try:
+    from . import tools as tl  # noqa: F401
+
+    __all__.append("tl")
+except ImportError:  # pragma: no cover
+    pass
+
+try:
+    from . import models  # noqa: F401
+
+    __all__.append("models")
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,105 @@
+"""Domain constants: mutation-type vocabularies and standard color maps.
+
+Feature-parity with /root/reference/src/salamander/consts.py (SBS_TYPES_96
+:3-9, INDEL_TYPES_83 :12-37, color palettes :40-88). The vocabularies are the
+standard COSMIC SBS-96 / ID-83 channel definitions; the indel list is built
+programmatically here from its (kind, unit, size, length-counts) structure.
+"""
+
+from __future__ import annotations
+
+NUCLEOTIDES = ["A", "C", "G", "T"]
+
+SBS_TYPES_6 = ["C>A", "C>G", "C>T", "T>A", "T>C", "T>G"]
+
+# 96 trinucleotide-context single-base substitution channels,
+# ordered by substitution class, then 5' base, then 3' base.
+SBS_TYPES_96 = [
+    f"{five}[{sub}]{three}"
+    for sub in SBS_TYPES_6
+    for five in NUCLEOTIDES
+    for three in NUCLEOTIDES
+]
+
+
+def _indel_block(kind: str, unit: str, lengths: list[str]) -> list[str]:
+    return [f"{kind}.{unit}.{length}" for length in lengths]
+
+
+def _build_indel_types_83() -> list[str]:
+    """The standard 83-channel COSMIC indel classification."""
+    del_sizes = ["1", "2", "3", "4", "5", "6+"]  # deletion homopolymer/repeat sizes
+    ins_sizes = ["0", "1", "2", "3", "4", "5+"]  # insertion repeat sizes
+    types: list[str] = []
+    # 1bp deletions / insertions in C and T homopolymers
+    for base in ["C", "T"]:
+        types += _indel_block("DEL", base, [f"1.{s}" for s in del_sizes])
+    for base in ["C", "T"]:
+        types += _indel_block("INS", base, [f"1.{s}" for s in ins_sizes])
+    # >=2bp deletions / insertions at repeats
+    for rep in ["2", "3", "4", "5+"]:
+        types += _indel_block("DEL", "repeats", [f"{rep}.{s}" for s in del_sizes])
+    for rep in ["2", "3", "4", "5+"]:
+        types += _indel_block("INS", "repeats", [f"{rep}.{s}" for s in ins_sizes])
+    # deletions at microhomologies: homology length <= deletion length - 1
+    mh_lengths = {"2": ["1"], "3": ["1", "2"], "4": ["1", "2", "3"],
+                  "5+": ["1", "2", "3", "4", "5+"]}
+    for size, homologies in mh_lengths.items():
+        types += _indel_block("DEL", "MH", [f"{size}.{h}" for h in homologies])
+    return types
+
+
+INDEL_TYPES_83 = _build_indel_types_83()
+assert len(INDEL_TYPES_83) == 83
+
+# A 10-color qualitative palette (Mathematica default colors).
+COLORS_MATHEMATICA = [
+    (0.368417, 0.506779, 0.709798),
+    (0.880722, 0.611041, 0.142051),
+    (0.560181, 0.691569, 0.194885),
+    (0.922526, 0.385626, 0.209179),
+    (0.528288, 0.470624, 0.701351),
+    (0.772079, 0.431554, 0.102387),
+    (0.363898, 0.618501, 0.782349),
+    (1.0, 0.75, 0.0),
+    (0.280264, 0.715, 0.429209),
+    (0.0, 0.0, 0.0),
+]
+
+# The six standard substitution-class colors of the SBS-96 spectrum plots.
+COLORS_TRINUCLEOTIDES = [
+    (0.33, 0.75, 0.98),  # C>A light blue
+    (0.0, 0.0, 0.0),     # C>G black
+    (0.85, 0.25, 0.22),  # C>T red
+    (0.78, 0.78, 0.78),  # T>A grey
+    (0.51, 0.79, 0.24),  # T>C green
+    (0.89, 0.67, 0.72),  # T>G pink
+]
+
+COLORS_SBS96 = [COLORS_TRINUCLEOTIDES[i // 16] for i in range(96)]
+
+# Standard COSMIC ID-83 group colors (one per 16 indel groups).
+COLORS_INDEL = [
+    "#FCBD6F",  # 1bp Del C
+    "#FD8001",  # 1bp Del T
+    "#B0DC8B",  # 1bp Ins C
+    "#35A02E",  # 1bp Ins T
+    "#FCC9B4",  # 2bp Del Repeats
+    "#FC896B",  # 3bp Del Repeats
+    "#F04432",  # 4bp Del Repeats
+    "#BC1A1A",  # 5+ bp Del Repeats
+    "#CFE0F0",  # 2bp Ins Repeats
+    "#94C3DF",  # 3bp Ins Repeats
+    "#4A98C8",  # 4bp Ins Repeats
+    "#1665AA",  # 5+ bp Ins Repeats
+    "#E1E0ED",  # 2bp Del MH
+    "#B5B5D8",  # 3bp Del MH
+    "#8683BC",  # 4bp Del MH
+    "#624099",  # 5+bp Del MH
+]
+
+_GROUP_SIZES = 12 * [6] + [1, 2, 3, 5]
+COLORS_INDEL83 = [
+    color for size, color in zip(_GROUP_SIZES, COLORS_INDEL) for _ in range(size)
+]
+assert len(COLORS_INDEL83) == 83

@@ -1,0 +1,201 @@
+"""Correlated-NMF kernels: exposures, sufficient statistics, ELBO, closed-form
+scaling updates, and vmap-batched Newton solves for the embeddings.
+
+Numeric semantics match /root/reference/src/salamander/models/_utils_corrnmf.py:
+  compute_exposures        :11-25
+  compute_aux              :28-52   aux[k,d] = sum_v x_vd p_vkd without
+                                    materializing p
+  elbo_corrnmf             :55-100
+  update_signature_scalings:103-138 closed form
+  update_sample_scalings   :141-179 closed form (data_mat is samples x features
+                                    as actually called, the reference docstring
+                                    notwithstanding)
+  objective/gradient/hessian_embedding + update_embedding :182-410
+
+The reference optimizes each embedding with a separate scipy Newton-CG call
+inside a Python loop over rows (models/corrnmf_det.py:103-141) - its dominant
+bottleneck. Here a single damped-Newton solver runs for ALL rows at once via
+vmap: each step solves an (m,m) SPD system per row (m = dim_embeddings, tiny)
+with an Armijo-backtracking line search, honoring scipy's stopping rule
+(sum|update| < dim * xtol) and the reference's maxiter=3 cap for sample
+embeddings. The surrogate is strictly convex (Hessian = sum_i e_i o_i o_i^T
++ I/var, SPD), so both solvers share the unique optimum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .klnmf import EPSILON, poisson_llh
+
+# scipy.optimize's Newton-CG 'avextol' default; threshold is dim * XTOL.
+XTOL = 1e-5
+
+
+def compute_exposures(signature_scalings, sample_scalings,
+                      signature_embeddings, sample_embeddings):
+    """Exposure matrix (n_samples, n_signatures):
+    exp(sigma_k + tau_d + <l_k, u_d>), the refactored CorrNMF exposures."""
+    logits = (
+        signature_scalings[:, None]
+        + sample_scalings[None, :]
+        + signature_embeddings @ sample_embeddings.T
+    )
+    return jnp.exp(logits).T
+
+
+def compute_aux(data_mat, signatures_mat, exposures_mat):
+    """Sufficient statistic aux[k,d] = sum_v x_vd p_vkd, (n_signatures, n_samples).
+
+    data_mat: (D,V) counts; signatures_mat: (K,V); exposures_mat: (D,K).
+    """
+    ratios = data_mat / (exposures_mat @ signatures_mat)  # (D, V)
+    return exposures_mat.T * (signatures_mat @ ratios.T)  # (K, D)
+
+
+def elbo_corrnmf(data_mat, signatures_mat, exposures_mat,
+                 signature_embeddings, sample_embeddings, variance,
+                 penalize_sample_embeddings: bool = True):
+    """Evidence lower bound: Poisson likelihood minus Gaussian embedding
+    penalties. Sample penalty is optional so multimodal CorrNMF can add the
+    shared-sample term exactly once."""
+    n_signatures, dim_embeddings = signature_embeddings.shape
+    n_samples = sample_embeddings.shape[0]
+    log_norm = jnp.log(2.0 * jnp.pi * variance)
+    elbo = poisson_llh(data_mat.T, signatures_mat.T, exposures_mat.T)
+    elbo -= 0.5 * dim_embeddings * n_signatures * log_norm
+    elbo -= jnp.sum(signature_embeddings**2) / (2.0 * variance)
+    if penalize_sample_embeddings:
+        elbo -= 0.5 * dim_embeddings * n_samples * log_norm
+        elbo -= jnp.sum(sample_embeddings**2) / (2.0 * variance)
+    return elbo
+
+
+def update_signature_scalings(aux, sample_scalings,
+                              signature_embeddings, sample_embeddings):
+    """Closed-form M-step for the signature scalings sigma (K,)."""
+    observed = jnp.sum(aux, axis=1)
+    predicted = jnp.sum(
+        jnp.exp(sample_scalings[None, :]
+                + signature_embeddings @ sample_embeddings.T),
+        axis=1,
+    )
+    return jnp.log(observed) - jnp.log(predicted)
+
+
+def update_sample_scalings(data_mat, signature_scalings,
+                           signature_embeddings, sample_embeddings):
+    """Closed-form M-step for the sample scalings tau (D,).
+
+    data_mat: (D, V) counts (samples are rows, as in the model layer).
+    """
+    observed = jnp.sum(data_mat, axis=1)
+    predicted = jnp.sum(
+        jnp.exp(signature_scalings[:, None]
+                + signature_embeddings @ sample_embeddings.T),
+        axis=0,
+    )
+    return jnp.log(observed) - jnp.log(predicted)
+
+
+def update_variance(signature_embeddings, sample_embeddings):
+    """M-step for the shared embedding variance: mean of all squared entries,
+    floored at EPSILON (reference models/corrnmf_det.py:60-69)."""
+    total = jnp.sum(signature_embeddings**2) + jnp.sum(sample_embeddings**2)
+    count = signature_embeddings.size + sample_embeddings.size
+    return jnp.maximum(total / count, EPSILON)
+
+
+def embedding_objective(embedding, embeddings_other, scaling, scalings_other,
+                        variance, aux_vector):
+    """NEGATIVE surrogate objective of one embedding (reference :182-239).
+
+    'scaling' may be a scalar or, for multimodal sample embeddings, a vector
+    aligned with 'scalings_other'.
+    """
+    products = embeddings_other @ embedding
+    value = jnp.dot(products, aux_vector)
+    value -= jnp.sum(jnp.exp(scaling + scalings_other + products))
+    value -= jnp.dot(embedding, embedding) / (2.0 * variance)
+    return -value
+
+
+def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
+                          variance, max_iter: int, xtol_total: float):
+    """Minimize the negative surrogate for ONE embedding with damped Newton.
+
+    offsets: (M,) = scaling + scalings_other, the exponent constant terms.
+    linear_term: (m,) = sum_i aux_i * o_i.
+    Stops (scipy-style) when the applied update has sum|update| < xtol_total,
+    or after max_iter Newton steps.
+    """
+    dim = embedding0.shape[0]
+    eye = jnp.eye(dim, dtype=embedding0.dtype)
+
+    def f(b):
+        z = offsets + embeddings_other @ b
+        return (-jnp.dot(linear_term, b) + jnp.sum(jnp.exp(z))
+                + jnp.dot(b, b) / (2.0 * variance))
+
+    def step(_, carry):
+        b, done = carry
+        rates = jnp.exp(offsets + embeddings_other @ b)  # (M,)
+        grad = (-linear_term + embeddings_other.T @ rates + b / variance)
+        hess = ((embeddings_other * rates[:, None]).T @ embeddings_other
+                + eye / variance)
+        direction = -jnp.linalg.solve(hess, grad)
+        f0 = f(b)
+        slope = jnp.dot(grad, direction)
+
+        # Armijo backtracking from the full Newton step.
+        def needs_shrink(t):
+            return (f(b + t * direction) > f0 + 1e-4 * t * slope) & (t > 1e-12)
+
+        t = jax.lax.while_loop(needs_shrink, lambda t: 0.5 * t,
+                               jnp.asarray(1.0, dtype=b.dtype))
+        update = t * direction
+        b_new = jnp.where(done, b, b + update)
+        done_new = done | (jnp.sum(jnp.abs(update)) < xtol_total)
+        return b_new, done_new
+
+    b, _ = jax.lax.fori_loop(0, max_iter, step, (embedding0, False))
+    return b
+
+
+def _clamp_away_from_zero(embeddings):
+    """Push magnitudes in (0, EPSILON) out to +-EPSILON, keeping exact zeros
+    (reference _utils_corrnmf.py:408-409)."""
+    tiny_pos = (embeddings > 0) & (embeddings < EPSILON)
+    tiny_neg = (embeddings < 0) & (embeddings > -EPSILON)
+    return jnp.where(tiny_pos, EPSILON, jnp.where(tiny_neg, -EPSILON, embeddings))
+
+
+def update_embeddings(embeddings0, embeddings_other, scalings, scalings_other,
+                      variance, aux_mat, max_iter: int = 100):
+    """Batched Newton update of N embeddings at once.
+
+    embeddings0:      (N, m) initial values (rows optimized independently)
+    embeddings_other: (M, m) the fixed opposite-side embeddings
+    scalings:         (N,) or (N, M) own scaling per row (vector form for the
+                      multimodal joint sample update)
+    scalings_other:   (M,)
+    aux_mat:          (N, M) rows/columns of the sufficient statistic
+    max_iter:         Newton-step cap; 3 mirrors the reference's sample-side
+                      scipy options {"maxiter": 3}.
+    """
+    dim = embeddings0.shape[1]
+    xtol_total = dim * XTOL
+    linear_terms = aux_mat @ embeddings_other  # (N, m)
+    if scalings.ndim == 1:
+        offsets = scalings[:, None] + scalings_other[None, :]
+    else:
+        offsets = scalings + scalings_other[None, :]
+
+    solve = jax.vmap(
+        lambda b0, off, lin: _newton_update_single(
+            b0, embeddings_other, off, lin, variance, max_iter, xtol_total
+        )
+    )
+    result = solve(embeddings0, offsets, linear_terms)
+    return _clamp_away_from_zero(result)

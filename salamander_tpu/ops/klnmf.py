@@ -1,0 +1,175 @@
+"""KL-divergence NMF kernels (objectives + Lee-Seung multiplicative updates).
+
+Numeric semantics match the reference numba kernels in
+/root/reference/src/salamander/models/_utils_klnmf.py:
+  kl_divergence            :11-55   (zero entries of X skipped, not clipped)
+  samplewise_kl_divergence :58-97   (X==0 masked to EPSILON in the log term)
+  poisson_llh              :100-161
+  update_W                 :164-217 (given columns frozen, only free clipped)
+  update_H                 :220-278 (optional weighted-KL + l1/2 closed form)
+  update_WH                :281-361 (aux computed ONCE from the old W,H and
+                                     reused by both updates; whole W clipped)
+
+Conventions (kernel orientation, transposed wrt the container layer):
+  X: (n_features V, n_samples D) counts
+  W: (V, n_signatures K) signatures, columns sum to one
+  H: (K, D) exposures
+  weights_*: (D,) per-sample weights or None
+  n_given_signatures: static int - leading columns of W held fixed.
+
+All functions are pure and jittable; batching over restarts is `vmap` over
+W/H (X broadcasts). Under a `jax.sharding.Mesh`, shard D; the reductions over
+D inside the W update and the objectives become XLA all-reduces automatically.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+EPSILON = float(np.finfo(np.float32).eps)
+
+
+def kl_divergence(X, W, H, weights=None):
+    r"""Generalized KL divergence D(X || WH) = sum X ln(X/WH) - X + WH.
+
+    Terms with X==0 contribute only their +WH part (the x ln x limit), exactly
+    as the reference's explicit loop skips them.
+    """
+    WH = W @ H
+    nonzero = X != 0
+    safe_ratio = jnp.where(nonzero, X / jnp.where(nonzero, WH, 1.0), 1.0)
+    summands = jnp.where(nonzero, X * jnp.log(safe_ratio) - X, 0.0) + WH
+    per_sample = jnp.sum(summands, axis=0)
+    if weights is not None:
+        per_sample = per_sample * weights
+    return jnp.sum(per_sample)
+
+
+def samplewise_kl_divergence(X, W, H, weights=None):
+    """Per-sample generalized KL divergence, shape (D,).
+
+    Mirrors the reference's EPSILON-masking formulation: where X==0, both X
+    and WH are replaced by EPSILON inside the log ratio (making that term
+    vanish), while the linear terms use the raw matrices.
+    """
+    zero = X == 0
+    X_safe = jnp.where(zero, EPSILON, X.astype(jnp.result_type(X, jnp.float32)))
+    WH_safe = jnp.where(zero, EPSILON, W @ H)
+    log_term = jnp.einsum("vd,vd->d", X_safe, jnp.log(X_safe / WH_safe))
+    errors = log_term - jnp.sum(X, axis=0) + H.T @ jnp.sum(W, axis=0)
+    if weights is not None:
+        errors = errors * weights
+    return errors
+
+
+def poisson_llh_wo_factorial(X, W, H):
+    """sum X ln(WH) - WH, skipping WH==0 log terms (reference :100-135)."""
+    WH = W @ H
+    nonzero = WH != 0
+    log_wh = jnp.log(jnp.where(nonzero, WH, 1.0))
+    return jnp.sum(jnp.where(nonzero, X * log_wh, 0.0) - WH)
+
+
+def poisson_llh(X, W, H):
+    """Poisson log-likelihood generalized to real-valued X (reference :138-161)."""
+    return poisson_llh_wo_factorial(X, W, H) - jnp.sum(gammaln(1.0 + X))
+
+
+def _freeze_given_columns(W_new, W_old, n_given: int):
+    """Restore the first 'n_given' columns of W_old into W_new."""
+    if n_given == 0:
+        return W_new
+    given = jnp.arange(W_new.shape[1]) < n_given
+    return jnp.where(given[None, :], W_old, W_new)
+
+
+def update_W(X, W, H, weights_kl=None, n_given_signatures: int = 0):
+    """Multiplicative W update under column-normalization (reference :164-217).
+
+    Only the free (non-given) columns are clipped to EPSILON, so given
+    signatures pass through bit-exactly.
+    """
+    n_signatures = W.shape[1]
+    if n_given_signatures == n_signatures:
+        return W
+
+    aux = X / (W @ H)
+    if weights_kl is not None:
+        aux = aux * weights_kl
+    W_new = W * (aux @ H.T)
+    W_new = W_new / jnp.sum(W_new, axis=0)
+    clipped = jnp.maximum(W_new, EPSILON)
+    if n_given_signatures > 0:
+        given = jnp.arange(n_signatures) < n_given_signatures
+        return jnp.where(given[None, :], W, clipped)
+    return clipped
+
+
+def _update_H_from_aux(H, W, aux, weights_kl=None, weights_lhalf=None):
+    """Shared H update given the precomputed ratio aux = X / (W @ H)."""
+    WtAux = W.T @ aux
+    if weights_lhalf is None:
+        return jnp.maximum(H * WtAux, EPSILON)
+
+    quad = 4.0 * H * WtAux
+    if weights_kl is not None:
+        quad = quad * weights_kl**2
+    discriminant = 0.25 * weights_lhalf**2 + quad
+    H_new = 0.25 * (weights_lhalf / 2.0 - jnp.sqrt(discriminant)) ** 2
+    if weights_kl is not None:
+        H_new = H_new / weights_kl**2
+    return jnp.maximum(H_new, EPSILON)
+
+
+def update_H(X, W, H, weights_kl=None, weights_lhalf=None):
+    """Multiplicative H update with optional weighted KL and l1/2 sparsity
+    closed form (reference :220-278)."""
+    aux = X / (W @ H)
+    return _update_H_from_aux(H, W, aux, weights_kl, weights_lhalf)
+
+
+def update_WH(
+    X, W, H, weights_kl=None, weights_lhalf=None, n_given_signatures: int = 0
+):
+    """Joint W,H update sharing one aux = X/(WH) computed from the OLD W,H.
+
+    The per-iteration hot path of KLNMF (reference :281-361). Note the
+    asymmetry wrt update_W: here the whole updated W - including restored
+    given columns - is clipped to EPSILON, as in the reference.
+    """
+    n_signatures = W.shape[1]
+    aux = X / (W @ H)
+
+    if n_given_signatures == n_signatures:
+        W_new = W
+    else:
+        scaled_aux = aux if weights_kl is None else weights_kl * aux
+        W_new = W * (scaled_aux @ H.T)
+        W_new = W_new / jnp.sum(W_new, axis=0)
+        W_new = _freeze_given_columns(W_new, W, n_given_signatures)
+        W_new = jnp.maximum(W_new, EPSILON)
+
+    H_new = _update_H_from_aux(H, W, aux, weights_kl, weights_lhalf)
+    return W_new, H_new
+
+
+def normalize_wh(W, H):
+    """Rescale W columns to sum one, pushing the factor into H rows."""
+    scale = jnp.sum(W, axis=0)
+    return W / scale, H * scale[:, None]
+
+
+def lhalf_penalty(H, weights_lhalf):
+    """The sparsity penalty term sum_d w_d * sum_k sqrt(H_kd)."""
+    return jnp.dot(weights_lhalf, jnp.sum(jnp.sqrt(H), axis=0))
+
+
+def klnmf_objective(X, W, H, weights_kl=None, weights_lhalf=None):
+    """Full KLNMF objective: weighted KL + optional l1/2 penalty
+    (reference models/klnmf.py:64-80)."""
+    value = kl_divergence(X, W, H, weights_kl)
+    if weights_lhalf is not None:
+        value = value + lhalf_penalty(H, weights_lhalf)
+    return value
