@@ -1,0 +1,170 @@
+"""Generic on-device NMF fit loop.
+
+The reference drives every model with the same host-side Python while loop
+(models/signature_nmf.py:315-385): update parameters each iteration, evaluate
+the objective every `conv_test_freq` iterations, declare convergence when the
+relative objective change drops below `tol` after at least `min_iterations`,
+hard-stop at `max_iterations`, and record the objective trace.
+
+Here that whole loop lives on device as a `lax.while_loop` over BLOCKS of
+`conv_test_freq` updates (a `fori_loop` inside), so one objective evaluation
+amortizes over a block and there is no host round-trip until the fit is done.
+The loop state carries a per-problem `done` flag and freezes finished lanes
+with `where`-selects, which makes the same engine correct under `vmap`: a
+batched fit runs until every restart has converged, and already-converged
+restarts stop changing (matching what sequential fits would produce).
+
+History is a fixed-size NaN-padded buffer (max_iterations // conv_test_freq
+entries - exactly the reference's `of_values[1:]`), sliced host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FitConfig(NamedTuple):
+    """Convergence-rule hyperparameters shared by every model family."""
+
+    min_iterations: int = 500
+    max_iterations: int = 10000
+    conv_test_freq: int = 10
+    tol: float = 1e-7
+
+
+class FitResult(NamedTuple):
+    params: Any
+    initial_objective: jnp.ndarray
+    history: jnp.ndarray      # (max_evals,) objective trace, NaN-padded
+    n_evals: jnp.ndarray      # number of valid history entries
+    n_iterations: jnp.ndarray # total update iterations performed
+
+
+class _LoopState(NamedTuple):
+    params: Any
+    of_prev: jnp.ndarray
+    history: jnp.ndarray
+    n_evals: jnp.ndarray
+    iteration: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _select(done, old, new):
+    """Per-leaf where keeping finished lanes frozen (done broadcasts)."""
+    return jax.tree.map(lambda a, b: jnp.where(done, a, b), old, new)
+
+
+def fit_loop(
+    update_fn: Callable[[Any], Any],
+    objective_fn: Callable[[Any], jnp.ndarray],
+    params0: Any,
+    config: FitConfig,
+    verbose: bool = False,
+    verbosity_freq: int = 1000,
+) -> FitResult:
+    """Run the shared convergence loop. Pure and jittable; vmap over params0
+    for batched restarts (the data lives inside the closures)."""
+    freq = int(config.conv_test_freq)
+    max_iterations = int(config.max_iterations)
+    min_iterations = int(config.min_iterations)
+    max_evals = max(1, max_iterations // freq)
+
+    of0 = objective_fn(params0)
+    dtype = of0.dtype
+    init = _LoopState(
+        params=params0,
+        of_prev=of0,
+        history=jnp.full((max_evals,), jnp.nan, dtype=dtype),
+        n_evals=jnp.zeros((), jnp.int32),
+        iteration=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+    )
+
+    def cond(state: _LoopState):
+        return ~state.done
+
+    def body(state: _LoopState) -> _LoopState:
+        # One block: conv_test_freq updates (fewer in a final partial block).
+        steps = jnp.minimum(freq, max_iterations - state.iteration)
+        params = jax.lax.fori_loop(
+            0, steps, lambda _, p: update_fn(p), state.params
+        )
+        iteration = state.iteration + steps
+
+        # The objective is only inspected at multiples of conv_test_freq
+        # (a partial final block ends unevaluated, as in the reference).
+        at_eval = iteration % freq == 0
+        of_value = objective_fn(params)
+        rel_change = jnp.abs(state.of_prev - of_value) / jnp.abs(state.of_prev)
+        converged = at_eval & (rel_change < config.tol) & (
+            iteration >= min_iterations
+        )
+        done = converged | (iteration >= max_iterations)
+
+        if verbose:
+            jax.lax.cond(
+                at_eval & (iteration % verbosity_freq == 0) & ~state.done,
+                lambda: jax.debug.print(
+                    "iteration: {i}; objective: {of}", i=iteration, of=of_value
+                ),
+                lambda: None,
+            )
+
+        history = jnp.where(
+            at_eval,
+            state.history.at[state.n_evals].set(of_value.astype(dtype)),
+            state.history,
+        )
+        new = _LoopState(
+            params=params,
+            of_prev=jnp.where(at_eval, of_value, state.of_prev),
+            history=history,
+            n_evals=state.n_evals + at_eval.astype(jnp.int32),
+            iteration=iteration,
+            done=done,
+        )
+        return _select(state.done, state, new)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return FitResult(
+        params=final.params,
+        initial_objective=of0,
+        history=final.history,
+        n_evals=final.n_evals,
+        n_iterations=final.iteration,
+    )
+
+
+def make_fit_function(
+    update_fn: Callable[[Any, Any], Any],
+    objective_fn: Callable[[Any, Any], jnp.ndarray],
+    config: FitConfig,
+    verbose: bool = False,
+    verbosity_freq: int = 1000,
+    batched: bool = False,
+):
+    """Build a jitted fit function `(params0, data) -> FitResult`.
+
+    update_fn/objective_fn take (params, data); `data` is a pytree of arrays
+    (count matrix, weights, ...) passed as a jit argument rather than baked
+    into the program. With batched=True, params0 gains a leading restart axis
+    and the loop runs all restarts to their own convergence.
+    """
+
+    def run(params0, data):
+        return fit_loop(
+            lambda p: update_fn(p, data),
+            lambda p: objective_fn(p, data),
+            params0,
+            config,
+            verbose=verbose,
+            verbosity_freq=verbosity_freq,
+        )
+
+    if batched:
+        run_batched = jax.vmap(run, in_axes=(0, None))
+        return jax.jit(run_batched)
+    return jax.jit(run)

@@ -1,0 +1,165 @@
+"""Abstract correlated NMF: exposures refactored into scalings + embeddings.
+
+API parity with the reference CorrNMF (models/corrnmf.py:25-235):
+dim_embeddings (defaults to n_signatures), scalar variance, exposures
+computed from scalings/embeddings, ELBO objective (maximize), scaled
+(cosine-of-embedding) correlations, joint signature+sample embedding plot.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Iterable, Literal
+
+import numpy as np
+
+from .. import tools as tl
+from ..initialization.initialize import initialize_corrnmf
+from ..ops import corrnmf as ops
+from ..ops import klnmf as klnmf_ops
+from ..utils import value_checker
+from .signature_nmf import SignatureNMF
+
+
+class CorrNMF(SignatureNMF):
+    """NMF with signature/sample scalings and embeddings in a shared
+    low-dimensional Gaussian latent space."""
+
+    def __init__(
+        self,
+        n_signatures: int = 1,
+        init_method: str = "nndsvd",
+        dim_embeddings: int | None = None,
+        min_iterations: int = 500,
+        max_iterations: int = 10000,
+        conv_test_freq: int = 10,
+        tol: float = 1e-7,
+    ):
+        super().__init__(
+            n_signatures, init_method, min_iterations, max_iterations,
+            conv_test_freq, tol,
+        )
+        self.dim_embeddings = (
+            n_signatures if dim_embeddings is None else dim_embeddings
+        )
+        self.variance = 1.0
+
+    @property
+    def objective(self) -> Literal["minimize", "maximize"]:
+        return "maximize"
+
+    def compute_exposures(self) -> None:
+        """Refresh adata.obsm['exposures'] from scalings and embeddings."""
+        self.adata.obsm["exposures"] = np.asarray(
+            ops.compute_exposures(
+                np.asarray(self.asignatures.obs["scalings"]),
+                np.asarray(self.adata.obs["scalings"]),
+                self.asignatures.obsm["embeddings"],
+                self.adata.obsm["embeddings"],
+            )
+        )
+
+    def compute_reconstruction_errors(self) -> None:
+        self.compute_exposures()
+        errors = klnmf_ops.samplewise_kl_divergence(
+            self.adata.X.T, self.asignatures.X.T, self.adata.obsm["exposures"].T
+        )
+        self.adata.obs["reconstruction_error"] = np.asarray(errors)
+
+    def objective_function(self, penalize_sample_embeddings: bool = True) -> float:
+        return float(
+            ops.elbo_corrnmf(
+                self.adata.X,
+                self.asignatures.X,
+                self.adata.obsm["exposures"],
+                self.asignatures.obsm["embeddings"],
+                self.adata.obsm["embeddings"],
+                self.variance,
+                penalize_sample_embeddings=penalize_sample_embeddings,
+            )
+        )
+
+    def _initialize(self, given_parameters=None, init_kwargs=None) -> None:
+        init_kwargs = {} if init_kwargs is None else init_kwargs.copy()
+        self.asignatures, self.variance = initialize_corrnmf(
+            self.adata,
+            self.n_signatures,
+            self.dim_embeddings,
+            self.init_method,
+            given_parameters,
+            **init_kwargs,
+        )
+        self.compute_exposures()
+
+    def _setup_fitting_parameters(self, fitting_kwargs=None) -> None:
+        return
+
+    def compute_correlation_scaled(
+        self, data: Literal["samples", "signatures"] = "signatures"
+    ) -> None:
+        """Cosine similarity of the sample or signature embeddings."""
+        value_checker("data", data, ["samples", "signatures"])
+        assert "embeddings" in self.adata.obsm, (
+            "Computing the sample or signature correlation "
+            "requires fitting the CorrNMF model."
+        )
+        if data == "samples":
+            vectors = self.adata.obsm["embeddings"]
+        else:
+            vectors = self.asignatures.obsm["embeddings"]
+        norms = np.sqrt(np.sum(vectors**2, axis=1))
+        corr = (vectors @ vectors.T) / np.outer(norms, norms)
+        np.fill_diagonal(corr, 1.0)
+        if data == "samples":
+            self.adata.obsp["X_correlation"] = corr
+        else:
+            self.asignatures.obsp["correlation"] = corr
+
+    def plot_embeddings(
+        self,
+        method: str = "umap",
+        n_components: int = 2,
+        dimensions: tuple[int, int] = (0, 1),
+        color: str | None = None,
+        zorder: str | None = None,
+        annotations: Iterable[str] | None = None,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        adatas = [self.asignatures, self.adata]
+        tl.reduce_dimension_multiple(
+            adatas=adatas, basis="embeddings", method=method,
+            n_components=n_components, **kwargs,
+        )
+        if self.dim_embeddings <= 2:
+            warnings.warn(
+                f"The embedding dimension is {self.dim_embeddings}. "
+                "The embeddings are plotted without an additional "
+                "dimensionality reduction.",
+                UserWarning,
+            )
+            basis = "embeddings"
+        else:
+            basis = method
+
+        if color is None:
+            color = "color_embeddings"
+            self.asignatures.obs[color] = self.n_signatures * ["black"]
+            self.adata.obs[color] = self.adata.n_obs * ["#1f77b4"]
+        if zorder is None:
+            zorder = "zorder_embeddings"
+            self.asignatures.obs[zorder] = self.n_signatures * [2]
+            self.adata.obs[zorder] = self.adata.n_obs * [1]
+        if annotations is None:
+            annotations = self.signature_names
+
+        ax = pl.embedding_multiple(
+            adatas=adatas, basis=basis, dimensions=dimensions, color=color,
+            zorder=zorder, annotations=annotations, **kwargs,
+        )
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return ax

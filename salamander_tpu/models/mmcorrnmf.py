@@ -1,0 +1,788 @@
+"""Multimodal correlated NMF: several CorrNMF models fitted jointly with
+shared sample embeddings.
+
+API parity with the reference MultimodalCorrNMF (models/mmcorrnmf.py:35-739):
+a standalone class (not a SignatureNMF subclass) over a MuData of modalities
+sharing sample names; per-modality signatures/scalings/signature-embeddings;
+ONE shared set of sample embeddings and ONE shared variance; ELBO sums the
+per-modality terms with the sample penalty added once (:168-194); the joint
+sample-embedding M-step concatenates signature embeddings, scalings and aux
+across modalities (:398-428).
+
+TPU-first realization: modalities are ragged in (n_features, n_signatures),
+so the parameter pytree nests a dict of per-modality arrays; the update cycle
+unrolls over modalities at trace time (n_mod is small) and the joint sample
+update is a single vmap-batched Newton solve over the concatenated signature
+axis, inside the same jitted convergence engine as every other model.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Iterable, Literal
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .. import containers, tools as tl
+from ..engine import FitConfig, make_fit_function
+from ..initialization.initialize import EPSILON, initialize_mmcorrnmf
+from ..ops import corrnmf as ops
+from ..ops import klnmf as klnmf_ops
+from ..utils import dict_checker, type_checker, value_checker
+from .corrnmf_det import SAMPLE_NEWTON_ITERS, SIGNATURE_NEWTON_ITERS
+
+
+class MultimodalCorrNMF:
+    """Joint correlated NMF over multiple count modalities of the same
+    samples, with shared sample embeddings and variance."""
+
+    def __init__(
+        self,
+        ns_signatures: list[int],
+        dim_embeddings: int | None = None,
+        init_method: str = "nndsvd",
+        min_iterations: int = 500,
+        max_iterations: int = 10000,
+        conv_test_freq: int = 10,
+        tol: float = 1e-7,
+    ):
+        self.ns_signatures = list(ns_signatures)
+        self.dim_embeddings = (
+            int(np.max(ns_signatures)) if dim_embeddings is None else dim_embeddings
+        )
+        self.init_method = init_method
+        self.min_iterations = min_iterations
+        self.max_iterations = max_iterations
+        self.conv_test_freq = conv_test_freq
+        self.tol = tol
+        self.variance = 1.0
+
+        default_names = [f"mod{n}" for n in range(1, len(ns_signatures) + 1)]
+        self.mdata = containers.MuData(
+            {name: containers.AnnData() for name in default_names}
+        )
+        self.asignatures = {
+            name: containers.AnnData() for name in default_names
+        }
+        self.history: dict[str, Any] = {}
+        total = sum(ns_signatures)
+        self.signature_correlation = np.full((total, total), np.nan)
+
+    # ------------------------------------------------------------------ #
+    # views
+    # ------------------------------------------------------------------ #
+    @property
+    def mod_names(self) -> list[str]:
+        return list(self.mdata.mod.keys())
+
+    @property
+    def mutation_types(self) -> dict[str, list[str]]:
+        return {
+            name: list(adata.var_names) for name, adata in self.mdata.mod.items()
+        }
+
+    @property
+    def signature_names(self) -> dict[str, list[str]]:
+        return {
+            name: list(asigs.obs_names) for name, asigs in self.asignatures.items()
+        }
+
+    @property
+    def sample_names(self) -> list[str]:
+        return list(self.mdata.obs_names)
+
+    @property
+    def signatures(self) -> dict[str, pd.DataFrame]:
+        return {name: asigs.to_df() for name, asigs in self.asignatures.items()}
+
+    @property
+    def exposures(self) -> dict[str, pd.DataFrame]:
+        return {
+            name: pd.DataFrame(
+                self.mdata[name].obsm["exposures"],
+                index=self.sample_names,
+                columns=self.asignatures[name].obs_names,
+            )
+            for name in self.mod_names
+        }
+
+    def compute_exposures(self) -> None:
+        for name in self.mod_names:
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            adata.obsm["exposures"] = np.asarray(
+                ops.compute_exposures(
+                    np.asarray(asigs.obs["scalings"]),
+                    np.asarray(adata.obs["scalings"]),
+                    asigs.obsm["embeddings"],
+                    self.mdata.obsm["embeddings"],
+                )
+            )
+
+    def compute_reconstruction(self) -> None:
+        for name in self.mod_names:
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            adata.obsm["X_reconstructed"] = adata.obsm["exposures"] @ asigs.X
+
+    @property
+    def data_reconstructed(self) -> dict[str, pd.DataFrame]:
+        if any(
+            "X_reconstructed" not in adata.obsm
+            for adata in self.mdata.mod.values()
+        ):
+            self.compute_reconstruction()
+        return {
+            name: pd.DataFrame(
+                adata.obsm["X_reconstructed"],
+                index=adata.obs_names,
+                columns=adata.var_names,
+            )
+            for name, adata in self.mdata.mod.items()
+        }
+
+    def compute_reconstruction_errors(self) -> None:
+        self.compute_exposures()
+        for name in self.mod_names:
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            errors = klnmf_ops.samplewise_kl_divergence(
+                adata.X.T, asigs.X.T, adata.obsm["exposures"].T
+            )
+            adata.obs["reconstruction_error"] = np.asarray(errors)
+        self.mdata.update()
+
+    @property
+    def reconstruction_errors(self) -> dict[str, float]:
+        if any(
+            "reconstruction_error" not in self.mdata[name].obs
+            for name in self.mod_names
+        ):
+            self.compute_reconstruction_errors()
+        return {
+            name: float(np.sum(adata.obs["reconstruction_error"]))
+            for name, adata in self.mdata.mod.items()
+        }
+
+    @property
+    def reconstruction_error(self) -> float:
+        return float(np.sum(list(self.reconstruction_errors.values())))
+
+    # ------------------------------------------------------------------ #
+    # objective
+    # ------------------------------------------------------------------ #
+    @property
+    def objective(self) -> Literal["minimize", "maximize"]:
+        return "maximize"
+
+    def objective_function(self) -> float:
+        elbo = 0.0
+        for name in self.mod_names:
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            elbo += float(
+                ops.elbo_corrnmf(
+                    adata.X,
+                    asigs.X,
+                    adata.obsm["exposures"],
+                    asigs.obsm["embeddings"],
+                    self.mdata.obsm["embeddings"],
+                    self.variance,
+                    penalize_sample_embeddings=False,
+                )
+            )
+        n_obs = self.mdata.n_obs
+        elbo -= (
+            0.5 * self.dim_embeddings * n_obs
+            * np.log(2 * np.pi * self.variance)
+        )
+        elbo -= float(
+            np.sum(self.mdata.obsm["embeddings"] ** 2) / (2 * self.variance)
+        )
+        return elbo
+
+    # ------------------------------------------------------------------ #
+    # setup
+    # ------------------------------------------------------------------ #
+    def _setup_mdata(self, mdata) -> None:
+        if not hasattr(mdata, "mod"):
+            type_checker("mdata", mdata, containers.MuData)
+        if mdata.n_mod != len(self.ns_signatures):
+            raise ValueError(
+                f"The data has to have {len(self.ns_signatures)} many modalities."
+            )
+        expected = list(list(mdata.mod.values())[0].obs_names)
+        for adata in mdata.mod.values():
+            if list(adata.obs_names) != expected:
+                raise ValueError(
+                    "The sample names of the different modalities are not identical."
+                )
+        for adata in mdata.mod.values():
+            adata.X = adata.X.clip(EPSILON)
+        self.mdata = mdata
+
+    def _initialize(self, given_parameters=None, init_kwargs=None) -> None:
+        init_kwargs = {} if init_kwargs is None else init_kwargs.copy()
+        self.asignatures, self.variance = initialize_mmcorrnmf(
+            self.mdata,
+            self.ns_signatures,
+            self.dim_embeddings,
+            self.init_method,
+            given_parameters,
+            **init_kwargs,
+        )
+        self.compute_exposures()
+
+    # ------------------------------------------------------------------ #
+    # engine hooks
+    # ------------------------------------------------------------------ #
+    def _device_state(self):
+        data = {
+            "X": {name: jnp.asarray(self.mdata[name].X) for name in self.mod_names}
+        }
+        mods = {}
+        for name in self.mod_names:
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            mods[name] = {
+                "signatures": jnp.asarray(asigs.X),
+                "signature_scalings": jnp.asarray(
+                    np.asarray(asigs.obs["scalings"], dtype=float)
+                ),
+                "sample_scalings": jnp.asarray(
+                    np.asarray(adata.obs["scalings"], dtype=float)
+                ),
+                "signature_embeddings": jnp.asarray(asigs.obsm["embeddings"]),
+                "exposures": jnp.asarray(adata.obsm["exposures"]),
+            }
+        params = {
+            "mods": mods,
+            "sample_embeddings": jnp.asarray(self.mdata.obsm["embeddings"]),
+            "variance": jnp.asarray(float(self.variance)),
+        }
+        return params, data
+
+    def _absorb_params(self, params) -> None:
+        for name in self.mod_names:
+            mod = params["mods"][name]
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            asigs.X = np.asarray(mod["signatures"])
+            asigs.obs["scalings"] = np.asarray(mod["signature_scalings"])
+            adata.obs["scalings"] = np.asarray(mod["sample_scalings"])
+            asigs.obsm["embeddings"] = np.asarray(mod["signature_embeddings"])
+            adata.obsm["exposures"] = np.asarray(mod["exposures"])
+        self.mdata.obsm["embeddings"] = np.asarray(params["sample_embeddings"])
+        self.variance = float(params["variance"])
+
+    def _build_step(self, given_parameters=None):
+        given = given_parameters or {}
+        mod_names = self.mod_names
+        ns_signatures = self.ns_signatures
+
+        def mod_flags(name):
+            g = given.get(name, {})
+            n_given = g["asignatures"].n_obs if "asignatures" in g else 0
+            return {
+                "n_given": int(n_given),
+                "fix_signatures": n_given == ns_signatures[mod_names.index(name)],
+                "fix_sig_scalings": "signature_scalings" in g,
+                "fix_smp_scalings": "sample_scalings" in g,
+                "fix_sig_embeddings": "signature_embeddings" in g,
+            }
+
+        flags = {name: mod_flags(name) for name in mod_names}
+        fix_sample_embeddings = "sample_embeddings" in given
+        fix_variance = "variance" in given
+        dim = self.dim_embeddings
+
+        def update_fn(params, data):
+            mods = {name: dict(params["mods"][name]) for name in mod_names}
+            U = params["sample_embeddings"]
+            variance = params["variance"]
+
+            # 1+2: per-modality sample scalings, then exposures
+            for name in mod_names:
+                m, f = mods[name], flags[name]
+                if not f["fix_smp_scalings"]:
+                    m["sample_scalings"] = ops.update_sample_scalings(
+                        data["X"][name],
+                        m["signature_scalings"],
+                        m["signature_embeddings"],
+                        U,
+                    )
+                m["exposures"] = ops.compute_exposures(
+                    m["signature_scalings"], m["sample_scalings"],
+                    m["signature_embeddings"], U,
+                )
+
+            # 3: per-modality sufficient statistics
+            auxs = {
+                name: ops.compute_aux(
+                    data["X"][name], mods[name]["signatures"],
+                    mods[name]["exposures"],
+                )
+                for name in mod_names
+            }
+
+            # 4: signature scalings
+            for name in mod_names:
+                m, f = mods[name], flags[name]
+                if not f["fix_sig_scalings"]:
+                    m["signature_scalings"] = ops.update_signature_scalings(
+                        auxs[name], m["sample_scalings"],
+                        m["signature_embeddings"], U,
+                    )
+
+            # 5a: per-modality signature embeddings (vs shared samples)
+            for name in mod_names:
+                m, f = mods[name], flags[name]
+                if not f["fix_sig_embeddings"]:
+                    m["signature_embeddings"] = ops.update_embeddings(
+                        m["signature_embeddings"], U,
+                        m["signature_scalings"], m["sample_scalings"],
+                        variance, auxs[name],
+                        max_iter=SIGNATURE_NEWTON_ITERS,
+                    )
+
+            # 5b: joint sample embeddings across modalities
+            if not fix_sample_embeddings:
+                sig_embs = jnp.concatenate(
+                    [mods[n]["signature_embeddings"] for n in mod_names], axis=0
+                )
+                sig_scals = jnp.concatenate(
+                    [mods[n]["signature_scalings"] for n in mod_names]
+                )
+                aux_all = jnp.concatenate(
+                    [auxs[n] for n in mod_names], axis=0
+                )  # (sum K, D)
+                # per-sample scalings repeated per modality signature count
+                scalings_mat = jnp.concatenate(
+                    [
+                        jnp.tile(
+                            mods[n]["sample_scalings"][:, None],
+                            (1, ns_signatures[i]),
+                        )
+                        for i, n in enumerate(mod_names)
+                    ],
+                    axis=1,
+                )  # (D, sum K)
+                U = ops.update_embeddings(
+                    U, sig_embs, scalings_mat, sig_scals, variance, aux_all.T,
+                    max_iter=SAMPLE_NEWTON_ITERS,
+                )
+
+            # 6: shared variance over all embeddings
+            if not fix_variance:
+                all_sig_embs = jnp.concatenate(
+                    [mods[n]["signature_embeddings"] for n in mod_names], axis=0
+                )
+                variance = ops.update_variance(all_sig_embs, U)
+
+            # 7: signatures via KL multiplicative update (step-2 exposures)
+            for name in mod_names:
+                m, f = mods[name], flags[name]
+                if not f["fix_signatures"]:
+                    W = klnmf_ops.update_W(
+                        data["X"][name].T,
+                        m["signatures"].T,
+                        m["exposures"].T,
+                        n_given_signatures=f["n_given"],
+                    )
+                    m["signatures"] = W.T
+
+            return {
+                "mods": mods,
+                "sample_embeddings": U,
+                "variance": variance,
+            }
+
+        def objective_fn(params, data):
+            U = params["sample_embeddings"]
+            variance = params["variance"]
+            elbo = 0.0
+            for name in mod_names:
+                m = params["mods"][name]
+                elbo += ops.elbo_corrnmf(
+                    data["X"][name], m["signatures"], m["exposures"],
+                    m["signature_embeddings"], U, variance,
+                    penalize_sample_embeddings=False,
+                )
+            n_obs = U.shape[0]
+            elbo -= 0.5 * dim * n_obs * jnp.log(2 * jnp.pi * variance)
+            elbo -= jnp.sum(U**2) / (2 * variance)
+            return elbo
+
+        return update_fn, objective_fn
+
+    def _update_parameters(self, given_parameters=None) -> None:
+        """One full joint EM cycle, eagerly (test/inspection surface)."""
+        params, data = self._device_state()
+        update_fn, _ = self._build_step(given_parameters)
+        self._absorb_params(update_fn(params, data))
+
+    # ------------------------------------------------------------------ #
+    # eager per-update methods (reference-named test/inspection surface)
+    # ------------------------------------------------------------------ #
+    def _compute_auxs(self) -> dict[str, np.ndarray]:
+        return {
+            name: np.asarray(
+                ops.compute_aux(
+                    self.mdata[name].X,
+                    self.asignatures[name].X,
+                    self.mdata[name].obsm["exposures"],
+                )
+            )
+            for name in self.mod_names
+        }
+
+    def update_sample_scalings(self, given_parameters=None) -> None:
+        given = given_parameters or {}
+        for name in self.mod_names:
+            if "sample_scalings" in given.get(name, {}):
+                continue
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            adata.obs["scalings"] = np.asarray(
+                ops.update_sample_scalings(
+                    adata.X,
+                    np.asarray(asigs.obs["scalings"]),
+                    asigs.obsm["embeddings"],
+                    self.mdata.obsm["embeddings"],
+                )
+            )
+
+    def update_signature_scalings(self, auxs, given_parameters=None) -> None:
+        given = given_parameters or {}
+        for name in self.mod_names:
+            if "signature_scalings" in given.get(name, {}):
+                continue
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            asigs.obs["scalings"] = np.asarray(
+                ops.update_signature_scalings(
+                    auxs[name],
+                    np.asarray(adata.obs["scalings"]),
+                    asigs.obsm["embeddings"],
+                    self.mdata.obsm["embeddings"],
+                )
+            )
+
+    def update_signature_embeddings(self, auxs, given_parameters=None) -> None:
+        given = given_parameters or {}
+        for name in self.mod_names:
+            if "signature_embeddings" in given.get(name, {}):
+                continue
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            asigs.obsm["embeddings"] = np.asarray(
+                ops.update_embeddings(
+                    asigs.obsm["embeddings"],
+                    self.mdata.obsm["embeddings"],
+                    np.asarray(asigs.obs["scalings"]),
+                    np.asarray(adata.obs["scalings"]),
+                    self.variance,
+                    auxs[name],
+                    max_iter=SIGNATURE_NEWTON_ITERS,
+                )
+            )
+
+    def update_sample_embeddings(self, auxs) -> None:
+        sig_embs = np.concatenate(
+            [asigs.obsm["embeddings"] for asigs in self.asignatures.values()]
+        )
+        sig_scals = np.concatenate(
+            [np.asarray(asigs.obs["scalings"]) for asigs in self.asignatures.values()]
+        )
+        aux_all = np.concatenate([auxs[name] for name in self.mod_names])
+        scalings_mat = np.concatenate(
+            [
+                np.tile(
+                    np.asarray(self.mdata[name].obs["scalings"])[:, None],
+                    (1, k),
+                )
+                for name, k in zip(self.mod_names, self.ns_signatures)
+            ],
+            axis=1,
+        )
+        self.mdata.obsm["embeddings"] = np.asarray(
+            ops.update_embeddings(
+                self.mdata.obsm["embeddings"],
+                sig_embs,
+                scalings_mat,
+                sig_scals,
+                self.variance,
+                aux_all.T,
+                max_iter=SAMPLE_NEWTON_ITERS,
+            )
+        )
+
+    def update_embeddings(self, auxs, given_parameters=None) -> None:
+        given = given_parameters or {}
+        self.update_signature_embeddings(auxs, given)
+        if "sample_embeddings" not in given:
+            self.update_sample_embeddings(auxs)
+
+    def update_variance(self, given_parameters=None) -> None:
+        given = given_parameters or {}
+        if "variance" not in given:
+            sig_embs = np.concatenate(
+                [asigs.obsm["embeddings"] for asigs in self.asignatures.values()]
+            )
+            self.variance = float(
+                ops.update_variance(sig_embs, self.mdata.obsm["embeddings"])
+            )
+
+    def update_signatures(self, given_parameters=None) -> None:
+        given = given_parameters or {}
+        for name in self.mod_names:
+            given_mod = given.get(name, {})
+            n_given = (
+                given_mod["asignatures"].n_obs if "asignatures" in given_mod else 0
+            )
+            adata, asigs = self.mdata[name], self.asignatures[name]
+            W = klnmf_ops.update_W(
+                adata.X.T,
+                asigs.X.T,
+                adata.obsm["exposures"].T,
+                n_given_signatures=n_given,
+            )
+            asigs.X = np.asarray(W).T
+
+    # ------------------------------------------------------------------ #
+    # fit
+    # ------------------------------------------------------------------ #
+    def fit(
+        self,
+        mdata,
+        given_parameters: dict[str, Any] | None = None,
+        init_kwargs: dict[str, Any] | None = None,
+        history: bool = True,
+        verbose: Literal[0, 1] = 0,
+        verbosity_freq: int = 100,
+    ) -> "MultimodalCorrNMF":
+        self._setup_mdata(mdata)
+        self._initialize(given_parameters, init_kwargs)
+
+        params0, data = self._device_state()
+        update_fn, objective_fn = self._build_step(given_parameters)
+        config = FitConfig(
+            min_iterations=self.min_iterations,
+            max_iterations=self.max_iterations,
+            conv_test_freq=self.conv_test_freq,
+            tol=self.tol,
+        )
+        run = make_fit_function(
+            update_fn, objective_fn, config,
+            verbose=bool(verbose), verbosity_freq=verbosity_freq,
+        )
+        result = run(params0, data)
+        self._absorb_params(result.params)
+
+        if history:
+            n_evals = int(result.n_evals)
+            self.history["objective_function"] = list(
+                np.asarray(result.history)[:n_evals]
+            )
+            self.history["n_iterations"] = int(result.n_iterations)
+        self.mdata.update()
+        return self
+
+    # ------------------------------------------------------------------ #
+    # analysis + plotting
+    # ------------------------------------------------------------------ #
+    def compute_correlation(
+        self, data: Literal["samples", "signatures"] = "signatures", **kwargs
+    ) -> None:
+        value_checker("data", data, ["samples", "signatures"])
+        for adata in self.mdata.mod.values():
+            assert "exposures" in adata.obsm, (
+                "Computing the sample or signature correlation "
+                "requires fitting the NMF model."
+            )
+        values = np.concatenate(
+            [adata.obsm["exposures"] for adata in self.mdata.mod.values()], axis=1
+        )
+        if data == "signatures":
+            values = values.T
+        corr = tl.correlation_numpy(values, **kwargs)
+        if data == "samples":
+            self.mdata.obsp["X_correlation"] = corr
+        else:
+            self.signature_correlation = corr
+
+    def correlation(
+        self, data: Literal["samples", "signatures"] = "signatures"
+    ) -> pd.DataFrame:
+        value_checker("data", data, ["samples", "signatures"])
+        if data == "samples":
+            if "X_correlation" not in self.mdata.obsp:
+                self.compute_correlation("samples")
+            values, names = self.mdata.obsp["X_correlation"], self.sample_names
+        else:
+            if np.isnan(self.signature_correlation).all():
+                self.compute_correlation("signatures")
+            values = self.signature_correlation
+            names = sum(self.signature_names.values(), [])
+        return pd.DataFrame(values, index=names, columns=names)
+
+    def plot_history(self, outfile: str | None = None, **kwargs):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        if not self.history:
+            raise ValueError(
+                "No history available, the model has to be fitted first. "
+                "Remember to set 'history' to 'True' when calling 'fit()'."
+            )
+        ax = pl.history(
+            values=self.history["objective_function"],
+            conv_test_freq=self.conv_test_freq,
+            **kwargs,
+        )
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return ax
+
+    def plot_signatures(
+        self,
+        colors=None,
+        annotate_mutation_types: bool = False,
+        figsize: tuple[float, float] | None = None,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        colors = {} if colors is None else colors.copy()
+        dict_checker("colors", colors, self.mod_names)
+        max_n_signatures = int(np.max(self.ns_signatures))
+        if figsize is None:
+            figsize = (4 * self.mdata.n_mod, max_n_signatures)
+        fig, axes = plt.subplots(max_n_signatures, self.mdata.n_mod,
+                                 figsize=figsize, squeeze=False)
+        for mod_name, axs in zip(self.mod_names, axes.T):
+            sigs = self.asignatures[mod_name]
+            pl.barplot(
+                sigs,
+                colors=colors.get(mod_name),
+                annotate_vars=annotate_mutation_types,
+                axes=axs[: sigs.n_obs],
+                **kwargs,
+            )
+            for ax in axs[sigs.n_obs:]:
+                fig.delaxes(ax)
+        plt.tight_layout()
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return axes
+
+    def plot_exposures(
+        self,
+        sample_order=None,
+        reorder_signatures: bool = True,
+        annotate_samples: bool = True,
+        colors=None,
+        axes=None,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        if axes is None:
+            _, axes = plt.subplots(
+                self.mdata.n_mod, figsize=(20, 3 * self.mdata.n_mod)
+            )
+            axes = np.atleast_1d(axes)
+        colors = {} if colors is None else colors.copy()
+        dict_checker("colors", colors, self.mod_names)
+        exposures = self.exposures
+
+        if sample_order is None:
+            normalized = pd.concat(
+                [df.div(df.sum(axis=1), axis=0) for df in exposures.values()],
+                axis=1,
+            )
+            sample_order = pl.get_obs_order(normalized)
+
+        for n, (mod_name, ax) in enumerate(zip(self.mod_names, axes)):
+            annotate = annotate_samples if n == self.mdata.n_mod - 1 else False
+            ax = pl.stacked_barplot(
+                data=exposures[mod_name],
+                obs_order=sample_order,
+                reorder_dimensions=reorder_signatures,
+                annotate_obs=annotate,
+                colors=colors.get(mod_name),
+                ax=ax,
+                **kwargs,
+            )
+            ax.set_title(f"{mod_name} signature exposures")
+        plt.tight_layout()
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return axes
+
+    def plot_correlation(
+        self,
+        data: Literal["samples", "signatures"] = "signatures",
+        annot: bool | None = None,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        value_checker("data", data, ["samples", "signatures"])
+        corr = self.correlation(data=data)
+        if annot is None:
+            annot = data != "samples"
+        clustergrid = pl.correlation_pandas(corr, annot=annot, **kwargs)
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return clustergrid
+
+    def plot_embeddings(
+        self,
+        method: str = "umap",
+        n_components: int = 2,
+        dimensions: tuple[int, int] = (0, 1),
+        color: str | None = None,
+        zorder: str | None = None,
+        annotations: Iterable[str] | None = None,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        adatas = list(self.asignatures.values()) + [self.mdata]
+        tl.reduce_dimension_multiple(
+            adatas=adatas, basis="embeddings", method=method,
+            n_components=n_components,
+        )
+        if self.dim_embeddings <= 2:
+            warnings.warn(
+                f"The embedding dimension is {self.dim_embeddings}. "
+                "The embeddings are plotted without an additional "
+                "dimensionality reduction.",
+                UserWarning,
+            )
+            basis = "embeddings"
+        else:
+            basis = method
+
+        if color is None:
+            color = "color_embeddings"
+            for asigs in self.asignatures.values():
+                asigs.obs[color] = asigs.n_obs * ["black"]
+            self.mdata.obs[color] = self.mdata.n_obs * ["#1f77b4"]
+        if zorder is None:
+            zorder = "zorder_embeddings"
+            for asigs in self.asignatures.values():
+                asigs.obs[zorder] = asigs.n_obs * [2]
+            self.mdata.obs[zorder] = self.mdata.n_obs * [1]
+        if annotations is None:
+            annotations = sum(self.signature_names.values(), [])
+
+        ax = pl.embedding_multiple(
+            adatas=adatas, basis=basis, dimensions=dimensions, color=color,
+            zorder=zorder, annotations=annotations, **kwargs,
+        )
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return ax

@@ -1,0 +1,334 @@
+"""Abstract base of all signature NMF models.
+
+API parity with the reference's SignatureNMF
+(/root/reference/src/salamander/models/signature_nmf.py:31-621): the same
+constructor hyperparameters, container conventions (exposures in
+adata.obsm['exposures'], signatures as a second AnnData, reconstruction /
+correlation helpers, Hungarian reorder, plot wrappers) and the same
+convergence rule - but `fit` hands a parameter pytree to the jitted engine
+instead of looping in Python.
+
+Concrete models implement three engine hooks:
+  _device_state()          -> (params pytree, data pytree)
+  _build_step(given)       -> (update_fn(params, data),
+                               objective_fn(params, data))
+  _absorb_params(params)   -> write fitted arrays back into the containers
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Iterable, Literal
+
+import numpy as np
+import pandas as pd
+
+from .. import containers, tools as tl
+from ..engine import FitConfig, make_fit_function
+from ..initialization.methods import INIT_METHODS
+from ..utils import match_signatures_pair, type_checker, value_checker
+
+EPSILON = float(np.finfo(np.float32).eps)
+
+DIM_REDUCTION_METHODS = ("pca", "tsne", "umap")
+
+
+class SignatureNMF(ABC):
+    """Shared structure of all NMF models used for signature analysis."""
+
+    def __init__(
+        self,
+        n_signatures: int = 1,
+        init_method: str = "nndsvd",
+        min_iterations: int = 500,
+        max_iterations: int = 10000,
+        conv_test_freq: int = 10,
+        tol: float = 1e-7,
+    ):
+        value_checker("init_method", init_method, INIT_METHODS)
+        self.n_signatures = n_signatures
+        self.init_method = init_method
+        self.min_iterations = min_iterations
+        self.max_iterations = max_iterations
+        self.conv_test_freq = conv_test_freq
+        self.tol = tol
+
+        self.adata = containers.AnnData()
+        self.asignatures = containers.AnnData()
+        self.history: dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    # container views
+    # ------------------------------------------------------------------ #
+    @property
+    def mutation_types(self) -> list[str]:
+        return list(self.adata.var_names)
+
+    @property
+    def signature_names(self) -> list[str]:
+        return list(self.asignatures.obs_names)
+
+    @property
+    def sample_names(self) -> list[str]:
+        return list(self.adata.obs_names)
+
+    @property
+    def signatures(self) -> pd.DataFrame:
+        return self.asignatures.to_df()
+
+    @property
+    def exposures(self) -> pd.DataFrame:
+        assert (
+            "exposures" in self.adata.obsm
+        ), "Learning the sample exposures requires fitting the NMF model."
+        return pd.DataFrame(
+            self.adata.obsm["exposures"],
+            index=self.sample_names,
+            columns=self.signature_names,
+        )
+
+    def compute_reconstruction(self) -> None:
+        self.adata.obsm["X_reconstructed"] = (
+            self.adata.obsm["exposures"] @ self.asignatures.X
+        )
+
+    @property
+    def data_reconstructed(self) -> pd.DataFrame:
+        if "X_reconstructed" not in self.adata.obsm:
+            self.compute_reconstruction()
+        return pd.DataFrame(
+            self.adata.obsm["X_reconstructed"],
+            index=self.sample_names,
+            columns=self.mutation_types,
+        )
+
+    @abstractmethod
+    def compute_reconstruction_errors(self) -> None:
+        """Store per-sample reconstruction errors in adata.obs."""
+
+    @property
+    def reconstruction_error(self) -> float:
+        if "reconstruction_error" not in self.adata.obs:
+            self.compute_reconstruction_errors()
+        return float(np.sum(self.adata.obs["reconstruction_error"]))
+
+    # ------------------------------------------------------------------ #
+    # abstract model interface
+    # ------------------------------------------------------------------ #
+    @property
+    @abstractmethod
+    def objective(self) -> Literal["minimize", "maximize"]:
+        """Whether the objective function is minimized or maximized."""
+
+    @abstractmethod
+    def objective_function(self) -> float:
+        """The objective value at the current container state."""
+
+    @abstractmethod
+    def _initialize(self, given_parameters=None, init_kwargs=None) -> None:
+        """Initialize all model parameters into the containers."""
+
+    @abstractmethod
+    def _setup_fitting_parameters(self, fitting_kwargs=None) -> None:
+        """Prepare additional fit-time parameters (e.g. loss weights)."""
+
+    @abstractmethod
+    def _device_state(self):
+        """Return (params pytree, data pytree) for the engine."""
+
+    @abstractmethod
+    def _build_step(self, given_parameters=None):
+        """Return (update_fn, objective_fn) over (params, data)."""
+
+    @abstractmethod
+    def _absorb_params(self, params) -> None:
+        """Write fitted device params back into the containers."""
+
+    @abstractmethod
+    def plot_embeddings(self, **kwargs):
+        """Plot a 2D view of the model's sample (and signature) embeddings."""
+
+    # ------------------------------------------------------------------ #
+    # fitting
+    # ------------------------------------------------------------------ #
+    def _setup_adata(self, adata) -> None:
+        """Validate the count container and clip zeros (EPSILON floor)."""
+        if not hasattr(adata, "obsm") or not hasattr(adata, "X"):
+            type_checker("adata", adata, containers.AnnData)
+        self.adata = adata
+        self.adata.X = self.adata.X.clip(EPSILON)
+
+    def _update_parameters(self, given_parameters=None) -> None:
+        """Apply one update cycle eagerly (test/inspection path)."""
+        params, data = self._device_state()
+        update_fn, _ = self._build_step(given_parameters)
+        self._absorb_params(update_fn(params, data))
+
+    def _fit_config(self) -> FitConfig:
+        return FitConfig(
+            min_iterations=self.min_iterations,
+            max_iterations=self.max_iterations,
+            conv_test_freq=self.conv_test_freq,
+            tol=self.tol,
+        )
+
+    def fit(
+        self,
+        adata,
+        given_parameters: dict[str, Any] | None = None,
+        init_kwargs: dict[str, Any] | None = None,
+        fitting_kwargs: dict[str, Any] | None = None,
+        history: bool = True,
+        verbose: Literal[0, 1] = 0,
+        verbosity_freq: int = 1000,
+    ) -> "SignatureNMF":
+        """Fit all model parameters with the on-device engine.
+
+        Arguments as in the reference fit (signature_nmf.py:315-385):
+        given_parameters holds a-priori known parameters to freeze,
+        init_kwargs feeds the initializer (e.g. seed), fitting_kwargs feeds
+        _setup_fitting_parameters (e.g. KLNMF loss weights).
+        """
+        self._setup_adata(adata)
+        self._initialize(given_parameters, init_kwargs)
+        self._setup_fitting_parameters(fitting_kwargs)
+
+        params0, data = self._device_state()
+        update_fn, objective_fn = self._build_step(given_parameters)
+        run = make_fit_function(
+            update_fn,
+            objective_fn,
+            self._fit_config(),
+            verbose=bool(verbose),
+            verbosity_freq=verbosity_freq,
+        )
+        result = run(params0, data)
+        self._absorb_params(result.params)
+
+        if history:
+            n_evals = int(result.n_evals)
+            self.history["objective_function"] = list(
+                np.asarray(result.history)[:n_evals]
+            )
+            self.history["n_iterations"] = int(result.n_iterations)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # analysis
+    # ------------------------------------------------------------------ #
+    def reorder(self, asignatures_other, metric: str = "cosine",
+                keep_names: bool = False) -> None:
+        """Permute this model's signatures to best match another collection
+        (Hungarian assignment on pairwise distances)."""
+        names = self.asignatures.obs_names
+        order = match_signatures_pair(
+            asignatures_other.to_df(), self.asignatures.to_df(), metric=metric
+        )
+        self.asignatures = self.asignatures[order, :].copy()
+        self.adata.obsm["exposures"] = self.adata.obsm["exposures"][:, order]
+        if not keep_names:
+            self.asignatures.obs_names = names
+
+    def compute_correlation(
+        self, data: Literal["samples", "signatures"] = "signatures", **kwargs
+    ) -> None:
+        value_checker("data", data, ["samples", "signatures"])
+        assert "exposures" in self.adata.obsm, (
+            "Computing the sample or signature correlation "
+            "requires fitting the NMF model."
+        )
+        values = self.adata.obsm["exposures"]
+        if data == "signatures":
+            values = values.T
+        corr = tl.correlation_numpy(values, **kwargs)
+        if data == "samples":
+            self.adata.obsp["X_correlation"] = corr
+        else:
+            self.asignatures.obsp["correlation"] = corr
+
+    def correlation(
+        self, data: Literal["samples", "signatures"] = "signatures"
+    ) -> pd.DataFrame:
+        value_checker("data", data, ["samples", "signatures"])
+        if data == "samples":
+            if "X_correlation" not in self.adata.obsp:
+                self.compute_correlation("samples")
+            values, names = self.adata.obsp["X_correlation"], self.sample_names
+        else:
+            if "correlation" not in self.asignatures.obsp:
+                self.compute_correlation("signatures")
+            values, names = self.asignatures.obsp["correlation"], self.signature_names
+        return pd.DataFrame(values, index=names, columns=names)
+
+    # ------------------------------------------------------------------ #
+    # plotting wrappers (host-side; implementations in salamander_tpu.plot)
+    # ------------------------------------------------------------------ #
+    def plot_history(self, outfile: str | None = None, **kwargs):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        assert "objective_function" in self.history, (
+            "No history available, the model has to be fitted first. "
+            "Remember to set 'history' to 'True' when calling 'fit()'."
+        )
+        ax = pl.history(
+            values=self.history["objective_function"],
+            conv_test_freq=self.conv_test_freq,
+            **kwargs,
+        )
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return ax
+
+    def plot_signatures(self, annotate_mutation_types: bool = False,
+                        outfile: str | None = None, **kwargs):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        axes = pl.barplot(
+            self.asignatures, annotate_vars=annotate_mutation_types, **kwargs
+        )
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return axes
+
+    def plot_exposures(
+        self,
+        sample_order: np.ndarray | None = None,
+        reorder_signatures: bool = True,
+        annotate_samples: bool = True,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        ax = pl.stacked_barplot(
+            data=self.exposures,
+            obs_order=sample_order,
+            reorder_dimensions=reorder_signatures,
+            annotate_obs=annotate_samples,
+            **kwargs,
+        )
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return ax
+
+    def plot_correlation(
+        self,
+        data: Literal["samples", "signatures"] = "signatures",
+        annot: bool | None = None,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        value_checker("data", data, ["samples", "signatures"])
+        corr = self.correlation(data=data)
+        if annot is None:
+            annot = data != "samples"
+        clustergrid = pl.correlation_pandas(corr, annot=annot, **kwargs)
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return clustergrid

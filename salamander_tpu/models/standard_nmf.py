@@ -1,0 +1,92 @@
+"""Shared structure of W/H-parameterized models (KLNMF, MvNMF).
+
+Mirrors the reference StandardNMF (models/standard_nmf.py:19-99): common
+initialization through initialize_standard_nmf, exposures as the
+lower-dimensional representation, and the exposure-based embedding plot.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tools as tl
+from ..initialization.initialize import initialize_standard_nmf
+from .signature_nmf import SignatureNMF
+
+
+class StandardNMF(SignatureNMF):
+    """NMF models parameterized directly by a signature and exposure matrix."""
+
+    def _initialize(self, given_parameters=None, init_kwargs=None) -> None:
+        init_kwargs = {} if init_kwargs is None else init_kwargs.copy()
+        self.asignatures = initialize_standard_nmf(
+            self.adata,
+            self.n_signatures,
+            self.init_method,
+            given_parameters,
+            **init_kwargs,
+        )
+
+    @staticmethod
+    def _n_given_signatures(given_parameters: dict[str, Any] | None) -> int:
+        if given_parameters and "asignatures" in given_parameters:
+            return int(given_parameters["asignatures"].n_obs)
+        return 0
+
+    def _device_state(self):
+        # kernel orientation: X (V, D), W (V, K), H (K, D)
+        data = {"X": jnp.asarray(self.adata.X.T)}
+        params = {
+            "W": jnp.asarray(self.asignatures.X.T),
+            "H": jnp.asarray(self.adata.obsm["exposures"].T),
+        }
+        return params, data
+
+    def _absorb_params(self, params) -> None:
+        self.asignatures.X = np.asarray(params["W"]).T
+        self.adata.obsm["exposures"] = np.asarray(params["H"]).T
+
+    def plot_embeddings(
+        self,
+        method: str = "umap",
+        n_components: int = 2,
+        dimensions: tuple[int, int] = (0, 1),
+        color: str | None = None,
+        zorder: str | None = None,
+        annotations=None,
+        outfile: str | None = None,
+        **kwargs,
+    ):
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        tl.reduce_dimension(
+            self.adata, basis="exposures", method=method,
+            n_components=n_components,
+        )
+        if self.n_signatures <= 2:
+            warnings.warn(
+                f"There are only {self.n_signatures} many signatures. "
+                "The exposures are plotted directly.",
+                UserWarning,
+            )
+            basis = "exposures"
+        else:
+            basis = method
+
+        ax = pl.embedding(
+            adata=self.adata,
+            basis=basis,
+            dimensions=dimensions,
+            color=color,
+            zorder=zorder,
+            annotations=annotations,
+            **kwargs,
+        )
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return ax

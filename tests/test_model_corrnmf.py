@@ -1,0 +1,171 @@
+"""CorrNMFDet model-layer parity: each EM sub-update vs goldens, the ELBO,
+and all six given-parameter freezing guarantees through short fits."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from salamander_tpu.containers import AnnData
+from salamander_tpu.models import CorrNMFDet
+
+
+@pytest.fixture(scope="module")
+def data_dir(reference_data_path):
+    return reference_data_path / "models" / "corrnmf"
+
+
+@pytest.fixture(scope="module")
+def counts(data_dir):
+    return pd.read_csv(data_dir / "counts.csv", index_col=0).T
+
+
+@pytest.fixture(params=[(1, 1), (2, 2)], ids=["nsigs1_dim1", "nsigs2_dim2"])
+def dims(request):
+    return request.param
+
+
+@pytest.fixture
+def load(data_dir, dims):
+    nsigs, dim = dims
+
+    def _load(name):
+        return np.load(data_dir / f"{name}_nsigs{nsigs}_dim{dim}.npy")
+
+    return _load
+
+
+@pytest.fixture
+def model_init(counts, load, dims):
+    nsigs, dim = dims
+    adata = AnnData(counts)
+    adata.obs["scalings"] = load("sample_scalings_init")
+    adata.obsm["embeddings"] = load("sample_embeddings_init").T
+
+    asignatures = AnnData(load("signatures_mat_init").T)
+    asignatures.var_names = adata.var_names
+    asignatures.obs["scalings"] = load("signature_scalings_init")
+    asignatures.obsm["embeddings"] = load("signature_embeddings_init").T
+
+    model = CorrNMFDet(n_signatures=nsigs, dim_embeddings=dim)
+    model.adata = adata
+    model.asignatures = asignatures
+    model.compute_exposures()
+    model.variance = float(load("variance_init"))
+    return model
+
+
+def test_objective_function(model_init, load):
+    assert np.allclose(model_init.objective_function(), load("objective_init"))
+
+
+class TestUpdates:
+    def test_update_signatures(self, model_init, load):
+        model_init.update_signatures()
+        assert np.allclose(
+            model_init.asignatures.X, load("signatures_mat_updated").T
+        )
+
+    def test_update_signature_scalings(self, model_init, load):
+        model_init.update_signature_scalings(load("aux"))
+        assert np.allclose(
+            np.asarray(model_init.asignatures.obs["scalings"]),
+            load("signature_scalings_updated"),
+        )
+
+    def test_update_sample_scalings(self, model_init, load):
+        model_init.update_sample_scalings()
+        assert np.allclose(
+            np.asarray(model_init.adata.obs["scalings"]),
+            load("sample_scalings_updated"),
+        )
+
+    def test_update_signature_embeddings(self, model_init, load):
+        model_init.update_signature_embeddings(load("aux"))
+        assert np.allclose(
+            model_init.asignatures.obsm["embeddings"],
+            load("signature_embeddings_updated").T,
+        )
+
+    def test_update_sample_embeddings(self, model_init, load):
+        model_init.update_sample_embeddings(load("aux"))
+        assert np.allclose(
+            model_init.adata.obsm["embeddings"],
+            load("sample_embeddings_updated").T,
+        )
+
+    def test_update_variance(self, model_init, load):
+        model_init.update_variance()
+        assert np.allclose(model_init.variance, load("variance_updated"))
+
+
+def test_fit_elbo_increases(counts):
+    model = CorrNMFDet(
+        n_signatures=2, dim_embeddings=2,
+        min_iterations=20, max_iterations=60, conv_test_freq=10,
+    )
+    np.random.seed(2)
+    model.fit(AnnData(counts))
+    trace = model.history["objective_function"]
+    assert len(trace) >= 2
+    # maximized ELBO: trace non-decreasing (EM guarantee, fp tolerance)
+    diffs = np.diff(trace)
+    assert np.all(diffs >= -np.abs(np.asarray(trace[:-1])) * 1e-8 - 1e-8)
+    assert model.exposures.shape == (counts.shape[0], 2)
+    assert model.variance > 0
+
+
+@pytest.mark.parametrize("nsigs,dim", [(1, 1), (2, 1), (2, 2)])
+class TestGivenParameters:
+    @pytest.fixture
+    def model(self, nsigs, dim):
+        return CorrNMFDet(
+            n_signatures=nsigs, dim_embeddings=dim,
+            min_iterations=3, max_iterations=3,
+        )
+
+    @pytest.fixture
+    def adata(self, counts):
+        return AnnData(counts)
+
+    def test_given_signatures(self, model, adata):
+        for n_given in range(1, model.n_signatures + 1):
+            given = adata[:n_given, :].copy()
+            given.X = given.X / np.sum(given.X, axis=1, keepdims=True)
+            model.fit(adata, given_parameters={"asignatures": given})
+            assert np.allclose(given.X, model.asignatures.X[:n_given, :])
+
+    def test_given_signature_scalings(self, model, adata):
+        given = np.random.uniform(size=model.n_signatures)
+        model.fit(adata, given_parameters={"signature_scalings": given})
+        assert np.allclose(given, np.asarray(model.asignatures.obs["scalings"]))
+
+    def test_given_sample_scalings(self, model, adata):
+        given = np.random.uniform(size=adata.n_obs)
+        model.fit(adata, given_parameters={"sample_scalings": given})
+        assert np.allclose(given, np.asarray(model.adata.obs["scalings"]))
+
+    def test_given_signature_embeddings(self, model, adata):
+        given = np.random.uniform(size=(model.n_signatures, model.dim_embeddings))
+        model.fit(adata, given_parameters={"signature_embeddings": given})
+        assert np.allclose(given, model.asignatures.obsm["embeddings"])
+
+    def test_given_sample_embeddings(self, model, adata):
+        given = np.random.uniform(size=(adata.n_obs, model.dim_embeddings))
+        model.fit(adata, given_parameters={"sample_embeddings": given})
+        assert np.allclose(given, model.adata.obsm["embeddings"])
+
+    def test_given_variance(self, model, adata):
+        model.fit(adata, given_parameters={"variance": 3})
+        assert np.allclose(3.0, model.variance)
+
+
+def test_correlation_scaled(counts):
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=3, max_iterations=3)
+    np.random.seed(0)
+    model.fit(AnnData(counts))
+    model.compute_correlation_scaled("signatures")
+    corr = model.asignatures.obsp["correlation"]
+    assert corr.shape == (2, 2)
+    assert np.allclose(np.diag(corr), 1.0)
+    assert np.all(np.abs(corr) <= 1.0 + 1e-12)

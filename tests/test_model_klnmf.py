@@ -1,0 +1,134 @@
+"""KLNMF model-layer parity (objective, one joint update vs pickled goldens,
+given-signature freezing through fit) + end-to-end engine behavior."""
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from salamander_tpu.containers import AnnData
+from salamander_tpu.models import KLNMF
+
+
+@pytest.fixture(scope="module")
+def data_dir(reference_data_path):
+    return reference_data_path / "models" / "klnmf"
+
+
+@pytest.fixture
+def adata(data_dir):
+    counts = pd.read_csv(data_dir / "counts.csv", index_col=0)
+    return AnnData(counts.T)
+
+
+@pytest.fixture(params=[1, 2])
+def nsigs(request):
+    return request.param
+
+
+@pytest.fixture
+def model_init(data_dir, adata, nsigs):
+    W = np.load(data_dir / f"W_init_nsigs{nsigs}.npy")
+    H = np.load(data_dir / f"H_init_nsigs{nsigs}.npy")
+    asignatures = AnnData(W.T)
+    asignatures.var_names = adata.var_names
+    model = KLNMF(n_signatures=nsigs)
+    model.adata = adata
+    model.asignatures = asignatures
+    model.adata.obsm["exposures"] = H.T
+    return model
+
+
+def test_objective_function(data_dir, model_init, nsigs):
+    expected = np.load(data_dir / f"objective_init_nsigs{nsigs}.npy")
+    assert np.allclose(model_init.objective_function(), expected)
+
+
+def test_update_parameters(data_dir, model_init, nsigs):
+    with open(data_dir / f"WH_updated_joint_nsigs{nsigs}.pkl", "rb") as handle:
+        W_updated, H_updated = pickle.load(handle)
+    model_init._update_parameters()
+    assert np.allclose(model_init.asignatures.X, W_updated.T)
+    assert np.allclose(model_init.adata.obsm["exposures"], H_updated.T)
+
+
+def test_given_signatures_through_fit(adata, nsigs):
+    for n_given in range(1, nsigs + 1):
+        given = adata[:n_given, :].copy()
+        given.X = given.X / np.sum(given.X, axis=1, keepdims=True)
+        model = KLNMF(n_signatures=nsigs, min_iterations=3, max_iterations=3)
+        model.fit(adata, given_parameters={"asignatures": given})
+        assert np.allclose(given.X, model.asignatures.X[:n_given, :])
+
+
+def test_fit_converges_and_traces_history(adata):
+    model = KLNMF(
+        n_signatures=2, init_method="random",
+        min_iterations=20, max_iterations=200, conv_test_freq=10, tol=1e-6,
+    )
+    model.fit(adata, init_kwargs={"seed": 3})
+    trace = model.history["objective_function"]
+    assert len(trace) >= 2
+    # minimized objective: the trace is non-increasing (within fp noise)
+    diffs = np.diff(trace)
+    assert np.all(diffs <= np.abs(np.asarray(trace[:-1])) * 1e-6 + 1e-8)
+    assert model.history["n_iterations"] <= 200
+    # container state is populated
+    assert model.exposures.shape == (adata.n_obs, 2)
+    assert np.allclose(model.signatures.sum(axis=1), 1.0)
+    assert model.reconstruction_error > 0
+
+
+def test_fit_respects_max_iterations(adata):
+    model = KLNMF(n_signatures=2, min_iterations=5, max_iterations=5)
+    model.fit(adata)
+    assert model.history["n_iterations"] == 5
+    # evals only at multiples of conv_test_freq=10 > 5 iterations -> none
+    assert model.history["objective_function"] == []
+
+
+def test_fit_with_weights(adata):
+    weights = 2.0 * np.ones(adata.n_obs)
+    model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    model.fit(adata.copy(), fitting_kwargs={"weights_kl": weights})
+    assert model.weights_kl is not None
+    model_plain = KLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    model_plain.fit(adata.copy())
+    # constant KL weights leave the updates unchanged
+    assert np.allclose(model.asignatures.X, model_plain.asignatures.X)
+    # ... but scale the objective
+    assert np.allclose(
+        model.objective_function(), 2 * model_plain.objective_function()
+    )
+
+
+def test_fit_lhalf_sparsifies(adata):
+    dense = KLNMF(n_signatures=2, min_iterations=50, max_iterations=50)
+    dense.fit(adata.copy())
+    sparse = KLNMF(n_signatures=2, min_iterations=50, max_iterations=50)
+    sparse.fit(adata.copy(), fitting_kwargs={"weights_lhalf": 100.0})
+    assert (
+        np.sum(np.sqrt(sparse.adata.obsm["exposures"]))
+        < np.sum(np.sqrt(dense.adata.obsm["exposures"]))
+    )
+
+
+def test_rejects_bad_fitting_kwargs(adata):
+    model = KLNMF(n_signatures=2)
+    with pytest.raises(ValueError):
+        model.fit(adata, fitting_kwargs={"bogus": 1.0})
+    with pytest.raises(ValueError):
+        model.fit(adata, fitting_kwargs={"weights_kl": -np.ones(adata.n_obs)})
+
+
+def test_reorder_and_correlation(adata):
+    model = KLNMF(n_signatures=3, min_iterations=30, max_iterations=30)
+    model.fit(adata)
+    order_before = model.signatures.copy()
+    target = model.asignatures[::-1, :].copy()
+    model.reorder(target, keep_names=False)
+    assert np.allclose(model.signatures.values, order_before.values[::-1])
+    corr = model.correlation("signatures")
+    assert corr.shape == (3, 3)
+    assert np.allclose(np.diag(corr.values), 1.0)
