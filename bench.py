@@ -1,0 +1,147 @@
+"""Headline benchmark: 100-restart KLNMF fit on the PCAWG-breast SBS catalog.
+
+Metric (BASELINE.json): aggregate multiplicative-update iterations/second
+across 100 random restarts, k=5, the reference's default convergence budget
+(min 500 / max 10000 iterations, objective every 10, tol 1e-7).
+
+Baseline: the reference itself cannot run here (its numba dependency is not
+installed), so the baseline is an equivalent-semantics numpy implementation
+of its per-iteration hot path (update_WH + the masked KL objective every 10
+iterations) timed in-process on this host - the closest runnable stand-in
+for the single-threaded CPU reference. vs_baseline = TPU aggregate it/s
+divided by CPU it/s.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+DATA_CANDIDATES = [
+    Path("/root/reference/data/pcawg_breast_sbs.csv"),
+    REPO / "data" / "pcawg_breast_sbs.csv",
+]
+
+N_RESTARTS = 100
+N_SIGNATURES = 5
+EPS32 = float(np.finfo(np.float32).eps)
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def load_counts() -> np.ndarray:
+    import pandas as pd
+
+    for path in DATA_CANDIDATES:
+        if path.exists():
+            df = pd.read_csv(path, index_col=0)
+            return df.values.astype(np.float64)  # (96 features, 192 samples)
+    log("bench: PCAWG csv not found, generating synthetic 96x192 catalog")
+    rng = np.random.default_rng(0)
+    W = rng.dirichlet(np.ones(96), size=5).T
+    H = rng.gamma(2.0, 500.0, size=(5, 192))
+    return rng.poisson(W @ H).astype(np.float64)
+
+
+# --------------------------------------------------------------------------
+# CPU baseline: numpy twin of the reference hot loop (single restart).
+# --------------------------------------------------------------------------
+
+def _np_update_WH(X, W, H):
+    aux = X / (W @ H)
+    W_new = W * (aux @ H.T)
+    W_new /= W_new.sum(axis=0)
+    W_new = W_new.clip(EPS32)
+    H *= W.T @ aux
+    H = H.clip(EPS32)
+    return W_new, H
+
+
+def _np_kl(X, W, H):
+    WH = W @ H
+    nonzero = X != 0
+    ratio = np.where(nonzero, X / np.where(nonzero, WH, 1.0), 1.0)
+    return float(np.sum(np.where(nonzero, X * np.log(ratio) - X, 0.0) + WH))
+
+
+def measure_cpu_baseline(X, n_iterations: int = 400) -> float:
+    """Per-iteration wall time of the reference-equivalent CPU loop,
+    including the amortized objective evaluation every 10 iterations."""
+    rng = np.random.default_rng(1)
+    V, D = X.shape
+    W = rng.dirichlet(np.ones(V), size=N_SIGNATURES).T
+    H = rng.uniform(size=(N_SIGNATURES, D)) * X.sum(0) / N_SIGNATURES
+    # warm the caches
+    for _ in range(20):
+        W, H = _np_update_WH(X, W, H)
+    start = time.perf_counter()
+    for i in range(1, n_iterations + 1):
+        W, H = _np_update_WH(X, W, H)
+        if i % 10 == 0:
+            _np_kl(X, W, H)
+    elapsed = time.perf_counter() - start
+    return n_iterations / elapsed
+
+
+# --------------------------------------------------------------------------
+# TPU measurement: one compiled program fitting all restarts to convergence.
+# --------------------------------------------------------------------------
+
+def measure_tpu(X) -> tuple[float, float, int]:
+    import jax.numpy as jnp
+
+    from salamander_tpu.engine import FitConfig
+    from salamander_tpu.parallel import fit_klnmf_restarts
+    from salamander_tpu.parallel.restarts import build_klnmf_restart_runner
+
+    config = FitConfig(
+        min_iterations=500, max_iterations=10000, conv_test_freq=10, tol=1e-7
+    )
+    runner = build_klnmf_restart_runner(config)
+    Xf = jnp.asarray(X, jnp.float32)
+
+    log("bench: compiling + warmup run ...")
+    t0 = time.perf_counter()
+    result = fit_klnmf_restarts(
+        Xf, N_SIGNATURES, N_RESTARTS, seed=0, config=config, runner=runner
+    )
+    log(f"bench: warmup (incl. compile) {time.perf_counter() - t0:.1f}s, "
+        f"iterations {result.n_iterations.min()}..{result.n_iterations.max()}")
+
+    t0 = time.perf_counter()
+    result = fit_klnmf_restarts(
+        Xf, N_SIGNATURES, N_RESTARTS, seed=1, config=config, runner=runner
+    )
+    elapsed = time.perf_counter() - t0
+    total_iterations = int(np.sum(result.n_iterations))
+    log(f"bench: timed fit {elapsed:.2f}s, total MU iterations "
+        f"{total_iterations}, best loss {result.best_loss:.2f}")
+    return total_iterations / elapsed, result.best_loss, total_iterations
+
+
+def main():
+    X = load_counts()
+    cpu_iters_per_sec = measure_cpu_baseline(X)
+    log(f"bench: CPU reference-equivalent {cpu_iters_per_sec:.0f} it/s "
+        f"(single restart)")
+    tpu_agg_iters_per_sec, best_loss, total_iters = measure_tpu(X)
+    vs_baseline = tpu_agg_iters_per_sec / cpu_iters_per_sec
+    print(json.dumps({
+        "metric": "klnmf_100restart_aggregate_mu_iterations_per_sec",
+        "value": round(tpu_agg_iters_per_sec, 1),
+        "unit": "iterations/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

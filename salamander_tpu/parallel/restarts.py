@@ -1,0 +1,175 @@
+"""Batched multi-start fits and rank scans.
+
+The reference's tutorial runs restarts and rank scans as serial Python loops
+over single fits; here all restarts of one rank are ONE device program: the
+batched init lives on device, every restart steps in lockstep inside the
+jitted convergence engine (converged lanes frozen), and only the final loss
+table returns to the host. Under a multi-device mesh the restart axis is
+sharded (perfect scaling - no communication) and the sample axis may be
+sharded too (XLA all-reduces the cross-sample contractions).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import FitConfig, fit_loop
+from ..initialization.methods import random_init_batch
+from ..ops import klnmf as ops
+from .mesh import restart_sharding
+
+
+class RestartResult(NamedTuple):
+    """Outcome of a batched multi-start fit."""
+
+    W: Any            # (R, V, K) signatures per restart
+    H: Any            # (R, K, D) exposures per restart
+    losses: Any       # (R,) final objective per restart
+    n_iterations: Any # (R,) iterations run per restart
+    best_index: int
+
+    @property
+    def best_loss(self) -> float:
+        return float(self.losses[self.best_index])
+
+    @property
+    def best_W(self):
+        return self.W[self.best_index]
+
+    @property
+    def best_H(self):
+        return self.H[self.best_index]
+
+
+def _klnmf_step_functions(weights_kl=None, weights_lhalf=None,
+                          n_given_signatures: int = 0):
+    def update_fn(params, data):
+        W, H = ops.update_WH(
+            data["X"], params["W"], params["H"],
+            data.get("weights_kl"), data.get("weights_lhalf"),
+            n_given_signatures,
+        )
+        return {"W": W, "H": H}
+
+    def objective_fn(params, data):
+        return ops.klnmf_objective(
+            data["X"], params["W"], params["H"],
+            data.get("weights_kl"), data.get("weights_lhalf"),
+        )
+
+    return update_fn, objective_fn
+
+
+def build_klnmf_restart_runner(config: FitConfig, weights_kl=None,
+                               weights_lhalf=None, mesh=None):
+    """Compile (once) the batched multi-start KLNMF fit.
+
+    Returns a jitted function (params0, data) -> (FitResult, losses) where
+    params0 = {"W": (R,V,K), "H": (R,K,D)} and data = {"X": (V,D), ...}.
+    """
+    update_fn, objective_fn = _klnmf_step_functions(weights_kl, weights_lhalf)
+
+    def run_one(params0, data):
+        result = fit_loop(
+            lambda p: update_fn(p, data),
+            lambda p: objective_fn(p, data),
+            params0,
+            config,
+        )
+        final_loss = objective_fn(result.params, data)
+        return result.params, final_loss, result.n_iterations
+
+    run = jax.vmap(run_one, in_axes=(0, None))
+
+    if mesh is None:
+        return jax.jit(run)
+
+    shardings = restart_sharding(mesh)
+    in_shardings = (
+        {"W": shardings["W"], "H": shardings["H"]},
+        {"X": shardings["X"]},
+    )
+    out_shardings = (
+        {"W": shardings["W"], "H": shardings["H"]},
+        shardings["per_restart"],
+        shardings["per_restart"],
+    )
+    return jax.jit(run, in_shardings=in_shardings, out_shardings=out_shardings)
+
+
+def fit_klnmf_restarts(
+    X,
+    n_signatures: int,
+    n_restarts: int,
+    seed: int = 0,
+    config: FitConfig | None = None,
+    weights_kl=None,
+    weights_lhalf=None,
+    mesh=None,
+    dtype=jnp.float32,
+    runner=None,
+) -> RestartResult:
+    """Fit `n_restarts` random-initialized KLNMF models at once on device.
+
+    X is (n_features, n_samples) in kernel orientation. Pass a `mesh` from
+    make_mesh() to shard restarts/samples across devices; pass a prebuilt
+    `runner` (build_klnmf_restart_runner) to amortize compilation across
+    calls with identical shapes/config.
+    """
+    config = config or FitConfig()
+    X = jnp.asarray(X, dtype)
+    key = jax.random.PRNGKey(seed)
+    W0, H0 = random_init_batch(key, X, n_signatures, n_restarts, dtype)
+
+    data = {"X": X}
+    if weights_kl is not None:
+        data["weights_kl"] = jnp.asarray(weights_kl, dtype)
+    if weights_lhalf is not None:
+        data["weights_lhalf"] = jnp.asarray(weights_lhalf, dtype)
+
+    if runner is None:
+        runner = build_klnmf_restart_runner(
+            config, weights_kl, weights_lhalf, mesh
+        )
+    if mesh is not None:
+        shardings = restart_sharding(mesh)
+        W0 = jax.device_put(W0, shardings["W"])
+        H0 = jax.device_put(H0, shardings["H"])
+        data["X"] = jax.device_put(data["X"], shardings["X"])
+
+    params, losses, n_iterations = runner({"W": W0, "H": H0}, data)
+    losses_host = np.asarray(losses)
+    best = int(np.argmin(losses_host))
+    return RestartResult(
+        W=params["W"],
+        H=params["H"],
+        losses=losses_host,
+        n_iterations=np.asarray(n_iterations),
+        best_index=best,
+    )
+
+
+def rank_scan_klnmf(
+    X,
+    n_signatures_range,
+    n_restarts: int,
+    seed: int = 0,
+    config: FitConfig | None = None,
+    mesh=None,
+    dtype=jnp.float32,
+) -> dict[int, RestartResult]:
+    """Multi-start KLNMF over a range of ranks (the model-selection scan the
+    reference tutorial runs as a nested Python loop). One compiled program
+    per rank; all restarts of a rank run simultaneously."""
+    results: dict[int, RestartResult] = {}
+    for offset, k in enumerate(n_signatures_range):
+        results[int(k)] = fit_klnmf_restarts(
+            X, int(k), n_restarts,
+            seed=seed + 1000 * offset,
+            config=config, mesh=mesh, dtype=dtype,
+        )
+    return results
