@@ -1,0 +1,106 @@
+"""Container layer: AnnData/MuData work-alike behavior the framework relies
+on (alignment guards, subsetting, concat with annotations, npz round-trip,
+MuData update)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from salamander_tpu import containers
+from salamander_tpu.containers import AnnData, MuData
+
+
+@pytest.fixture
+def adata():
+    df = pd.DataFrame(
+        np.arange(12.0).reshape(3, 4),
+        index=["s1", "s2", "s3"],
+        columns=["f1", "f2", "f3", "f4"],
+    )
+    return AnnData(df)
+
+
+def test_dataframe_ctor_and_views(adata):
+    assert adata.shape == (3, 4)
+    assert list(adata.obs_names) == ["s1", "s2", "s3"]
+    assert list(adata.var_names) == ["f1", "f2", "f3", "f4"]
+    df = adata.to_df()
+    assert np.array_equal(df.values, adata.X)
+
+
+def test_x_setter_shape_guard(adata):
+    with pytest.raises(ValueError):
+        adata.X = np.zeros((2, 2))
+    adata.X = adata.X * 2  # same shape ok
+
+
+def test_obsm_alignment(adata):
+    adata.obsm["emb"] = np.zeros((3, 5))
+    with pytest.raises(ValueError):
+        adata.obsm["bad"] = np.zeros((4, 2))
+    adata.obsp["corr"] = np.eye(3)
+    with pytest.raises(ValueError):
+        adata.obsp["bad"] = np.eye(2)
+
+
+def test_subsetting_rows_and_annotations(adata):
+    adata.obs["group"] = ["a", "b", "a"]
+    adata.obsm["emb"] = np.arange(6.0).reshape(3, 2)
+    sub = adata[[0, 2], :]
+    assert list(sub.obs_names) == ["s1", "s3"]
+    assert list(sub.obs["group"]) == ["a", "a"]
+    assert np.array_equal(sub.obsm["emb"], [[0.0, 1.0], [4.0, 5.0]])
+    # by name and by boolean mask
+    assert list(adata[np.array(["s2"])].obs_names) == ["s2"]
+    assert list(adata[np.array([True, False, True])].obs_names) == ["s1", "s3"]
+    # slicing with step (reorder() uses [::-1])
+    assert list(adata[::-1].obs_names) == ["s3", "s2", "s1"]
+
+
+def test_copy_is_deep(adata):
+    adata.obsm["emb"] = np.zeros((3, 2))
+    clone = adata.copy()
+    clone.X[0, 0] = 99.0
+    clone.obsm["emb"][0, 0] = 99.0
+    assert adata.X[0, 0] == 0.0
+    assert adata.obsm["emb"][0, 0] == 0.0
+
+
+def test_concat_outer_union(adata):
+    other = AnnData(pd.DataFrame(
+        np.ones((2, 2)), index=["t1", "t2"], columns=["f1", "f9"]
+    ))
+    merged = containers.concat([adata, other], join="outer")
+    assert merged.n_obs == 5
+    assert list(merged.var_names) == ["f1", "f2", "f3", "f4", "f9"]
+    # zero-filled where a variable is absent
+    assert merged.to_df().loc["t1", "f2"] == 0.0
+    assert merged.to_df().loc["s1", "f9"] == 0.0
+
+
+def test_npz_roundtrip(tmp_path, adata):
+    adata.obs["scalings"] = np.array([0.1, 0.2, 0.3])
+    adata.obsm["exposures"] = np.ones((3, 2))
+    path = str(tmp_path / "model.npz")
+    adata.write_npz(path)
+    loaded = AnnData.read_npz(path)
+    assert np.array_equal(loaded.X, adata.X)
+    assert list(loaded.obs_names) == list(adata.obs_names)
+    assert np.array_equal(loaded.obsm["exposures"], adata.obsm["exposures"])
+    assert np.allclose(np.asarray(loaded.obs["scalings"]), [0.1, 0.2, 0.3])
+
+
+def test_mudata_shared_names_and_update():
+    a = AnnData(pd.DataFrame(np.ones((3, 2)), index=["s1", "s2", "s3"]))
+    b = AnnData(pd.DataFrame(np.ones((3, 4)), index=["s1", "s2", "s3"]))
+    mdata = MuData({"sbs": a, "indel": b})
+    assert mdata.n_mod == 2
+    assert mdata.n_obs == 3
+    assert list(mdata.obs_names) == ["s1", "s2", "s3"]
+    mdata.obsm["embeddings"] = np.zeros((3, 2))
+    a.obs["scalings"] = [1.0, 2.0, 3.0]
+    mdata.update()
+    assert "sbs:scalings" in mdata.obs.columns
+    clone = mdata.copy()
+    clone["sbs"].X[0, 0] = 7.0
+    assert mdata["sbs"].X[0, 0] == 1.0

@@ -1,0 +1,112 @@
+"""Fit-engine semantics: convergence rule parity with the reference's host
+loop, history buffer contents, max-iteration capping, vmap lane freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salamander_tpu.engine import FitConfig, fit_loop, make_fit_function
+
+
+def quadratic_problem(rate):
+    """x <- rate * x decays geometrically; objective = x^2 (minimized)."""
+
+    def update(x):
+        return rate * x
+
+    def objective(x):
+        return jnp.sum(x**2)
+
+    return update, objective
+
+
+def reference_host_loop(x0, rate, config):
+    """The reference's Python while loop, verbatim semantics
+    (signature_nmf.py:361-383), as ground truth for the engine."""
+    x = np.asarray(x0, dtype=float)
+    of_values = [float(np.sum(x**2))]
+    n_iteration = 0
+    converged = False
+    while not converged:
+        n_iteration += 1
+        x = rate * x
+        if n_iteration % config.conv_test_freq == 0:
+            prev = of_values[-1]
+            of_values.append(float(np.sum(x**2)))
+            rel_change = abs(prev - of_values[-1]) / abs(prev)
+            converged = (
+                rel_change < config.tol and n_iteration >= config.min_iterations
+            )
+        converged |= n_iteration >= config.max_iterations
+    return x, of_values[1:], n_iteration
+
+
+@pytest.mark.parametrize("rate,config", [
+    (0.9, FitConfig(min_iterations=20, max_iterations=500, conv_test_freq=10,
+                    tol=1e-6)),
+    (0.99999, FitConfig(min_iterations=10, max_iterations=73,
+                        conv_test_freq=10, tol=1e-12)),
+    (0.5, FitConfig(min_iterations=0, max_iterations=100, conv_test_freq=5,
+                    tol=1e-3)),
+])
+def test_engine_matches_reference_loop(rate, config):
+    update, objective = quadratic_problem(rate)
+    x0 = jnp.asarray([1.0, 2.0, 3.0])
+    result = fit_loop(update, objective, x0, config)
+    x_ref, history_ref, n_iter_ref = reference_host_loop(x0, rate, config)
+
+    assert int(result.n_iterations) == n_iter_ref
+    assert int(result.n_evals) == len(history_ref)
+    np.testing.assert_allclose(np.asarray(result.params), x_ref, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(result.history)[: len(history_ref)], history_ref, rtol=1e-6
+    )
+    # the unused tail of the buffer stays NaN
+    assert np.all(np.isnan(np.asarray(result.history)[len(history_ref):]))
+
+
+def test_engine_partial_final_block():
+    """max_iterations not divisible by conv_test_freq: the loop stops exactly
+    at max_iterations and the last partial block is never evaluated."""
+    config = FitConfig(min_iterations=0, max_iterations=27, conv_test_freq=10,
+                       tol=0.0)
+    update, objective = quadratic_problem(0.999)
+    result = fit_loop(update, objective, jnp.asarray([1.0]), config)
+    assert int(result.n_iterations) == 27
+    assert int(result.n_evals) == 2  # evals at 10 and 20 only
+
+
+def test_engine_batched_lanes_converge_independently():
+    """Under vmap, lanes with different decay rates converge at different
+    iterations and frozen lanes stop changing."""
+    config = FitConfig(min_iterations=10, max_iterations=1000,
+                       conv_test_freq=10, tol=1e-8)
+
+    def update(p, data):
+        return {"x": p["x"] * p["rate"], "rate": p["rate"]}
+
+    def objective(p, data):
+        return jnp.sum(p["x"] ** 2) + 1.0
+
+    run = make_fit_function(update, objective, config, batched=True)
+    rates = jnp.asarray([0.1, 0.9, 0.99])
+    params0 = {"x": jnp.ones((3, 2)), "rate": rates}
+    result = run(params0, {})
+    iterations = np.asarray(result.n_iterations)
+    assert iterations[0] < iterations[1] < iterations[2]
+    # each lane's history tail is NaN past its own eval count
+    for lane in range(3):
+        n_evals = int(result.n_evals[lane])
+        lane_history = np.asarray(result.history[lane])
+        assert np.all(np.isfinite(lane_history[:n_evals]))
+        assert np.all(np.isnan(lane_history[n_evals:]))
+
+
+def test_engine_is_jittable_and_donatable():
+    config = FitConfig(min_iterations=0, max_iterations=50, conv_test_freq=10,
+                       tol=1e-4)
+    update, objective = quadratic_problem(0.8)
+    jitted = jax.jit(lambda x0: fit_loop(update, objective, x0, config))
+    result = jitted(jnp.asarray([4.0, 5.0]))
+    assert int(result.n_iterations) <= 50

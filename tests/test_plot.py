@@ -1,0 +1,145 @@
+"""Plotting: sample-ordering logic (reference-pinned semantics) plus figure
+smoke tests for the full plot family on a fitted model."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+
+from salamander_tpu import plot
+from salamander_tpu.consts import INDEL_TYPES_83, SBS_TYPES_96
+from salamander_tpu.containers import AnnData
+
+
+@pytest.fixture
+def data():
+    counts = np.array([[1, 1], [2, 3], [3, 2], [4, 4]])
+    return pd.DataFrame(counts, index=["a", "b", "c", "d"])
+
+
+def positions(order):
+    return {name: int(np.where(order == name)[0][0]) for name in "abcd"}
+
+
+def test_get_obs_order_normalized(data):
+    pos = positions(plot.get_obs_order(data, normalize=True))
+    # relative values: a == d (uniform rows), b and c are mirrored extremes
+    assert abs(pos["a"] - pos["d"]) == 1
+    assert abs(pos["b"] - pos["c"]) == 3
+
+
+def test_get_obs_order_unnormalized(data):
+    pos = positions(plot.get_obs_order(data, normalize=False))
+    # absolute values: a and d are the extremes, b and c adjacent
+    assert abs(pos["a"] - pos["d"]) == 3
+    assert abs(pos["b"] - pos["c"]) == 1
+
+
+def test_reorder_data_uses_relative_values(data):
+    reordered = plot._reorder_data(data)
+    pos = positions(reordered.index.to_numpy())
+    assert abs(pos["a"] - pos["d"]) == 1
+    assert abs(pos["b"] - pos["c"]) == 3
+
+
+def test_reorder_data_custom_order(data):
+    custom = ["b", "a", "c", "d"]
+    reordered = plot._reorder_data(data, obs_order=custom)
+    assert list(reordered.index) == custom
+
+
+def test_barplot_colors_resolution():
+    assert plot._get_colors_barplot(SBS_TYPES_96) == plot._get_colors_barplot(
+        ["x"] * 96, "SBS96"
+    )
+    assert len(plot._get_colors_barplot(INDEL_TYPES_83)) == 83
+    assert plot._get_colors_barplot(["a", "b"], "red") == ["red", "red"]
+    assert plot._get_colors_barplot(["a", "b"]) == ["gray", "gray"]
+    with pytest.raises(ValueError):
+        plot._get_colors_barplot(["a", "b"], ["red"])
+    with pytest.raises(ValueError):
+        plot._get_colors_barplot(["a"] * 5, "SBS96")
+
+
+@pytest.fixture(scope="module")
+def fitted_model(reference_data_path):
+    from salamander_tpu.models import KLNMF
+
+    counts = pd.read_csv(
+        reference_data_path / "models" / "klnmf" / "counts.csv", index_col=0
+    )
+    model = KLNMF(n_signatures=3, min_iterations=30, max_iterations=30)
+    model.fit(AnnData(counts.T))
+    return model
+
+
+def test_history_plot(fitted_model):
+    ax = fitted_model.plot_history()
+    assert ax.get_xlabel() == "n_iteration"
+    lines = ax.get_lines()
+    assert len(lines) == 1
+    assert len(lines[0].get_xdata()) == len(
+        fitted_model.history["objective_function"]
+    )
+    plt.close("all")
+
+
+def test_history_min_iteration_guard(fitted_model):
+    with pytest.raises(ValueError):
+        fitted_model.plot_history(min_iteration=10_000_000)
+    plt.close("all")
+
+
+def test_signature_barplots(fitted_model):
+    axes = fitted_model.plot_signatures()
+    assert len(axes) == 3
+    assert axes[0].get_title() == "Sig1"
+    plt.close("all")
+
+
+def test_stacked_exposures(fitted_model):
+    ax = fitted_model.plot_exposures()
+    # all bars stack to one
+    assert ax is not None
+    plt.close("all")
+
+
+def test_correlation_plot(fitted_model):
+    grid = fitted_model.plot_correlation()
+    assert grid is not None
+    plt.close("all")
+
+
+def test_embedding_plot(fitted_model):
+    # 3 signatures -> reduce_dimension over exposures, pca path
+    ax = fitted_model.plot_embeddings(method="pca")
+    assert ax is not None
+    plt.close("all")
+
+
+def test_embedding_plot_low_rank_warns(reference_data_path):
+    from salamander_tpu.models import KLNMF
+
+    counts = pd.read_csv(
+        reference_data_path / "models" / "klnmf" / "counts.csv", index_col=0
+    )
+    model = KLNMF(n_signatures=2, min_iterations=5, max_iterations=5)
+    model.fit(AnnData(counts.T))
+    with pytest.warns(UserWarning):
+        ax = model.plot_embeddings(method="pca")
+    assert ax is not None
+    plt.close("all")
+
+
+def test_scatter_numpy_1d_and_2d():
+    ax = plot.scatter_numpy(np.arange(5.0), annotations=[str(i) for i in range(5)])
+    assert ax is not None
+    ax2 = plot.scatter_numpy(np.random.default_rng(0).normal(size=(6, 2)))
+    assert ax2 is not None
+    with pytest.raises(ValueError):
+        plot.scatter_numpy(np.zeros((4, 3)))
+    plt.close("all")
