@@ -7,8 +7,10 @@ dimensionality reduction and plotting - compute expressed as jitted XLA/Pallas
 programs that vmap over restarts and shard over device meshes.
 """
 
-from . import consts, containers, ops, utils
+from . import consts, containers, datasets, io, ops, parallel, profiling, utils
 from .containers import AnnData, MuData
+from .io import load_model, save_model
+from .parallel import fit_best_of
 
 __version__ = "0.1.0"
 
@@ -18,7 +20,14 @@ __all__ = [
     "MuData",
     "consts",
     "containers",
+    "datasets",
+    "fit_best_of",
+    "io",
+    "load_model",
     "ops",
+    "parallel",
+    "profiling",
+    "save_model",
     "utils",
 ]
 

@@ -1,3 +1,9 @@
 """The device-resident fit engine (jitted convergence loop)."""
 
-from .fit import FitConfig, FitResult, fit_loop, make_fit_function  # noqa: F401
+from .fit import (  # noqa: F401
+    FitConfig,
+    FitResult,
+    fit_loop,
+    fit_loop_lockstep,
+    make_fit_function,
+)

@@ -27,12 +27,18 @@ import jax.numpy as jnp
 
 
 class FitConfig(NamedTuple):
-    """Convergence-rule hyperparameters shared by every model family."""
+    """Convergence-rule hyperparameters shared by every model family.
+
+    stop_on_nonfinite: fail fast when an evaluated objective is NaN/Inf
+    (the reference would silently iterate to max_iterations with NaN state;
+    off by default for trace parity).
+    """
 
     min_iterations: int = 500
     max_iterations: int = 10000
     conv_test_freq: int = 10
     tol: float = 1e-7
+    stop_on_nonfinite: bool = False
 
 
 class FitResult(NamedTuple):
@@ -64,9 +70,15 @@ def fit_loop(
     config: FitConfig,
     verbose: bool = False,
     verbosity_freq: int = 1000,
+    block_update_fn: Callable[[Any, jnp.ndarray], Any] | None = None,
 ) -> FitResult:
     """Run the shared convergence loop. Pure and jittable; vmap over params0
-    for batched restarts (the data lives inside the closures)."""
+    for batched restarts (the data lives inside the closures).
+
+    block_update_fn(params, n_steps), when given, replaces the inner
+    fori_loop of single updates with one fused call advancing n_steps
+    iterations - the hook for Pallas kernels that keep a whole block's
+    intermediate state in VMEM."""
     freq = int(config.conv_test_freq)
     max_iterations = int(config.max_iterations)
     min_iterations = int(config.min_iterations)
@@ -89,9 +101,12 @@ def fit_loop(
     def body(state: _LoopState) -> _LoopState:
         # One block: conv_test_freq updates (fewer in a final partial block).
         steps = jnp.minimum(freq, max_iterations - state.iteration)
-        params = jax.lax.fori_loop(
-            0, steps, lambda _, p: update_fn(p), state.params
-        )
+        if block_update_fn is not None:
+            params = block_update_fn(state.params, steps)
+        else:
+            params = jax.lax.fori_loop(
+                0, steps, lambda _, p: update_fn(p), state.params
+            )
         iteration = state.iteration + steps
 
         # The objective is only inspected at multiples of conv_test_freq
@@ -103,6 +118,8 @@ def fit_loop(
             iteration >= min_iterations
         )
         done = converged | (iteration >= max_iterations)
+        if config.stop_on_nonfinite:
+            done = done | (at_eval & ~jnp.isfinite(of_value))
 
         if verbose:
             jax.lax.cond(
@@ -135,6 +152,102 @@ def fit_loop(
         history=final.history,
         n_evals=final.n_evals,
         n_iterations=final.iteration,
+    )
+
+
+def fit_loop_lockstep(
+    objective_fn: Callable[[Any], jnp.ndarray],
+    params0: Any,
+    config: FitConfig,
+    block_update_fn: Callable[[Any, jnp.ndarray], Any],
+) -> FitResult:
+    """Natively-batched twin of fit_loop for restart-blocked kernels.
+
+    params0 carries a leading restart axis R; objective_fn maps batched
+    params -> (R,) objectives; block_update_fn advances ALL restarts by a
+    scalar step count (e.g. the chunked Pallas MU kernel, which cannot live
+    under vmap without serializing the batch). All lanes advance in lockstep
+    blocks; finished lanes are frozen with where-selects, exactly matching
+    vmap(fit_loop) semantics (same eval points, per-lane histories and
+    iteration counts).
+    """
+    freq = int(config.conv_test_freq)
+    max_iterations = int(config.max_iterations)
+    min_iterations = int(config.min_iterations)
+    max_evals = max(1, max_iterations // freq)
+
+    of0 = objective_fn(params0)  # (R,)
+    n_restarts = of0.shape[0]
+    dtype = of0.dtype
+
+    def lane_mask(mask, leaf):
+        return mask.reshape((n_restarts,) + (1,) * (leaf.ndim - 1))
+
+    init = dict(
+        params=params0,
+        of_prev=of0,
+        history=jnp.full((n_restarts, max_evals), jnp.nan, dtype=dtype),
+        n_evals=jnp.zeros((n_restarts,), jnp.int32),
+        eval_idx=jnp.zeros((), jnp.int32),
+        iteration=jnp.zeros((), jnp.int32),
+        n_iterations=jnp.zeros((n_restarts,), jnp.int32),
+        done=jnp.zeros((n_restarts,), bool),
+    )
+
+    def cond(state):
+        return jnp.any(~state["done"])
+
+    def body(state):
+        done_prev = state["done"]
+        steps = jnp.minimum(freq, max_iterations - state["iteration"])
+        params_new = block_update_fn(state["params"], steps)
+        params = jax.tree.map(
+            lambda old, new: jnp.where(lane_mask(done_prev, old), old, new),
+            state["params"],
+            params_new,
+        )
+        iteration = state["iteration"] + steps
+        at_eval = iteration % freq == 0
+
+        of_value = objective_fn(params)  # (R,)
+        rel_change = jnp.abs(state["of_prev"] - of_value) / jnp.abs(
+            state["of_prev"]
+        )
+        converged = at_eval & (rel_change < config.tol) & (
+            iteration >= min_iterations
+        )
+        done = done_prev | converged | (iteration >= max_iterations)
+        if config.stop_on_nonfinite:
+            done = done | (at_eval & ~jnp.isfinite(of_value))
+
+        record = at_eval & ~done_prev  # (R,) lanes recording this eval
+        history = jnp.where(
+            at_eval,
+            state["history"].at[:, state["eval_idx"]].set(
+                jnp.where(record, of_value.astype(dtype),
+                          state["history"][:, state["eval_idx"]])
+            ),
+            state["history"],
+        )
+        return dict(
+            params=params,
+            of_prev=jnp.where(record, of_value, state["of_prev"]),
+            history=history,
+            n_evals=state["n_evals"] + record.astype(jnp.int32),
+            eval_idx=state["eval_idx"] + at_eval.astype(jnp.int32),
+            iteration=iteration,
+            n_iterations=jnp.where(done_prev, state["n_iterations"],
+                                   iteration),
+            done=done,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return FitResult(
+        params=final["params"],
+        initial_objective=of0,
+        history=final["history"],
+        n_evals=final["n_evals"],
+        n_iterations=final["n_iterations"],
     )
 
 

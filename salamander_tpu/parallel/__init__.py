@@ -11,6 +11,7 @@ objectives.
 """
 
 from .mesh import make_mesh, restart_sharding  # noqa: F401
+from .multistart import MultiStartSummary, fit_best_of  # noqa: F401
 from .restarts import (  # noqa: F401
     RestartResult,
     fit_klnmf_restarts,

@@ -1,0 +1,123 @@
+"""Generic batched multi-start for ANY model family.
+
+The reference tutorial runs restarts as a serial Python loop of full fits;
+fit_best_of runs them as ONE device program: per-restart initial parameter
+pytrees are stacked on a leading axis, the model's own (update, objective)
+step functions are vmapped inside the jitted convergence engine, and the
+best restart (by the model's objective direction) is absorbed back into the
+model's containers. Works for KLNMF, MvNMF, CorrNMFDet and - because the
+parameters are just pytrees - MultimodalCorrNMF.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import numpy as np
+
+from ..engine import make_fit_function
+
+
+class MultiStartSummary(NamedTuple):
+    losses: np.ndarray        # (R,) final objective per restart
+    n_iterations: np.ndarray  # (R,)
+    best_index: int
+    history: np.ndarray       # (R, max_evals) objective traces (NaN-padded)
+    n_evals: np.ndarray       # (R,)
+
+
+def _stack_pytrees(trees):
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *trees)
+
+
+def _index_pytree(tree, index: int):
+    return jax.tree.map(lambda leaf: leaf[index], tree)
+
+
+def fit_best_of(
+    model,
+    data_container,
+    n_restarts: int,
+    base_seed: int = 0,
+    given_parameters: dict[str, Any] | None = None,
+    init_kwargs: dict[str, Any] | None = None,
+    fitting_kwargs: dict[str, Any] | None = None,
+) -> MultiStartSummary:
+    """Fit `n_restarts` differently-initialized copies of `model` at once and
+    keep the best.
+
+    The model's init_method should be stochastic ('random', 'separableNMF',
+    or any CorrNMF init, whose embeddings are random); each restart r is
+    seeded with base_seed + r. The model ends up holding the best restart's
+    parameters (and its objective trace in .history); the full loss table is
+    returned.
+    """
+    is_multimodal = hasattr(model, "mdata") and not hasattr(model, "adata")
+
+    if is_multimodal:
+        model._setup_mdata(data_container)
+    else:
+        model._setup_adata(data_container)
+        model._setup_fitting_parameters(fitting_kwargs)
+
+    init_kwargs = {} if init_kwargs is None else dict(init_kwargs)
+    seeds_init_kwargs = "seed" in init_kwargs or model.init_method in (
+        "random", "separableNMF", "nndsvdar"
+    )
+
+    params_per_restart = []
+    data = None
+    for restart in range(n_restarts):
+        seed = base_seed + restart
+        np.random.seed(seed)  # drives the unseeded CorrNMF embedding draws
+        kwargs = dict(init_kwargs)
+        if seeds_init_kwargs:
+            kwargs["seed"] = seed
+        model._initialize(given_parameters, kwargs)
+        if not is_multimodal:
+            model._setup_fitting_parameters(fitting_kwargs)
+        params_r, data = model._device_state()
+        params_per_restart.append(jax.tree.map(np.asarray, params_r))
+
+    params0 = _stack_pytrees(params_per_restart)
+    update_fn, objective_fn = model._build_step(given_parameters)
+    run = make_fit_function(update_fn, objective_fn, model._fit_config()
+                            if hasattr(model, "_fit_config") else _config_of(model),
+                            batched=True)
+    result = run(params0, data)
+
+    final_losses = np.asarray(
+        jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))(result.params, data)
+    )
+    direction = getattr(model, "objective", "minimize")
+    best = int(np.argmax(final_losses)) if direction == "maximize" else int(
+        np.argmin(final_losses)
+    )
+
+    model._absorb_params(_index_pytree(result.params, best))
+    n_evals = np.asarray(result.n_evals)
+    model.history["objective_function"] = list(
+        np.asarray(result.history[best])[: int(n_evals[best])]
+    )
+    model.history["n_iterations"] = int(np.asarray(result.n_iterations)[best])
+    model.history["multistart_losses"] = final_losses.tolist()
+
+    return MultiStartSummary(
+        losses=final_losses,
+        n_iterations=np.asarray(result.n_iterations),
+        best_index=best,
+        history=np.asarray(result.history),
+        n_evals=n_evals,
+    )
+
+
+def _config_of(model):
+    from ..engine import FitConfig
+
+    return FitConfig(
+        min_iterations=model.min_iterations,
+        max_iterations=model.max_iterations,
+        conv_test_freq=model.conv_test_freq,
+        tol=model.tol,
+    )

@@ -65,13 +65,41 @@ def _klnmf_step_functions(weights_kl=None, weights_lhalf=None,
 
 
 def build_klnmf_restart_runner(config: FitConfig, weights_kl=None,
-                               weights_lhalf=None, mesh=None):
+                               weights_lhalf=None, mesh=None,
+                               use_pallas: bool = False):
     """Compile (once) the batched multi-start KLNMF fit.
 
     Returns a jitted function (params0, data) -> (FitResult, losses) where
     params0 = {"W": (R,V,K), "H": (R,K,D)} and data = {"X": (V,D), ...}.
+    use_pallas fuses each convergence block of MU updates into one
+    VMEM-resident TPU kernel (unweighted path only).
     """
     update_fn, objective_fn = _klnmf_step_functions(weights_kl, weights_lhalf)
+    if use_pallas and (weights_kl is not None or weights_lhalf is not None):
+        raise ValueError("The fused Pallas path supports only unweighted KLNMF.")
+    if use_pallas and mesh is not None:
+        raise ValueError("The fused Pallas path is single-device; drop 'mesh'.")
+
+    if use_pallas:
+        # Natively-batched loop around the chunked VMEM-resident MU kernel:
+        # the kernel advances ALL restarts per call (vmap would serialize it).
+        from ..engine import fit_loop_lockstep
+        from ..ops.pallas_klnmf import make_block_update_batched
+
+        def run_pallas(params0, data):
+            n_restarts = params0["W"].shape[0]
+            block_update = make_block_update_batched(data["X"], n_restarts)
+            batched_objective = jax.vmap(objective_fn, in_axes=(0, None))
+            result = fit_loop_lockstep(
+                lambda p: batched_objective(p, data),
+                params0,
+                config,
+                lambda p, steps: block_update(p, steps),
+            )
+            final_loss = batched_objective(result.params, data)
+            return result.params, final_loss, result.n_iterations
+
+        return jax.jit(run_pallas)
 
     def run_one(params0, data):
         result = fit_loop(
@@ -112,13 +140,15 @@ def fit_klnmf_restarts(
     mesh=None,
     dtype=jnp.float32,
     runner=None,
+    use_pallas: bool = False,
 ) -> RestartResult:
     """Fit `n_restarts` random-initialized KLNMF models at once on device.
 
     X is (n_features, n_samples) in kernel orientation. Pass a `mesh` from
     make_mesh() to shard restarts/samples across devices; pass a prebuilt
     `runner` (build_klnmf_restart_runner) to amortize compilation across
-    calls with identical shapes/config.
+    calls with identical shapes/config. use_pallas enables the fused
+    VMEM-resident MU-block kernel (single-device, unweighted).
     """
     config = config or FitConfig()
     X = jnp.asarray(X, dtype)
@@ -133,7 +163,7 @@ def fit_klnmf_restarts(
 
     if runner is None:
         runner = build_klnmf_restart_runner(
-            config, weights_kl, weights_lhalf, mesh
+            config, weights_kl, weights_lhalf, mesh, use_pallas=use_pallas
         )
     if mesh is not None:
         shardings = restart_sharding(mesh)

@@ -1,0 +1,175 @@
+"""Checkpoint round-trips for all four model families, the generic batched
+multi-start driver, profiling utilities, and the engine's NaN guard."""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from salamander_tpu import io, profiling
+from salamander_tpu.containers import AnnData, MuData
+from salamander_tpu.engine import FitConfig, fit_loop
+from salamander_tpu.models import KLNMF, CorrNMFDet, MultimodalCorrNMF, MvNMF
+from salamander_tpu.parallel import fit_best_of
+
+
+@pytest.fixture(scope="module")
+def counts(reference_data_path):
+    return pd.read_csv(
+        reference_data_path / "models" / "klnmf" / "counts.csv", index_col=0
+    ).T
+
+
+@pytest.fixture(scope="module")
+def counts2(reference_data_path):
+    return pd.read_csv(
+        reference_data_path / "models" / "corrnmf" / "counts.csv", index_col=0
+    ).T
+
+
+# ---------------------------------------------------------------------- #
+# checkpointing
+# ---------------------------------------------------------------------- #
+
+def roundtrip(model, tmp_path):
+    path = str(tmp_path / "model.npz")
+    io.save_model(model, path)
+    return io.load_model(path)
+
+
+def test_checkpoint_klnmf(counts, tmp_path):
+    model = KLNMF(n_signatures=3, min_iterations=20, max_iterations=20)
+    model.fit(AnnData(counts), init_kwargs={"seed": 1})
+    loaded = roundtrip(model, tmp_path)
+    assert isinstance(loaded, KLNMF)
+    assert np.array_equal(loaded.asignatures.X, model.asignatures.X)
+    assert np.array_equal(
+        loaded.adata.obsm["exposures"], model.adata.obsm["exposures"]
+    )
+    assert loaded.history["objective_function"] == model.history[
+        "objective_function"
+    ]
+    assert list(loaded.signature_names) == list(model.signature_names)
+    # the restored model keeps working: objective + plots + more fitting
+    assert np.isclose(loaded.objective_function(), model.objective_function())
+
+
+def test_checkpoint_mvnmf(counts, tmp_path):
+    model = MvNMF(n_signatures=2, lam=0.5, delta=2.0,
+                  min_iterations=10, max_iterations=10)
+    model.fit(AnnData(counts))
+    loaded = roundtrip(model, tmp_path)
+    assert loaded.lam == 0.5 and loaded.delta == 2.0
+    assert np.isclose(loaded._gamma, model._gamma)
+    assert np.array_equal(loaded.asignatures.X, model.asignatures.X)
+
+
+def test_checkpoint_corrnmf(counts2, tmp_path):
+    np.random.seed(0)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=10, max_iterations=10)
+    model.fit(AnnData(counts2))
+    loaded = roundtrip(model, tmp_path)
+    assert np.isclose(loaded.variance, model.variance)
+    assert np.array_equal(
+        loaded.adata.obsm["embeddings"], model.adata.obsm["embeddings"]
+    )
+    assert np.array_equal(
+        np.asarray(loaded.asignatures.obs["scalings"]),
+        np.asarray(model.asignatures.obs["scalings"]),
+    )
+    assert np.isclose(loaded.objective_function(), model.objective_function())
+
+
+def test_checkpoint_multimodal(counts, counts2, tmp_path):
+    mdata = MuData({"a": AnnData(counts.copy()), "b": AnnData(counts2.copy())})
+    np.random.seed(1)
+    model = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
+                              min_iterations=5, max_iterations=5)
+    model.fit(mdata)
+    loaded = roundtrip(model, tmp_path)
+    assert loaded.mod_names == model.mod_names
+    for name in model.mod_names:
+        assert np.array_equal(
+            loaded.asignatures[name].X, model.asignatures[name].X
+        )
+    assert np.array_equal(
+        loaded.mdata.obsm["embeddings"], model.mdata.obsm["embeddings"]
+    )
+    assert np.isclose(loaded.objective_function(), model.objective_function())
+
+
+def test_checkpoint_rejects_unknown(tmp_path):
+    with pytest.raises(TypeError):
+        io.save_model(object(), str(tmp_path / "x.npz"))
+
+
+# ---------------------------------------------------------------------- #
+# generic batched multi-start
+# ---------------------------------------------------------------------- #
+
+def test_fit_best_of_klnmf(counts):
+    model = KLNMF(n_signatures=3, init_method="random",
+                  min_iterations=30, max_iterations=100)
+    summary = fit_best_of(model, AnnData(counts), n_restarts=6, base_seed=0)
+    assert summary.losses.shape == (6,)
+    assert summary.best_index == int(np.argmin(summary.losses))
+    # the model holds the best restart
+    assert np.isclose(model.objective_function(),
+                      summary.losses[summary.best_index], rtol=1e-6)
+    assert len(set(np.round(summary.losses, 6))) > 1, "restarts must differ"
+    assert model.history["multistart_losses"] == summary.losses.tolist()
+
+
+def test_fit_best_of_corrnmf_maximizes(counts2):
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=10, max_iterations=30)
+    summary = fit_best_of(model, AnnData(counts2), n_restarts=3, base_seed=7)
+    assert summary.best_index == int(np.argmax(summary.losses))
+    assert np.all(np.isfinite(summary.losses))
+
+
+def test_fit_best_of_multimodal(counts, counts2):
+    mdata = MuData({"a": AnnData(counts.copy()), "b": AnnData(counts2.copy())})
+    model = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
+                              min_iterations=5, max_iterations=10)
+    summary = fit_best_of(model, mdata, n_restarts=2, base_seed=0)
+    assert summary.losses.shape == (2,)
+    assert summary.best_index == int(np.argmax(summary.losses))
+
+
+def test_fit_best_of_respects_given_parameters(counts):
+    adata = AnnData(counts)
+    given = adata[:1, :].copy()
+    given.X = given.X / given.X.sum(axis=1, keepdims=True)
+    model = KLNMF(n_signatures=2, init_method="random",
+                  min_iterations=10, max_iterations=10)
+    fit_best_of(model, adata, n_restarts=3,
+                given_parameters={"asignatures": given})
+    assert np.allclose(model.asignatures.X[:1], given.X)
+
+
+# ---------------------------------------------------------------------- #
+# engine NaN guard + profiling
+# ---------------------------------------------------------------------- #
+
+def test_engine_stop_on_nonfinite():
+    config = FitConfig(min_iterations=0, max_iterations=1000,
+                       conv_test_freq=10, tol=0.0, stop_on_nonfinite=True)
+
+    def update(x):
+        return x * 10.0  # diverges to inf
+
+    def objective(x):
+        return jnp.sum(jnp.log(-x))  # NaN for positive x
+
+    result = fit_loop(update, objective, jnp.asarray([2.0]), config)
+    assert int(result.n_iterations) == 10  # stopped at the first eval
+
+
+def test_profiling_timings(counts):
+    model = KLNMF(n_signatures=2, min_iterations=5, max_iterations=5)
+    model, timings = profiling.timed_fit(model, AnnData(counts))
+    assert "fit(total, incl. compile)" in timings.phases
+    assert timings.phases["fit(total, incl. compile)"] > 0
+    assert "fit" in timings.report()
