@@ -1,0 +1,257 @@
+"""Full benchmark suite: the five BASELINE.json configs.
+
+  1. KLNMF k=5, 100 restarts, PCAWG-breast SBS (the headline; also bench.py)
+  2. MvNMF k=5..10, PCAWG-breast SBS
+  3. CorrNMF dim=2, PCAWG-breast SBS
+  4. Multimodal CorrNMF over {sbs, indel, sv}
+  5. KLNMF rank scan k=2..20 x 100 restarts on a 96 x 10k synthetic catalog
+
+Each config reports TPU wall time / throughput and, where a faithful
+CPU stand-in of the reference hot path is feasible in-process, the speedup
+over it (the reference itself needs numba, which is not installed; for
+CorrNMF the stand-in uses the same scipy Newton-CG per-row loop the
+reference runs, so that ratio is the most meaningful one).
+
+Writes results as JSON lines to stdout; run from the repo root:
+    python benchmarks/suite.py [config ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from salamander_tpu import datasets  # noqa: E402
+from salamander_tpu.containers import AnnData, MuData  # noqa: E402
+from salamander_tpu.engine import FitConfig  # noqa: E402
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def emit(record):
+    print(json.dumps(record), flush=True)
+
+
+# --------------------------------------------------------------------- #
+# config 1: headline (delegates to bench.py's logic)
+# --------------------------------------------------------------------- #
+
+def config1_klnmf_restarts():
+    import bench
+
+    X = bench.load_counts()
+    cpu = bench.measure_cpu_baseline(X)
+    tpu, best_loss, total_iters = bench.measure_tpu(X)
+    emit({
+        "config": "1_klnmf_100restarts",
+        "tpu_aggregate_mu_iterations_per_sec": round(tpu, 1),
+        "cpu_equivalent_iterations_per_sec": round(cpu, 1),
+        "speedup": round(tpu / cpu, 1),
+        "best_loss": round(best_loss, 2),
+    })
+
+
+# --------------------------------------------------------------------- #
+# config 2: MvNMF rank sweep
+# --------------------------------------------------------------------- #
+
+def config2_mvnmf():
+    from salamander_tpu.models import MvNMF
+
+    sbs = datasets.load_pcawg_sbs()
+    results = {}
+    for k in range(5, 11):
+        model = MvNMF(n_signatures=k, lam=1.0, delta=1.0)
+        start = time.perf_counter()
+        model.fit(AnnData(sbs.copy()), init_kwargs={"seed": 1})
+        elapsed = time.perf_counter() - start
+        iters = model.history["n_iterations"]
+        results[k] = {
+            "seconds_incl_compile": round(elapsed, 2),
+            "iterations": iters,
+            "objective": round(model.objective_function(), 1),
+        }
+        log(f"config2 k={k}: {iters} iters in {elapsed:.1f}s")
+    emit({"config": "2_mvnmf_k5_10", "per_rank": results})
+
+
+# --------------------------------------------------------------------- #
+# config 3: CorrNMF vs the scipy-loop reference stand-in
+# --------------------------------------------------------------------- #
+
+def _cpu_corrnmf_cycle_seconds(X, n_signatures=5, dim=2, n_cycles=3):
+    """The reference's EM cycle in numpy/scipy: per-row Newton-CG loops
+    (models/corrnmf_det.py:103-141 semantics)."""
+    from scipy import optimize
+
+    rng = np.random.default_rng(0)
+    D, V = X.shape
+    K, m = n_signatures, dim
+    S = rng.dirichlet(np.ones(V), K)
+    sig_scal = np.zeros(K)
+    smp_scal = np.zeros(D)
+    L = rng.normal(size=(K, m))
+    U = rng.normal(size=(D, m))
+    variance = 1.0
+
+    def solve_row(b0, others, scaling, scal_other, aux_vec, maxiter):
+        q = aux_vec @ others
+
+        def fun(b):
+            z = scaling + scal_other + others @ b
+            return -(q @ b - np.sum(np.exp(z)) - b @ b / (2 * variance))
+
+        def grad(b):
+            e = np.exp(scaling + scal_other + others @ b)
+            return -(q - others.T @ e - b / variance)
+
+        def hess(b):
+            e = np.exp(scaling + scal_other + others @ b)
+            return (others * e[:, None]).T @ others + np.eye(m) / variance
+
+        options = {"maxiter": maxiter} if maxiter else None
+        return optimize.minimize(fun, b0, method="Newton-CG", jac=grad,
+                                 hess=hess, options=options).x
+
+    start = time.perf_counter()
+    for _ in range(n_cycles):
+        smp_scal = np.log(X.sum(1)) - np.log(
+            np.exp(sig_scal[:, None] + L @ U.T).sum(0)
+        )
+        E = np.exp(sig_scal[:, None] + smp_scal[None, :] + L @ U.T).T
+        aux = E.T * (S @ (X / (E @ S)).T)
+        sig_scal = np.log(aux.sum(1)) - np.log(
+            np.exp(smp_scal[None, :] + L @ U.T).sum(1)
+        )
+        for k in range(K):
+            L[k] = solve_row(L[k], U, sig_scal[k], smp_scal, aux[k], None)
+        for d in range(D):
+            U[d] = solve_row(U[d], L, smp_scal[d], sig_scal, aux[:, d], 3)
+        variance = max(np.mean(np.concatenate([L, U]) ** 2), 1e-7)
+        numer = (X / (E @ S)).T @ E
+        S = (S.T * numer / numer.sum(0)).T
+        S = np.maximum(S / S.sum(1, keepdims=True), 1e-7)
+    return (time.perf_counter() - start) / n_cycles
+
+
+def config3_corrnmf():
+    from salamander_tpu.models import CorrNMFDet
+
+    sbs = datasets.load_pcawg_sbs()
+    cpu_cycle = _cpu_corrnmf_cycle_seconds(sbs.values.astype(float))
+    log(f"config3: CPU scipy-loop EM cycle {cpu_cycle*1e3:.0f}ms")
+
+    np.random.seed(0)
+    model = CorrNMFDet(n_signatures=5, dim_embeddings=2,
+                       min_iterations=100, max_iterations=2000, tol=1e-7)
+    start = time.perf_counter()
+    model.fit(AnnData(sbs.copy()))
+    warm = time.perf_counter() - start
+    iters = model.history["n_iterations"]
+    log(f"config3: TPU fit {iters} EM cycles in {warm:.1f}s (incl compile)")
+    # steady state: refit (program cached)
+    np.random.seed(1)
+    start = time.perf_counter()
+    model.fit(AnnData(sbs.copy()))
+    elapsed = time.perf_counter() - start
+    iters = model.history["n_iterations"]
+    tpu_cycle = elapsed / iters
+    emit({
+        "config": "3_corrnmf_dim2",
+        "tpu_em_cycles_per_sec": round(1 / tpu_cycle, 1),
+        "cpu_scipy_em_cycles_per_sec": round(1 / cpu_cycle, 2),
+        "speedup": round(cpu_cycle / tpu_cycle, 1),
+        "em_cycles": iters,
+        "elbo": round(model.objective_function(), 1),
+    })
+
+
+# --------------------------------------------------------------------- #
+# config 4: multimodal
+# --------------------------------------------------------------------- #
+
+def config4_multimodal():
+    from salamander_tpu.models import MultimodalCorrNMF
+
+    mods = {
+        "sbs": AnnData(datasets.load_pcawg_sbs()),
+        "indel": AnnData(datasets.load_pcawg_indel()),
+        "sv": AnnData(datasets.load_pcawg_sv()),
+    }
+    np.random.seed(0)
+    model = MultimodalCorrNMF(ns_signatures=[5, 4, 3], dim_embeddings=3,
+                              min_iterations=100, max_iterations=1000)
+    start = time.perf_counter()
+    model.fit(MuData(mods))
+    elapsed = time.perf_counter() - start
+    iters = model.history["n_iterations"]
+    emit({
+        "config": "4_multimodal_sbs_indel_sv",
+        "seconds_incl_compile": round(elapsed, 1),
+        "em_cycles": iters,
+        "tpu_em_cycles_per_sec_incl_compile": round(iters / elapsed, 2),
+        "elbo": round(model.objective_function(), 1),
+    })
+
+
+# --------------------------------------------------------------------- #
+# config 5: rank scan at COSMIC scale
+# --------------------------------------------------------------------- #
+
+def config5_rank_scan():
+    import bench
+
+    from salamander_tpu.parallel import fit_klnmf_restarts
+    from salamander_tpu.parallel.restarts import build_klnmf_restart_runner
+
+    X = datasets.synthetic_catalog(n_features=96, n_samples=10_000,
+                                   n_signatures=8, seed=0)
+    cpu_iters_per_sec = bench.measure_cpu_baseline(X, n_iterations=60)
+    log(f"config5: CPU {cpu_iters_per_sec:.1f} it/s on 96x10k")
+
+    config = FitConfig(min_iterations=200, max_iterations=2000,
+                       conv_test_freq=10, tol=1e-7)
+    total_iters = 0
+    best = {}
+    start = time.perf_counter()
+    for offset, k in enumerate(range(2, 21)):
+        result = fit_klnmf_restarts(X, k, 100, seed=offset, config=config)
+        total_iters += int(np.sum(result.n_iterations))
+        best[k] = round(result.best_loss, 1)
+        log(f"config5 k={k}: best {result.best_loss:,.1f}")
+    elapsed = time.perf_counter() - start
+    tpu_agg = total_iters / elapsed
+    emit({
+        "config": "5_rank_scan_k2_20_100restarts_96x10k",
+        "wall_seconds_incl_compiles": round(elapsed, 1),
+        "total_mu_iterations": total_iters,
+        "tpu_aggregate_mu_iterations_per_sec": round(tpu_agg, 1),
+        "cpu_equivalent_iterations_per_sec": round(cpu_iters_per_sec, 1),
+        "speedup": round(tpu_agg / cpu_iters_per_sec, 1),
+        "best_loss_per_rank": best,
+    })
+
+
+CONFIGS = {
+    "1": config1_klnmf_restarts,
+    "2": config2_mvnmf,
+    "3": config3_corrnmf,
+    "4": config4_multimodal,
+    "5": config5_rank_scan,
+}
+
+
+if __name__ == "__main__":
+    selected = sys.argv[1:] or list(CONFIGS)
+    for name in selected:
+        log(f"=== config {name} ===")
+        CONFIGS[name]()

@@ -1,0 +1,34 @@
+"""Quickstart: extract mutational signatures from the PCAWG breast catalog.
+
+Run from the repo root:  python examples/quickstart.py
+"""
+
+import numpy as np
+
+import salamander_tpu as sal
+from salamander_tpu import datasets
+from salamander_tpu.models import KLNMF
+
+# 1. Load counts (192 samples x 96 SBS channels) into an annotated container.
+adata = sal.AnnData(datasets.load_pcawg_sbs())
+
+# 2. Fit 100 random restarts as ONE device program and keep the best.
+model = KLNMF(n_signatures=5, init_method="random")
+summary = sal.fit_best_of(model, adata, n_restarts=100, base_seed=0)
+print(f"best KL divergence over {len(summary.losses)} restarts: "
+      f"{summary.losses[summary.best_index]:,.1f} "
+      f"(worst: {summary.losses.max():,.1f})")
+
+# 3. Inspect: signatures / exposures are annotated dataframes.
+print(model.signatures.round(3).iloc[:, :4])
+print("total exposure per signature:",
+      np.round(model.exposures.sum(axis=0).to_numpy()))
+
+# 4. Match against the COSMIC catalog and plot.
+catalog = datasets.load_cosmic_sbs_catalog()
+model.plot_signatures(outfile="signatures.png")
+sal.pl.barplot_pandas(model.signatures, catalog=catalog)
+
+# 5. Checkpoint for later analysis.
+sal.save_model(model, "klnmf_best.npz")
+print("saved klnmf_best.npz; restore with sal.load_model(...)")

@@ -190,6 +190,106 @@ class AnnData:
             payload[f"obs:{col}"] = self.obs[col].to_numpy()
         np.savez_compressed(path, **payload)
 
+    def write_h5ad(self, path: str) -> None:
+        """Write an anndata-compatible .h5ad file (on-disk spec v0.1.0
+        encodings: dataframe groups for obs/var, array groups for obsm/obsp),
+        so fitted containers open in the scverse ecosystem."""
+        import h5py
+
+        def write_string_array(group, name, values):
+            dataset = group.create_dataset(
+                name, data=np.asarray(values, dtype=object),
+                dtype=h5py.string_dtype(encoding="utf-8"),
+            )
+            dataset.attrs["encoding-type"] = "string-array"
+            dataset.attrs["encoding-version"] = "0.2.0"
+            return dataset
+
+        def write_array(group, name, values):
+            values = np.asarray(values)
+            if values.dtype == object or values.dtype.kind in "US":
+                return write_string_array(group, name, values.astype(str))
+            dataset = group.create_dataset(name, data=values)
+            dataset.attrs["encoding-type"] = "array"
+            dataset.attrs["encoding-version"] = "0.2.0"
+            return dataset
+
+        def write_dataframe(handle, name, frame):
+            group = handle.create_group(name)
+            group.attrs["encoding-type"] = "dataframe"
+            group.attrs["encoding-version"] = "0.2.0"
+            group.attrs["_index"] = "_index"
+            group.attrs.create(
+                "column-order",
+                data=np.asarray([str(c) for c in frame.columns], dtype=object),
+                dtype=h5py.string_dtype(encoding="utf-8"),
+            )
+            write_string_array(group, "_index", frame.index.astype(str))
+            for column in frame.columns:
+                write_array(group, str(column), frame[column].to_numpy())
+
+        with h5py.File(path, "w") as handle:
+            handle.attrs["encoding-type"] = "anndata"
+            handle.attrs["encoding-version"] = "0.1.0"
+            x_dataset = handle.create_dataset("X", data=self._X)
+            x_dataset.attrs["encoding-type"] = "array"
+            x_dataset.attrs["encoding-version"] = "0.2.0"
+            write_dataframe(handle, "obs", self.obs)
+            write_dataframe(handle, "var", self.var)
+            for mapping_name, mapping in [
+                ("obsm", self.obsm), ("obsp", self.obsp), ("varm", self.varm)
+            ]:
+                group = handle.create_group(mapping_name)
+                group.attrs["encoding-type"] = "dict"
+                group.attrs["encoding-version"] = "0.1.0"
+                for key, value in mapping.items():
+                    write_array(group, key, value)
+
+    @classmethod
+    def read_h5ad(cls, path: str) -> "AnnData":
+        """Read an .h5ad file written by write_h5ad (or by anndata, for the
+        dense-X subset of the format this framework uses)."""
+        import h5py
+
+        def decode(values):
+            values = values[...]
+            if values.dtype.kind in "OS":
+                return np.array(
+                    [v.decode() if isinstance(v, bytes) else str(v)
+                     for v in values]
+                )
+            return values
+
+        def read_dataframe(group):
+            index_key = group.attrs.get("_index", "_index")
+            index = decode(group[index_key])
+            frame = pd.DataFrame(index=pd.Index(index))
+            order = group.attrs.get("column-order", [])
+            columns = [
+                c.decode() if isinstance(c, bytes) else str(c) for c in order
+            ]
+            for column in columns:
+                if column in group:
+                    frame[column] = decode(group[column])
+            return frame
+
+        with h5py.File(path, "r") as handle:
+            adata = cls(
+                np.asarray(handle["X"][...]),
+                read_dataframe(handle["obs"]),
+                read_dataframe(handle["var"]),
+            )
+            for mapping_name, mapping in [
+                ("obsm", adata.obsm), ("obsp", adata.obsp),
+                ("varm", adata.varm),
+            ]:
+                if mapping_name in handle:
+                    for key in handle[mapping_name]:
+                        mapping[key] = np.asarray(
+                            handle[mapping_name][key][...]
+                        )
+        return adata
+
     @classmethod
     def read_npz(cls, path: str) -> "AnnData":
         with np.load(path, allow_pickle=False) as archive:

@@ -47,8 +47,8 @@ def _resolve(filename: str) -> Path:
 
 def _load_csv(key: str, samples_as_rows: bool = True) -> pd.DataFrame:
     path = _resolve(FILES[key])
-    sep = "\t" if path.suffix == ".txt" else ","
-    df = pd.read_csv(path, index_col=0, sep=sep)
+    # the shipped COSMIC .txt catalog is comma-separated despite its suffix
+    df = pd.read_csv(path, index_col=0)
     return df.T if samples_as_rows else df
 
 

@@ -121,6 +121,26 @@ def embedding_objective(embedding, embeddings_other, scaling, scalings_other,
     return -value
 
 
+def embedding_gradient(embedding, embeddings_other, scaling, scalings_other,
+                       variance, aux_vector):
+    """Gradient of the NEGATIVE surrogate objective (reference :242-293)."""
+    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
+    linear_term = aux_vector @ embeddings_other
+    return -linear_term + embeddings_other.T @ rates + embedding / variance
+
+
+def embedding_hessian(embedding, embeddings_other, scaling, scalings_other,
+                      variance, aux_vector=None):
+    """Hessian of the NEGATIVE surrogate objective (reference :296-351):
+    sum_i e_i o_i o_i^T + I/var - symmetric positive definite."""
+    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
+    dim = embedding.shape[0]
+    return (
+        (embeddings_other * rates[:, None]).T @ embeddings_other
+        + jnp.eye(dim, dtype=embedding.dtype) / variance
+    )
+
+
 def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
                           variance, max_iter: int, xtol_total: float):
     """Minimize the negative surrogate for ONE embedding with damped Newton.

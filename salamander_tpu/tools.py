@@ -58,11 +58,14 @@ def _umap(data: np.ndarray, n_components: int = 2, n_neighbors: float = 15,
           min_dist: float = 0.1, **kwargs) -> np.ndarray:
     try:
         import umap
-    except ImportError as error:  # pragma: no cover
-        raise ImportError(
-            "UMAP requires the optional 'umap-learn' package; "
-            "use method='pca' or 'tsne' instead."
-        ) from error
+    except ImportError:
+        warnings.warn(
+            "umap-learn is not installed; falling back to PCA. Install the "
+            "optional 'umap-learn' package or pass method='pca'/'tsne' to "
+            "silence this warning.",
+            UserWarning,
+        )
+        return _pca(data, n_components=n_components)
     n_neighbors = min(n_neighbors, len(data) - 1.0)
     return umap.UMAP(
         n_components=n_components, n_neighbors=n_neighbors,

@@ -104,3 +104,32 @@ def test_mudata_shared_names_and_update():
     clone = mdata.copy()
     clone["sbs"].X[0, 0] = 7.0
     assert mdata["sbs"].X[0, 0] == 1.0
+
+
+def test_h5ad_roundtrip(tmp_path, adata):
+    pytest.importorskip("h5py")
+    adata.obs["group"] = ["a", "b", "a"]
+    adata.obs["score"] = [0.1, 0.2, 0.3]
+    adata.obsm["exposures"] = np.ones((3, 2))
+    adata.obsp["corr"] = np.eye(3)
+    path = str(tmp_path / "model.h5ad")
+    adata.write_h5ad(path)
+    loaded = AnnData.read_h5ad(path)
+    assert np.array_equal(loaded.X, adata.X)
+    assert list(loaded.obs_names) == list(adata.obs_names)
+    assert list(loaded.var_names) == list(adata.var_names)
+    assert list(loaded.obs["group"]) == ["a", "b", "a"]
+    assert np.allclose(np.asarray(loaded.obs["score"]), [0.1, 0.2, 0.3])
+    assert np.array_equal(loaded.obsm["exposures"], adata.obsm["exposures"])
+    assert np.array_equal(loaded.obsp["corr"], np.eye(3))
+
+
+def test_h5ad_spec_markers(tmp_path, adata):
+    h5py = pytest.importorskip("h5py")
+    path = str(tmp_path / "spec.h5ad")
+    adata.write_h5ad(path)
+    with h5py.File(path, "r") as handle:
+        assert handle.attrs["encoding-type"] == "anndata"
+        assert handle["obs"].attrs["encoding-type"] == "dataframe"
+        assert handle["obs"].attrs["_index"] == "_index"
+        assert handle["X"].attrs["encoding-type"] == "array"

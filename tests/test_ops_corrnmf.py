@@ -185,3 +185,36 @@ def test_multimodal_vector_scalings_shape():
     )
     assert np.asarray(out).shape == (n, dim)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_embedding_gradient_and_hessian_consistency():
+    """Public gradient/Hessian kernels agree with autodiff of the objective."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    m, M = 3, 7
+    embedding = rng.normal(size=m)
+    others = rng.normal(size=(M, m)) * 0.5
+    scaling = 0.2
+    scalings_other = rng.normal(size=M) * 0.1
+    aux_vec = np.abs(rng.normal(size=M)) + 0.5
+    variance = 1.5
+
+    def objective(b):
+        return corrnmf.embedding_objective(
+            b, others, scaling, scalings_other, variance, aux_vec
+        )
+
+    grad_auto = jax.grad(objective)(embedding)
+    grad_kernel = corrnmf.embedding_gradient(
+        embedding, others, scaling, scalings_other, variance, aux_vec
+    )
+    np.testing.assert_allclose(grad_kernel, grad_auto, rtol=1e-8)
+
+    hess_auto = jax.hessian(objective)(embedding)
+    hess_kernel = corrnmf.embedding_hessian(
+        embedding, others, scaling, scalings_other, variance
+    )
+    np.testing.assert_allclose(hess_kernel, hess_auto, rtol=1e-8)
+    # SPD: all eigenvalues positive
+    assert np.all(np.linalg.eigvalsh(np.asarray(hess_kernel)) > 0)
