@@ -181,6 +181,7 @@ class SignatureNMF(ABC):
         history: bool = True,
         verbose: Literal[0, 1] = 0,
         verbosity_freq: int = 1000,
+        stop_on_nonfinite: bool = False,
     ) -> "SignatureNMF":
         """Fit all model parameters with the on-device engine.
 
@@ -188,6 +189,8 @@ class SignatureNMF(ABC):
         given_parameters holds a-priori known parameters to freeze,
         init_kwargs feeds the initializer (e.g. seed), fitting_kwargs feeds
         _setup_fitting_parameters (e.g. KLNMF loss weights).
+        stop_on_nonfinite additionally fails fast if the objective becomes
+        NaN/Inf (off by default for reference trace parity).
         """
         self._setup_adata(adata)
         self._initialize(given_parameters, init_kwargs)
@@ -195,10 +198,13 @@ class SignatureNMF(ABC):
 
         params0, data = self._device_state()
         update_fn, objective_fn = self._build_step(given_parameters)
+        config = self._fit_config()
+        if stop_on_nonfinite:
+            config = config._replace(stop_on_nonfinite=True)
         run = make_fit_function(
             update_fn,
             objective_fn,
-            self._fit_config(),
+            config,
             verbose=bool(verbose),
             verbosity_freq=verbosity_freq,
         )

@@ -43,6 +43,7 @@ def fit_best_of(
     given_parameters: dict[str, Any] | None = None,
     init_kwargs: dict[str, Any] | None = None,
     fitting_kwargs: dict[str, Any] | None = None,
+    mesh=None,
 ) -> MultiStartSummary:
     """Fit `n_restarts` differently-initialized copies of `model` at once and
     keep the best.
@@ -51,7 +52,8 @@ def fit_best_of(
     or any CorrNMF init, whose embeddings are random); each restart r is
     seeded with base_seed + r. The model ends up holding the best restart's
     parameters (and its objective trace in .history); the full loss table is
-    returned.
+    returned. With a `mesh` (from parallel.make_mesh), the restart axis of
+    every parameter leaf is sharded over the mesh's 'restarts' axis.
     """
     is_multimodal = hasattr(model, "mdata") and not hasattr(model, "adata")
 
@@ -81,6 +83,15 @@ def fit_best_of(
         params_per_restart.append(jax.tree.map(np.asarray, params_r))
 
     params0 = _stack_pytrees(params_per_restart)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .mesh import RESTART_AXIS
+
+        restart_first = NamedSharding(mesh, P(RESTART_AXIS))
+        params0 = jax.tree.map(
+            lambda leaf: jax.device_put(leaf, restart_first), params0
+        )
     update_fn, objective_fn = model._build_step(given_parameters)
     run = make_fit_function(update_fn, objective_fn, model._fit_config()
                             if hasattr(model, "_fit_config") else _config_of(model),

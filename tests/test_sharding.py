@@ -1,0 +1,125 @@
+"""Sharding semantics on the 8-virtual-device CPU mesh: sample-sharded
+CorrNMF EM updates and restart-sharded generic multi-start must match their
+unsharded twins exactly (XLA inserts the collectives; numerics unchanged)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from salamander_tpu.containers import AnnData
+from salamander_tpu.models import KLNMF, CorrNMFDet
+from salamander_tpu.ops import corrnmf
+from salamander_tpu.parallel import fit_best_of, make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def corr_state():
+    rng = np.random.default_rng(0)
+    D, V, K, m = 64, 16, 4, 2
+    S = rng.dirichlet(np.ones(V), K)
+    L = rng.normal(size=(K, m))
+    U = rng.normal(size=(D, m))
+    sig_scal = rng.normal(size=K) * 0.1
+    smp_scal = rng.normal(size=D) * 0.1
+    E = np.exp(sig_scal[:, None] + smp_scal[None, :] + L @ U.T).T
+    X = np.clip(rng.poisson(E @ S * 50.0), np.finfo(np.float32).eps, None)
+    return dict(X=X, S=S, L=L, U=U, sig_scal=sig_scal, smp_scal=smp_scal)
+
+
+def test_sample_sharded_corrnmf_updates_match(corr_state):
+    """One full CorrNMF EM cycle with X/U/exposures sharded over samples must
+    equal the unsharded cycle; the signature-side reductions become
+    all-reduces over the sample axis."""
+    mesh = make_mesh(jax.devices()[:8], sample_ways=8)
+    shard_samples = NamedSharding(mesh, P("samples"))
+    replicated = NamedSharding(mesh, P())
+
+    def em_cycle(X, S, L, U, sig_scal, smp_scal):
+        smp_scal = corrnmf.update_sample_scalings(X, sig_scal, L, U)
+        E = corrnmf.compute_exposures(sig_scal, smp_scal, L, U)
+        aux = corrnmf.compute_aux(X, S, E)
+        sig_scal = corrnmf.update_signature_scalings(aux, smp_scal, L, U)
+        L = corrnmf.update_embeddings(L, U, sig_scal, smp_scal, 1.0, aux,
+                                      max_iter=20)
+        U = corrnmf.update_embeddings(U, L, smp_scal, sig_scal, 1.0, aux.T,
+                                      max_iter=3)
+        return S, L, U, sig_scal, smp_scal
+
+    args = (
+        corr_state["X"], corr_state["S"], corr_state["L"], corr_state["U"],
+        corr_state["sig_scal"], corr_state["smp_scal"],
+    )
+    baseline = jax.jit(em_cycle)(*args)
+
+    sharded_args = (
+        jax.device_put(corr_state["X"], shard_samples),      # (D, V) on D
+        jax.device_put(corr_state["S"], replicated),
+        jax.device_put(corr_state["L"], replicated),
+        jax.device_put(corr_state["U"], shard_samples),      # (D, m) on D
+        jax.device_put(corr_state["sig_scal"], replicated),
+        jax.device_put(corr_state["smp_scal"], shard_samples),
+    )
+    sharded = jax.jit(em_cycle)(*sharded_args)
+
+    # U runs a data-dependent Newton/line-search whose stopping comparisons
+    # can flip on 1-ulp partitioned-execution differences; everything else
+    # must match to fp noise.
+    tolerances = {"S": 1e-12, "L": 1e-12, "U": 1e-6, "sig": 1e-12,
+                  "smp": 1e-12}
+    for name, a, b in zip("S L U sig smp".split(), baseline, sharded):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=tolerances[name],
+            err_msg=f"mismatch in {name}",
+        )
+
+
+def test_fit_best_of_with_mesh_matches_unsharded(reference_data_path):
+    import pandas as pd
+
+    counts = pd.read_csv(
+        reference_data_path / "models" / "klnmf" / "counts.csv", index_col=0
+    ).T
+    mesh = make_mesh(jax.devices()[:8], sample_ways=1)
+
+    model_a = KLNMF(n_signatures=2, init_method="random",
+                    min_iterations=20, max_iterations=60)
+    summary_a = fit_best_of(model_a, AnnData(counts.copy()), n_restarts=8,
+                            base_seed=0)
+    model_b = KLNMF(n_signatures=2, init_method="random",
+                    min_iterations=20, max_iterations=60)
+    summary_b = fit_best_of(model_b, AnnData(counts.copy()), n_restarts=8,
+                            base_seed=0, mesh=mesh)
+    np.testing.assert_allclose(summary_b.losses, summary_a.losses, rtol=1e-10)
+    assert summary_b.best_index == summary_a.best_index
+
+
+def test_fit_best_of_corrnmf_with_mesh(reference_data_path):
+    import pandas as pd
+
+    counts = pd.read_csv(
+        reference_data_path / "models" / "corrnmf" / "counts.csv", index_col=0
+    ).T
+    mesh = make_mesh(jax.devices()[:8], sample_ways=1)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=10, max_iterations=20)
+    summary = fit_best_of(model, AnnData(counts), n_restarts=8, base_seed=0,
+                          mesh=mesh)
+    assert np.all(np.isfinite(summary.losses))
+    assert summary.best_index == int(np.argmax(summary.losses))
+
+
+def test_stop_on_nonfinite_through_fit(reference_data_path):
+    import pandas as pd
+
+    counts = pd.read_csv(
+        reference_data_path / "models" / "klnmf" / "counts.csv", index_col=0
+    ).T
+    model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=50)
+    model.fit(AnnData(counts), stop_on_nonfinite=True)
+    assert np.all(np.isfinite(model.history["objective_function"]))
