@@ -7,7 +7,18 @@ dimensionality reduction and plotting - compute expressed as jitted XLA/Pallas
 programs that vmap over restarts and shard over device meshes.
 """
 
-from . import consts, containers, datasets, io, ops, parallel, profiling, utils
+from . import (
+    consts,
+    containers,
+    datasets,
+    engine,
+    initialization,
+    io,
+    ops,
+    parallel,
+    profiling,
+    utils,
+)
 from .containers import AnnData, MuData
 from .io import load_model, save_model
 from .parallel import fit_best_of
@@ -21,7 +32,9 @@ __all__ = [
     "consts",
     "containers",
     "datasets",
+    "engine",
     "fit_best_of",
+    "initialization",
     "io",
     "load_model",
     "ops",

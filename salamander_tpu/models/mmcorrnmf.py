@@ -545,6 +545,14 @@ class MultimodalCorrNMF:
     # ------------------------------------------------------------------ #
     # fit
     # ------------------------------------------------------------------ #
+    def _fit_config(self) -> FitConfig:
+        return FitConfig(
+            min_iterations=self.min_iterations,
+            max_iterations=self.max_iterations,
+            conv_test_freq=self.conv_test_freq,
+            tol=self.tol,
+        )
+
     def fit(
         self,
         mdata,
@@ -559,12 +567,7 @@ class MultimodalCorrNMF:
 
         params0, data = self._device_state()
         update_fn, objective_fn = self._build_step(given_parameters)
-        config = FitConfig(
-            min_iterations=self.min_iterations,
-            max_iterations=self.max_iterations,
-            conv_test_freq=self.conv_test_freq,
-            tol=self.tol,
-        )
+        config = self._fit_config()
         run = make_fit_function(
             update_fn, objective_fn, config,
             verbose=bool(verbose), verbosity_freq=verbosity_freq,

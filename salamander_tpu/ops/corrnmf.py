@@ -158,8 +158,8 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
         return (-jnp.dot(linear_term, b) + jnp.sum(jnp.exp(z))
                 + jnp.dot(b, b) / (2.0 * variance))
 
-    def step(_, carry):
-        b, done = carry
+    def step(carry):
+        b, done, iteration = carry
         rates = jnp.exp(offsets + embeddings_other @ b)  # (M,)
         grad = (-linear_term + embeddings_other.T @ rates + b / variance)
         hess = ((embeddings_other * rates[:, None]).T @ embeddings_other
@@ -177,9 +177,18 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
         update = t * direction
         b_new = jnp.where(done, b, b + update)
         done_new = done | (jnp.sum(jnp.abs(update)) < xtol_total)
-        return b_new, done_new
+        return b_new, done_new, iteration + 1
 
-    b, _ = jax.lax.fori_loop(0, max_iter, step, (embedding0, False))
+    def keep_going(carry):
+        _, done, iteration = carry
+        return ~done & (iteration < max_iter)
+
+    # Early-exit while_loop: converged rows stop paying for Newton steps
+    # (under vmap the loop runs until the slowest row converges, typically
+    # ~5-10 steps, instead of a fixed max_iter).
+    b, _, _ = jax.lax.while_loop(
+        keep_going, step, (embedding0, False, jnp.zeros((), jnp.int32))
+    )
     return b
 
 

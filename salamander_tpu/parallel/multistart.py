@@ -93,8 +93,7 @@ def fit_best_of(
             lambda leaf: jax.device_put(leaf, restart_first), params0
         )
     update_fn, objective_fn = model._build_step(given_parameters)
-    run = make_fit_function(update_fn, objective_fn, model._fit_config()
-                            if hasattr(model, "_fit_config") else _config_of(model),
+    run = make_fit_function(update_fn, objective_fn, model._fit_config(),
                             batched=True)
     result = run(params0, data)
 
@@ -120,15 +119,4 @@ def fit_best_of(
         best_index=best,
         history=np.asarray(result.history),
         n_evals=n_evals,
-    )
-
-
-def _config_of(model):
-    from ..engine import FitConfig
-
-    return FitConfig(
-        min_iterations=model.min_iterations,
-        max_iterations=model.max_iterations,
-        conv_test_freq=model.conv_test_freq,
-        tol=model.tol,
     )
