@@ -125,7 +125,8 @@ def fit_loop(
             jax.lax.cond(
                 at_eval & (iteration % verbosity_freq == 0) & ~state.done,
                 lambda: jax.debug.print(
-                    "iteration: {i}; objective: {of}", i=iteration, of=of_value
+                    "iteration: {i}; objective: {of:.2f}",
+                    i=iteration, of=of_value,
                 ),
                 lambda: None,
             )

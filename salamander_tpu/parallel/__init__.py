@@ -15,5 +15,6 @@ from .multistart import MultiStartSummary, fit_best_of  # noqa: F401
 from .restarts import (  # noqa: F401
     RestartResult,
     fit_klnmf_restarts,
+    rank_scan,
     rank_scan_klnmf,
 )

@@ -183,6 +183,40 @@ def fit_klnmf_restarts(
     )
 
 
+def rank_scan(
+    model_factory,
+    data_container,
+    n_signatures_range,
+    n_restarts: int,
+    base_seed: int = 0,
+    **fit_best_of_kwargs,
+):
+    """Model-selection scan for ANY model family.
+
+    model_factory(k) must return an unfitted model with k signatures (e.g.
+    `lambda k: CorrNMFDet(n_signatures=k, dim_embeddings=2)`). Each rank runs
+    `n_restarts` batched restarts via fit_best_of; returns {k: (model,
+    MultiStartSummary)} with each model holding its best restart.
+    """
+    from .multistart import fit_best_of
+
+    results = {}
+    for offset, k in enumerate(n_signatures_range):
+        model = model_factory(int(k))
+        container = (
+            data_container.copy()
+            if hasattr(data_container, "copy")
+            else data_container
+        )
+        summary = fit_best_of(
+            model, container, n_restarts,
+            base_seed=base_seed + 1000 * offset,
+            **fit_best_of_kwargs,
+        )
+        results[int(k)] = (model, summary)
+    return results
+
+
 def rank_scan_klnmf(
     X,
     n_signatures_range,

@@ -92,3 +92,26 @@ def test_dryrun_entry():
     fn, args = graft.entry()
     W, H, of = jax.jit(fn)(*args)
     assert np.isfinite(float(of))
+
+
+def test_generic_rank_scan(X, config):
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import KLNMF
+    from salamander_tpu.parallel import rank_scan
+
+    adata = AnnData(np.asarray(X).T)
+
+    def factory(k):
+        return KLNMF(n_signatures=k, init_method="random",
+                     min_iterations=20, max_iterations=60)
+
+    results = rank_scan(factory, adata, [2, 3], n_restarts=4)
+    assert set(results) == {2, 3}
+    for k, (model, summary) in results.items():
+        assert model.n_signatures == k
+        assert summary.losses.shape == (4,)
+        assert np.isclose(
+            model.objective_function(),
+            summary.losses[summary.best_index], rtol=1e-6,
+        )
+    assert (results[3][1].losses.min() <= results[2][1].losses.min() + 1e-6)
