@@ -187,7 +187,10 @@ class AnnData:
         for key, value in self.obsp.items():
             payload[f"obsp:{key}"] = value
         for col in self.obs.columns:
-            payload[f"obs:{col}"] = self.obs[col].to_numpy()
+            values = self.obs[col].to_numpy()
+            if values.dtype == object:  # keep the archive pickle-free
+                values = values.astype(str)
+            payload[f"obs:{col}"] = values
         np.savez_compressed(path, **payload)
 
     def write_h5ad(self, path: str) -> None:

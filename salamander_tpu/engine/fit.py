@@ -63,6 +63,46 @@ def _select(done, old, new):
     return jax.tree.map(lambda a, b: jnp.where(done, a, b), old, new)
 
 
+_CALLBACKS_SUPPORTED: bool | None = None
+
+
+def backend_supports_callbacks() -> bool:
+    """Whether the default backend can run jax.debug.print (host callbacks).
+
+    Some PJRT plugins (e.g. the remote 'axon' TPU tunnel) reject host
+    send/recv callbacks at run time; verbose fitting then falls back to
+    printing the objective trace after the fit.
+    """
+    global _CALLBACKS_SUPPORTED
+    if _CALLBACKS_SUPPORTED is None:
+        def probe(x):
+            jax.debug.print("", ordered=False)
+            return x + 1
+
+        try:
+            jax.jit(probe)(jnp.zeros(())).block_until_ready()
+            _CALLBACKS_SUPPORTED = True
+        except Exception:
+            _CALLBACKS_SUPPORTED = False
+    return _CALLBACKS_SUPPORTED
+
+
+def print_history_trace(history, n_evals: int, conv_test_freq: int,
+                        verbosity_freq: int) -> None:
+    """Post-fit stand-in for on-device verbosity: print the recorded
+    objective at each verbosity_freq boundary crossing."""
+    import numpy as np
+
+    values = np.asarray(history)[:n_evals]
+    previous_bucket = 0
+    for index, value in enumerate(values):
+        iteration = (index + 1) * conv_test_freq
+        bucket = iteration // verbosity_freq
+        if bucket > previous_bucket:
+            print(f"iteration: {iteration}; objective: {value:.2f}")
+            previous_bucket = bucket
+
+
 def fit_loop(
     update_fn: Callable[[Any], Any],
     objective_fn: Callable[[Any], jnp.ndarray],
@@ -122,8 +162,14 @@ def fit_loop(
             done = done | (at_eval & ~jnp.isfinite(of_value))
 
         if verbose:
+            # print when this block crossed a verbosity_freq boundary
+            # (iteration only visits multiples of conv_test_freq, so exact
+            # divisibility would silently skip most configurations)
+            crossed = (iteration // verbosity_freq) > (
+                state.iteration // verbosity_freq
+            )
             jax.lax.cond(
-                at_eval & (iteration % verbosity_freq == 0) & ~state.done,
+                at_eval & crossed & ~state.done,
                 lambda: jax.debug.print(
                     "iteration: {i}; objective: {of:.2f}",
                     i=iteration, of=of_value,

@@ -96,6 +96,12 @@ def save_model(model, path: str) -> None:
     for key, values in model.history.items():
         payload[f"history/{key}"] = np.asarray(values)
 
+    # KLNMF's fitted per-sample loss weights are model state too
+    for weights_attr in ("weights_kl", "weights_lhalf"):
+        weights = getattr(model, weights_attr, None)
+        if weights is not None:
+            payload[f"weights/{weights_attr}"] = np.asarray(weights)
+
     if class_name == "MultimodalCorrNMF":
         meta["mod_names"] = model.mod_names
         payload["meta"] = np.asarray(json.dumps(meta))
@@ -127,6 +133,9 @@ def load_model(path: str):
             model.history[key] = (
                 values.tolist() if values.ndim else values.item()
             )
+        for key in archive.files:
+            if key.startswith("weights/"):
+                setattr(model, key[len("weights/"):], archive[key])
 
         if meta["class"] == "MultimodalCorrNMF":
             mods, sigs = {}, {}

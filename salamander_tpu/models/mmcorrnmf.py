@@ -561,6 +561,7 @@ class MultimodalCorrNMF:
         history: bool = True,
         verbose: Literal[0, 1] = 0,
         verbosity_freq: int = 100,
+        stop_on_nonfinite: bool = False,
     ) -> "MultimodalCorrNMF":
         self._setup_mdata(mdata)
         self._initialize(given_parameters, init_kwargs)
@@ -568,13 +569,23 @@ class MultimodalCorrNMF:
         params0, data = self._device_state()
         update_fn, objective_fn = self._build_step(given_parameters)
         config = self._fit_config()
+        if stop_on_nonfinite:
+            config = config._replace(stop_on_nonfinite=True)
+        from ..engine.fit import backend_supports_callbacks, print_history_trace
+
+        live_verbose = bool(verbose) and backend_supports_callbacks()
         run = make_fit_function(
             update_fn, objective_fn, config,
-            verbose=bool(verbose), verbosity_freq=verbosity_freq,
+            verbose=live_verbose, verbosity_freq=verbosity_freq,
         )
         result = run(params0, data)
         self._absorb_params(result.params)
 
+        if verbose and not live_verbose:
+            print_history_trace(
+                result.history, int(result.n_evals),
+                self.conv_test_freq, verbosity_freq,
+            )
         if history:
             n_evals = int(result.n_evals)
             self.history["objective_function"] = list(

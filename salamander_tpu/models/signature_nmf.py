@@ -201,16 +201,25 @@ class SignatureNMF(ABC):
         config = self._fit_config()
         if stop_on_nonfinite:
             config = config._replace(stop_on_nonfinite=True)
+        from ..engine.fit import backend_supports_callbacks, print_history_trace
+
+        live_verbose = bool(verbose) and backend_supports_callbacks()
         run = make_fit_function(
             update_fn,
             objective_fn,
             config,
-            verbose=bool(verbose),
+            verbose=live_verbose,
             verbosity_freq=verbosity_freq,
         )
         result = run(params0, data)
         self._absorb_params(result.params)
 
+        if verbose and not live_verbose:
+            # backends without host callbacks: print the trace post-fit
+            print_history_trace(
+                result.history, int(result.n_evals),
+                self.conv_test_freq, verbosity_freq,
+            )
         if history:
             n_evals = int(result.n_evals)
             self.history["objective_function"] = list(

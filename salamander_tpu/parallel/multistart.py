@@ -67,6 +67,20 @@ def fit_best_of(
     seeds_init_kwargs = "seed" in init_kwargs or model.init_method in (
         "random", "separableNMF", "nndsvdar"
     )
+    # CorrNMF-family models draw their embeddings from the (reseeded) global
+    # RNG, so restarts differ even under a deterministic signature init; pure
+    # W/H models with a deterministic init would run n identical fits.
+    draws_embeddings = hasattr(model, "dim_embeddings")
+    if not seeds_init_kwargs and not draws_embeddings:
+        import warnings
+
+        warnings.warn(
+            f"init_method='{model.init_method}' is deterministic: all "
+            f"{n_restarts} restarts will be identical. Use a stochastic "
+            "init ('random', 'separableNMF', 'nndsvdar') for a meaningful "
+            "multi-start.",
+            UserWarning,
+        )
 
     params_per_restart = []
     data = None

@@ -45,8 +45,10 @@ class RestartResult(NamedTuple):
         return self.H[self.best_index]
 
 
-def _klnmf_step_functions(weights_kl=None, weights_lhalf=None,
-                          n_given_signatures: int = 0):
+def _klnmf_step_functions(n_given_signatures: int = 0):
+    """Step functions over (params, data); optional per-sample weights are
+    read from the data pytree (their presence is part of the jit signature)."""
+
     def update_fn(params, data):
         W, H = ops.update_WH(
             data["X"], params["W"], params["H"],
@@ -64,18 +66,20 @@ def _klnmf_step_functions(weights_kl=None, weights_lhalf=None,
     return update_fn, objective_fn
 
 
-def build_klnmf_restart_runner(config: FitConfig, weights_kl=None,
-                               weights_lhalf=None, mesh=None,
-                               use_pallas: bool = False):
+def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
+                               mesh=None, use_pallas: bool = False):
     """Compile (once) the batched multi-start KLNMF fit.
 
     Returns a jitted function (params0, data) -> (FitResult, losses) where
-    params0 = {"W": (R,V,K), "H": (R,K,D)} and data = {"X": (V,D), ...}.
+    params0 = {"W": (R,V,K), "H": (R,K,D)} and data = {"X": (V,D)} plus any
+    'weights_kl'/'weights_lhalf' entries (set weighted=True when the data
+    will carry weights; it only gates the Pallas-compatibility check - the
+    weights themselves always come from the data pytree at call time).
     use_pallas fuses each convergence block of MU updates into one
     VMEM-resident TPU kernel (unweighted path only).
     """
-    update_fn, objective_fn = _klnmf_step_functions(weights_kl, weights_lhalf)
-    if use_pallas and (weights_kl is not None or weights_lhalf is not None):
+    update_fn, objective_fn = _klnmf_step_functions()
+    if use_pallas and weighted:
         raise ValueError("The fused Pallas path supports only unweighted KLNMF.")
     if use_pallas and mesh is not None:
         raise ValueError("The fused Pallas path is single-device; drop 'mesh'.")
@@ -163,7 +167,10 @@ def fit_klnmf_restarts(
 
     if runner is None:
         runner = build_klnmf_restart_runner(
-            config, weights_kl, weights_lhalf, mesh, use_pallas=use_pallas
+            config,
+            weighted=(weights_kl is not None or weights_lhalf is not None),
+            mesh=mesh,
+            use_pallas=use_pallas,
         )
     if mesh is not None:
         shardings = restart_sharding(mesh)

@@ -173,3 +173,43 @@ def test_profiling_timings(counts):
     assert "fit(total, incl. compile)" in timings.phases
     assert timings.phases["fit(total, incl. compile)"] > 0
     assert "fit" in timings.report()
+
+
+def test_checkpoint_preserves_klnmf_weights(counts, tmp_path):
+    """Loss weights are model state: the restored objective must match."""
+    model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    model.fit(
+        AnnData(counts),
+        fitting_kwargs={"weights_kl": 2.0, "weights_lhalf": 0.1},
+    )
+    loaded = roundtrip(model, tmp_path)
+    assert loaded.weights_kl is not None
+    assert loaded.weights_lhalf is not None
+    assert np.isclose(loaded.objective_function(), model.objective_function())
+
+
+def test_npz_roundtrip_with_string_obs(counts, tmp_path):
+    """plot_embeddings adds string obs columns; npz round-trip must survive."""
+    from salamander_tpu.containers import AnnData as C
+
+    adata = AnnData(counts)
+    adata.obs["color_embeddings"] = ["black"] * adata.n_obs
+    path = str(tmp_path / "strings.npz")
+    adata.write_npz(path)
+    loaded = C.read_npz(path)
+    assert list(loaded.obs["color_embeddings"]) == ["black"] * adata.n_obs
+
+
+def test_fit_best_of_warns_on_deterministic_init(counts):
+    model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    with pytest.warns(UserWarning, match="deterministic"):
+        fit_best_of(model, AnnData(counts), n_restarts=3)
+
+
+def test_multimodal_fit_accepts_stop_on_nonfinite(counts, counts2):
+    mdata = MuData({"a": AnnData(counts.copy()), "b": AnnData(counts2.copy())})
+    np.random.seed(0)
+    model = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
+                              min_iterations=5, max_iterations=5)
+    model.fit(mdata, stop_on_nonfinite=True)
+    assert np.isfinite(model.objective_function())
