@@ -132,3 +132,33 @@ def test_reorder_and_correlation(adata):
     corr = model.correlation("signatures")
     assert corr.shape == (3, 3)
     assert np.allclose(np.diag(corr.values), 1.0)
+
+
+def test_fit_trace_equals_eager_reference_loop(adata):
+    """Full-stack pin: the jitted engine fit must reproduce, value for
+    value, the reference's host-level loop built from single eager updates
+    (the same order the reference executes: update, then evaluate every
+    conv_test_freq iterations)."""
+    model_engine = KLNMF(n_signatures=2, min_iterations=10, max_iterations=30,
+                         conv_test_freq=10)
+    model_engine.fit(adata.copy(), init_kwargs={"seed": 9},
+                     fitting_kwargs=None)
+
+    model_eager = KLNMF(n_signatures=2)
+    data = adata.copy()
+    model_eager._setup_adata(data)
+    np.random.seed(9)
+    model_eager._initialize(None, {"seed": 9})
+    model_eager._setup_fitting_parameters(None)
+    trace = []
+    for iteration in range(1, 31):
+        model_eager._update_parameters()
+        if iteration % 10 == 0:
+            trace.append(model_eager.objective_function())
+
+    np.testing.assert_allclose(
+        model_engine.history["objective_function"], trace, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        model_engine.asignatures.X, model_eager.asignatures.X, rtol=1e-9
+    )
