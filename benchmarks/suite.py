@@ -175,6 +175,36 @@ def config3_corrnmf():
     })
 
 
+def config3b_corrnmf_multistart():
+    """Batched CorrNMF multi-start: whole EM fits as one device program."""
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.parallel import fit_best_of
+
+    sbs = datasets.load_pcawg_sbs()
+    n_restarts = 16
+
+    def fresh():
+        return CorrNMFDet(n_signatures=5, dim_embeddings=2,
+                          min_iterations=100, max_iterations=500, tol=1e-7)
+
+    fit_best_of(fresh(), AnnData(sbs.copy()), n_restarts, base_seed=100)
+    model = fresh()
+    start = time.perf_counter()
+    summary = fit_best_of(model, AnnData(sbs.copy()), n_restarts, base_seed=0)
+    elapsed = time.perf_counter() - start
+    total_cycles = int(np.sum(summary.n_iterations))
+    emit({
+        "config": "3b_corrnmf_multistart_16",
+        "steady_seconds": round(elapsed, 2),
+        "total_em_cycles": total_cycles,
+        "tpu_aggregate_em_cycles_per_sec": round(total_cycles / elapsed, 1),
+        "best_elbo": round(float(summary.losses[summary.best_index]), 1),
+        "elbo_spread": round(
+            float(summary.losses.max() - summary.losses.min()), 1
+        ),
+    })
+
+
 # --------------------------------------------------------------------- #
 # config 4: multimodal
 # --------------------------------------------------------------------- #
@@ -254,6 +284,7 @@ CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
     "3": config3_corrnmf,
+    "3b": config3b_corrnmf_multistart,
     "4": config4_multimodal,
     "5": config5_rank_scan,
 }
