@@ -50,6 +50,33 @@ class StandardNMF(SignatureNMF):
         self.asignatures.X = np.asarray(params["W"]).T
         self.adata.obsm["exposures"] = np.asarray(params["H"]).T
 
+    def transform(self, adata, **fit_kwargs):
+        """Infer exposures for NEW samples under this model's (frozen)
+        signatures: a fresh fit of the same class with all signatures given,
+        so only the exposure matrix is learned. Returns the fitted model for
+        the new data; `self` is untouched.
+
+        (The reference expresses this via
+        fit(given_parameters={'asignatures': ...}); this is the one-call
+        convenience for the common project-new-samples workflow.)
+        """
+        if self.asignatures.n_obs != self.n_signatures:
+            raise ValueError("transform() requires a fitted model.")
+        projector = type(self)(
+            n_signatures=self.n_signatures,
+            init_method="flat",
+            min_iterations=self.min_iterations,
+            max_iterations=self.max_iterations,
+            conv_test_freq=self.conv_test_freq,
+            tol=self.tol,
+        )
+        projector.fit(
+            adata,
+            given_parameters={"asignatures": self.asignatures.copy()},
+            **fit_kwargs,
+        )
+        return projector
+
     def plot_embeddings(
         self,
         method: str = "umap",

@@ -162,3 +162,26 @@ def test_fit_trace_equals_eager_reference_loop(adata):
     np.testing.assert_allclose(
         model_engine.asignatures.X, model_eager.asignatures.X, rtol=1e-9
     )
+
+
+def test_transform_projects_new_samples(adata):
+    model = KLNMF(n_signatures=3, min_iterations=50, max_iterations=100)
+    model.fit(adata.copy(), init_kwargs={"seed": 2})
+    signatures_before = model.asignatures.X.copy()
+
+    new_samples = adata[:5, :].copy()
+    projected = model.transform(new_samples, history=False)
+    # signatures frozen exactly; only exposures learned for the new samples
+    assert np.allclose(projected.asignatures.X, signatures_before)
+    assert np.array_equal(model.asignatures.X, signatures_before)
+    assert projected.exposures.shape == (5, 3)
+    assert list(projected.exposures.columns) == list(model.signature_names)
+    # the projection reconstructs the new samples reasonably
+    assert projected.reconstruction_error < float(
+        np.sum(new_samples.X)
+    )
+
+
+def test_transform_requires_fitted_model(adata):
+    with pytest.raises(ValueError):
+        KLNMF(n_signatures=3).transform(adata)
