@@ -151,4 +151,5 @@ def load_model(path: str):
         else:
             model.adata = _unpack_adata(archive, "adata")
             model.asignatures = _unpack_adata(archive, "sigs")
+    model._is_fitted = True
     return model

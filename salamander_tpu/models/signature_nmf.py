@@ -61,6 +61,7 @@ class SignatureNMF(ABC):
         self.adata = containers.AnnData()
         self.asignatures = containers.AnnData()
         self.history: dict[str, Any] = {}
+        self._is_fitted = False
 
     # ------------------------------------------------------------------ #
     # container views
@@ -232,6 +233,7 @@ class SignatureNMF(ABC):
                 np.asarray(result.history)[:n_evals]
             )
             self.history["n_iterations"] = int(result.n_iterations)
+        self._is_fitted = True
         return self
 
     # ------------------------------------------------------------------ #

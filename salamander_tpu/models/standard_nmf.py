@@ -53,25 +53,31 @@ class StandardNMF(SignatureNMF):
     def transform(self, adata, **fit_kwargs):
         """Infer exposures for NEW samples under this model's (frozen)
         signatures: a fresh fit of the same class with all signatures given,
-        so only the exposure matrix is learned. Returns the fitted model for
-        the new data; `self` is untouched.
+        so only the exposure matrix is learned. Returns the fitted projector
+        model; neither `self` nor the input container is modified.
 
         (The reference expresses this via
         fit(given_parameters={'asignatures': ...}); this is the one-call
         convenience for the common project-new-samples workflow.)
         """
-        if self.asignatures.n_obs != self.n_signatures:
+        if not getattr(self, "_is_fitted", False):
             raise ValueError("transform() requires a fitted model.")
-        projector = type(self)(
-            n_signatures=self.n_signatures,
-            init_method="flat",
-            min_iterations=self.min_iterations,
-            max_iterations=self.max_iterations,
-            conv_test_freq=self.conv_test_freq,
-            tol=self.tol,
-        )
+        if "given_parameters" in fit_kwargs:
+            raise ValueError(
+                "transform() freezes this model's signatures itself; "
+                "'given_parameters' cannot be overridden here - use fit() "
+                "directly for custom given parameters."
+            )
+        from ..io import _HYPERPARAM_KEYS
+
+        hyperparameters = {
+            key: getattr(self, key)
+            for key in _HYPERPARAM_KEYS[type(self).__name__]
+        }
+        hyperparameters["init_method"] = "flat"
+        projector = type(self)(**hyperparameters)
         projector.fit(
-            adata,
+            adata.copy() if hasattr(adata, "copy") else adata,
             given_parameters={"asignatures": self.asignatures.copy()},
             **fit_kwargs,
         )

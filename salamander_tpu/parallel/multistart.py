@@ -121,6 +121,7 @@ def fit_best_of(
     )
 
     model._absorb_params(_index_pytree(result.params, best))
+    model._is_fitted = True
     n_evals = np.asarray(result.n_evals)
     model.history["objective_function"] = list(
         np.asarray(result.history[best])[: int(n_evals[best])]

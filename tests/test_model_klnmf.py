@@ -185,3 +185,30 @@ def test_transform_projects_new_samples(adata):
 def test_transform_requires_fitted_model(adata):
     with pytest.raises(ValueError):
         KLNMF(n_signatures=3).transform(adata)
+
+
+def test_transform_preserves_subclass_hyperparameters(adata):
+    from salamander_tpu.models import MvNMF
+
+    model = MvNMF(n_signatures=2, lam=50.0, delta=2.0,
+                  min_iterations=10, max_iterations=10)
+    model.fit(adata.copy())
+    projector = model.transform(adata[:4, :].copy())
+    assert projector.lam == 50.0 and projector.delta == 2.0
+
+
+def test_transform_does_not_mutate_input(adata):
+    model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    model.fit(adata.copy())
+    new = adata[:4, :].copy()
+    new.X[0, 0] = 0.0  # a true zero the clip would destroy
+    model.transform(new)
+    assert new.X[0, 0] == 0.0
+    assert "exposures" not in new.obsm
+
+
+def test_transform_rejects_given_parameters_override(adata):
+    model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    model.fit(adata.copy())
+    with pytest.raises(ValueError, match="given_parameters"):
+        model.transform(adata.copy(), given_parameters={})
