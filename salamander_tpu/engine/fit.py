@@ -328,16 +328,19 @@ def make_fit_function(
     verbosity_freq: int = 1000,
     batched: bool = False,
     unroll: bool = True,
+    batched_data: bool = False,
 ):
     """Build a jitted fit function `(params0, data) -> FitResult`.
 
     update_fn/objective_fn take (params, data); `data` is a pytree of arrays
     (count matrix, weights, ...) passed as a jit argument rather than baked
     into the program. With batched=True, params0 gains a leading restart axis
-    and the loop runs all restarts to their own convergence. `unroll`
-    controls block unrolling: keep it True for cheap per-iteration updates
-    (multiplicative rules); set False for heavy updates with inner loops
-    (CorrNMF's Newton solves), whose unrolled graphs compile slowly.
+    and the loop runs all restarts to their own convergence; batched_data
+    additionally gives every data leaf a leading restart axis (bootstrap
+    resampling - each lane fits its own counts). `unroll` controls block
+    unrolling: keep it True for cheap per-iteration updates (multiplicative
+    rules); set False for heavy updates with inner loops (CorrNMF's Newton
+    solves), whose unrolled graphs compile slowly.
     """
 
     def run(params0, data):
@@ -352,24 +355,26 @@ def make_fit_function(
         )
 
     if batched:
+        data_axis = 0 if batched_data else None
         if verbose:
             # the lockstep loop has no live printing; fall back to the
             # vmapped per-lane loop when verbosity is requested
-            return jax.jit(jax.vmap(run, in_axes=(0, None)))
+            return jax.jit(jax.vmap(run, in_axes=(0, data_axis)))
 
         # Natively-batched lockstep loop: measured ~40% higher aggregate
         # throughput than vmap(fit_loop) for multi-start fits (one while
         # loop over the whole batch instead of a batching-transformed one).
         def run_lockstep(params0, data):
-            batched_update = jax.vmap(lambda p: update_fn(p, data))
+            batched_update = jax.vmap(update_fn, in_axes=(0, data_axis))
+            batched_objective = jax.vmap(objective_fn, in_axes=(0, data_axis))
 
             def block(params, steps):
                 return jax.lax.fori_loop(
-                    0, steps, lambda _, q: batched_update(q), params
+                    0, steps, lambda _, q: batched_update(q, data), params
                 )
 
             return fit_loop_lockstep(
-                jax.vmap(lambda p: objective_fn(p, data)),
+                lambda p: batched_objective(p, data),
                 params0,
                 config,
                 block,

@@ -10,6 +10,7 @@ collectives for the cross-sample reductions inside the W update and the
 objectives.
 """
 
+from .bootstrap import BootstrapResult, bootstrap_stability  # noqa: F401
 from .mesh import make_mesh, restart_sharding  # noqa: F401
 from .multistart import MultiStartSummary, fit_best_of  # noqa: F401
 from .restarts import (  # noqa: F401

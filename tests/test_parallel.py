@@ -115,3 +115,37 @@ def test_generic_rank_scan(X, config):
             summary.losses[summary.best_index], rtol=1e-6,
         )
     assert (results[3][1].losses.min() <= results[2][1].losses.min() + 1e-6)
+
+
+def test_bootstrap_stability(reference_data_path):
+    import pandas as pd
+
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import KLNMF
+    from salamander_tpu.parallel import bootstrap_stability
+
+    counts = pd.read_csv(
+        reference_data_path / "models" / "klnmf" / "counts.csv", index_col=0
+    ).T
+    model = KLNMF(n_signatures=2, min_iterations=60, max_iterations=200,
+                  tol=1e-7)
+    model.fit(AnnData(counts), init_kwargs={"seed": 0})
+
+    result = bootstrap_stability(model, n_bootstraps=8, seed=1)
+    assert result.similarities.shape == (8, 2)
+    assert list(result.stability.index) == list(model.signature_names)
+    # matched cosines are valid similarities and reasonably high for a
+    # well-separated 2-signature toy problem
+    values = result.similarities.to_numpy()
+    assert np.all(values <= 1.0 + 1e-9)
+    assert np.all(values >= -1.0 - 1e-9)
+    assert result.stability.mean() > 0.7
+    assert np.all(np.isfinite(result.losses))
+
+
+def test_bootstrap_requires_fitted(reference_data_path):
+    from salamander_tpu.models import KLNMF
+    from salamander_tpu.parallel import bootstrap_stability
+
+    with pytest.raises(ValueError):
+        bootstrap_stability(KLNMF(n_signatures=2), n_bootstraps=2)
