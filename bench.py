@@ -125,12 +125,14 @@ def measure_tpu(X) -> tuple[float, float, int]:
             runner=runner,
         )
         elapsed = time.perf_counter() - t0
-        total_iterations = int(np.sum(result.n_iterations))
-        rate = total_iterations / elapsed
+        trial_iterations = int(np.sum(result.n_iterations))
+        rate = trial_iterations / elapsed
         log(f"bench: timed fit {trial}: {elapsed:.2f}s, total MU iterations "
-            f"{total_iterations}, best loss {result.best_loss:.2f}")
+            f"{trial_iterations}, best loss {result.best_loss:.2f}")
         if rate > best_rate:
-            best_rate, best_loss = rate, result.best_loss
+            best_rate = rate
+            best_loss = result.best_loss
+            total_iterations = trial_iterations
     return best_rate, best_loss, total_iterations
 
 

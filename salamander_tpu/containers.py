@@ -25,11 +25,13 @@ import pandas as pd
 
 
 class AxisArrays(dict):
-    """A dict of arrays whose first dimension is aligned to an axis length."""
+    """A dict of arrays whose first dimension is aligned to an axis length
+    (both of the first two for pairwise arrays, e.g. obsp)."""
 
-    def __init__(self, axis_len_getter):
+    def __init__(self, axis_len_getter, pairwise: bool = False):
         super().__init__()
         self._axis_len = axis_len_getter
+        self._pairwise = pairwise
 
     def __setitem__(self, key: str, value) -> None:
         value = np.asarray(value)
@@ -38,6 +40,13 @@ class AxisArrays(dict):
             raise ValueError(
                 f"Value for key '{key}' has leading dimension {value.shape[0]}, "
                 f"expected {expected}."
+            )
+        if self._pairwise and (
+            value.ndim < 2 or value.shape[1] != expected
+        ):
+            raise ValueError(
+                f"Pairwise value for key '{key}' must be of shape "
+                f"({expected}, {expected}); got {value.shape}."
             )
         super().__setitem__(key, value)
 
@@ -69,7 +78,7 @@ class AnnData:
         self.obs = obs
         self.var = var
         self.obsm = AxisArrays(lambda: self.n_obs)
-        self.obsp = AxisArrays(lambda: self.n_obs)
+        self.obsp = AxisArrays(lambda: self.n_obs, pairwise=True)
         self.varm = AxisArrays(lambda: self.n_vars)
         self.uns: dict[str, Any] = {}
 
@@ -162,6 +171,8 @@ class AnnData:
             out.obsm[k] = v[row_idx]
         for k, v in self.obsp.items():
             out.obsp[k] = v[np.ix_(row_idx, row_idx)]
+        for k, v in self.varm.items():
+            out.varm[k] = v[col_idx]
         return out
 
     def __repr__(self) -> str:
@@ -369,7 +380,7 @@ class MuData:
         self.mod: dict[str, AnnData] = dict(mod)
         self.obs = pd.DataFrame(index=self._shared_obs_names())
         self.obsm = AxisArrays(lambda: self.n_obs)
-        self.obsp = AxisArrays(lambda: self.n_obs)
+        self.obsp = AxisArrays(lambda: self.n_obs, pairwise=True)
         self.uns: dict[str, Any] = {}
 
     def _shared_obs_names(self) -> pd.Index:

@@ -98,7 +98,14 @@ def initialize_mat(
             )
         signatures_mat[:n_given, :] = given_signatures_mat.copy()
 
-    W, H = normalize_WH(signatures_mat.T, exposures_mat.T)
+    # Degenerate components (all-zero signature from e.g. NNDSVD on
+    # low-rank data) would turn into NaN under the reference's raw
+    # normalization; keep them finite (clip floors them to EPSILON) so the
+    # multiplicative updates can recover instead of silently fitting NaN.
+    scale = signatures_mat.T.sum(axis=0)
+    safe_scale = np.where(scale == 0.0, 1.0, scale)
+    W = signatures_mat.T / safe_scale
+    H = exposures_mat.T * safe_scale[:, None]
     return W.T.clip(EPSILON), H.T.clip(EPSILON)
 
 

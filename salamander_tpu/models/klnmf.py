@@ -75,29 +75,9 @@ class KLNMF(StandardNMF):
         return params, data
 
     def _build_step(self, given_parameters=None):
-        n_given = self._n_given_signatures(given_parameters)
-
-        def update_fn(params, data):
-            W, H = ops.update_WH(
-                data["X"],
-                params["W"],
-                params["H"],
-                data.get("weights_kl"),
-                data.get("weights_lhalf"),
-                n_given,
-            )
-            return {"W": W, "H": H}
-
-        def objective_fn(params, data):
-            return ops.klnmf_objective(
-                data["X"],
-                params["W"],
-                params["H"],
-                data.get("weights_kl"),
-                data.get("weights_lhalf"),
-            )
-
-        return update_fn, objective_fn
+        return ops.make_step_functions(
+            self._n_given_signatures(given_parameters)
+        )
 
     # ------------------------------------------------------------------ #
     # fitting kwargs

@@ -70,9 +70,18 @@ class StandardNMF(SignatureNMF):
             )
         from ..io import _HYPERPARAM_KEYS
 
+        # walk the MRO so user subclasses of KLNMF/MvNMF keep working
+        for klass in type(self).__mro__:
+            if klass.__name__ in _HYPERPARAM_KEYS:
+                hyperparameter_keys = _HYPERPARAM_KEYS[klass.__name__]
+                break
+        else:
+            raise TypeError(
+                f"transform() does not know the hyperparameters of "
+                f"{type(self).__name__}."
+            )
         hyperparameters = {
-            key: getattr(self, key)
-            for key in _HYPERPARAM_KEYS[type(self).__name__]
+            key: getattr(self, key) for key in hyperparameter_keys
         }
         hyperparameters["init_method"] = "flat"
         projector = type(self)(**hyperparameters)

@@ -173,3 +173,36 @@ def klnmf_objective(X, W, H, weights_kl=None, weights_lhalf=None):
     if weights_lhalf is not None:
         value = value + lhalf_penalty(H, weights_lhalf)
     return value
+
+
+def make_step_functions(n_given_signatures: int = 0):
+    """The canonical engine step functions for the KLNMF family (single
+    source of truth for the model layer, the restart runner and the
+    bootstrap driver).
+
+    Both take (params, data) with params = {"W": (V,K), "H": (K,D)} and
+    data = {"X": (V,D)} plus optional 'weights_kl'/'weights_lhalf' entries
+    (their presence in the data pytree is part of the jit signature).
+    """
+
+    def update_fn(params, data):
+        W, H = update_WH(
+            data["X"],
+            params["W"],
+            params["H"],
+            data.get("weights_kl"),
+            data.get("weights_lhalf"),
+            n_given_signatures,
+        )
+        return {"W": W, "H": H}
+
+    def objective_fn(params, data):
+        return klnmf_objective(
+            data["X"],
+            params["W"],
+            params["H"],
+            data.get("weights_kl"),
+            data.get("weights_lhalf"),
+        )
+
+    return update_fn, objective_fn

@@ -78,13 +78,7 @@ def bootstrap_stability(
         key, jax.numpy.asarray(X, dtype), n_signatures, n_bootstraps, dtype
     )
 
-    def update_fn(params, data):
-        W, H = ops.update_WH(data["X"], params["W"], params["H"])
-        return {"W": W, "H": H}
-
-    def objective_fn(params, data):
-        return ops.kl_divergence(data["X"], params["W"], params["H"])
-
+    update_fn, objective_fn = ops.make_step_functions()
     run = make_fit_function(
         update_fn, objective_fn, config, batched=True, batched_data=True
     )

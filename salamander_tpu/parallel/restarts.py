@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine import FitConfig, fit_loop
+from ..engine import FitConfig, fit_loop_lockstep
 from ..initialization.methods import random_init_batch
 from ..ops import klnmf as ops
 from .mesh import restart_sharding
@@ -45,27 +45,6 @@ class RestartResult(NamedTuple):
         return self.H[self.best_index]
 
 
-def _klnmf_step_functions(n_given_signatures: int = 0):
-    """Step functions over (params, data); optional per-sample weights are
-    read from the data pytree (their presence is part of the jit signature)."""
-
-    def update_fn(params, data):
-        W, H = ops.update_WH(
-            data["X"], params["W"], params["H"],
-            data.get("weights_kl"), data.get("weights_lhalf"),
-            n_given_signatures,
-        )
-        return {"W": W, "H": H}
-
-    def objective_fn(params, data):
-        return ops.klnmf_objective(
-            data["X"], params["W"], params["H"],
-            data.get("weights_kl"), data.get("weights_lhalf"),
-        )
-
-    return update_fn, objective_fn
-
-
 def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
                                mesh=None, use_pallas: bool = False):
     """Compile (once) the batched multi-start KLNMF fit.
@@ -78,7 +57,7 @@ def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
     use_pallas fuses each convergence block of MU updates into one
     VMEM-resident TPU kernel (unweighted path only).
     """
-    update_fn, objective_fn = _klnmf_step_functions()
+    update_fn, objective_fn = ops.make_step_functions()
     if use_pallas and weighted:
         raise ValueError("The fused Pallas path supports only unweighted KLNMF.")
     if use_pallas and mesh is not None:
@@ -87,7 +66,6 @@ def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
     if use_pallas:
         # Natively-batched loop around the chunked VMEM-resident MU kernel:
         # the kernel advances ALL restarts per call (vmap would serialize it).
-        from ..engine import fit_loop_lockstep
         from ..ops.pallas_klnmf import make_block_update_batched
 
         def run_pallas(params0, data):
@@ -107,8 +85,6 @@ def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
 
     # Natively-batched lockstep loop (one while over the whole batch):
     # ~40% higher aggregate throughput than vmap-of-while for multi-start.
-    from ..engine import fit_loop_lockstep
-
     def run(params0, data):
         batched_update = jax.vmap(lambda p: update_fn(p, data))
         batched_objective = jax.vmap(lambda p: objective_fn(p, data))

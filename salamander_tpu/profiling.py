@@ -47,9 +47,16 @@ def phase(timings: Timings, name: str):
 
 
 def _block_on_device() -> None:
+    """Drain pending device work so the clock stops at completion, not
+    dispatch: synchronize every device (PJRT), falling back to the
+    effects barrier where unsupported."""
     try:
         import jax
 
+        for device in jax.devices():
+            synchronize = getattr(device, "synchronize_all_activity", None)
+            if synchronize is not None:
+                synchronize()
         jax.effects_barrier()
     except Exception:
         pass

@@ -133,3 +133,15 @@ def test_h5ad_spec_markers(tmp_path, adata):
         assert handle["obs"].attrs["encoding-type"] == "dataframe"
         assert handle["obs"].attrs["_index"] == "_index"
         assert handle["X"].attrs["encoding-type"] == "array"
+
+
+def test_subsetting_keeps_varm(adata):
+    adata.varm["anno"] = np.arange(8.0).reshape(4, 2)
+    sub = adata[[0, 2], :]
+    assert np.array_equal(sub.varm["anno"], adata.varm["anno"])
+
+
+def test_obsp_requires_square(adata):
+    with pytest.raises(ValueError):
+        adata.obsp["bad"] = np.zeros((3, 2))
+    adata.obsp["good"] = np.zeros((3, 3))

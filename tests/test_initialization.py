@@ -167,3 +167,14 @@ def test_initialize_mmcorrnmf_rejects_modality_level_shared_params(data_mat):
         )
     with pytest.raises(KeyError):
         initialize_mmcorrnmf(mdata, [2], 2, "flat", {"m1": {"variance": 2.0}})
+
+
+def test_initialize_mat_degenerate_component_stays_finite():
+    """Low-rank data can give NNDSVD components that are all-zero; the
+    normalization must not produce NaN signatures (the fit would silently
+    burn max_iterations on NaN otherwise)."""
+    rank1 = np.outer(np.arange(1.0, 7.0), [1.0, 2.0, 3.0, 4.0])
+    signatures_mat, exposures_mat = initialize_mat(rank1, 3, "nndsvd")
+    assert np.all(np.isfinite(signatures_mat))
+    assert np.all(np.isfinite(exposures_mat))
+    assert np.all(signatures_mat > 0)

@@ -212,3 +212,14 @@ def test_transform_rejects_given_parameters_override(adata):
     model.fit(adata.copy())
     with pytest.raises(ValueError, match="given_parameters"):
         model.transform(adata.copy(), given_parameters={})
+
+
+def test_transform_works_for_user_subclass(adata):
+    class MyKLNMF(KLNMF):
+        pass
+
+    model = MyKLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    model.fit(adata.copy())
+    projector = model.transform(adata[:3, :].copy())
+    assert type(projector) is MyKLNMF
+    assert projector.exposures.shape == (3, 2)
