@@ -196,48 +196,40 @@ def initialize_standard_nmf(
     return asignatures
 
 
+def _check_given_array(value, expected_shape: tuple[int, ...], name: str) -> None:
+    type_checker(name, value, np.ndarray)
+    shape_checker(name, value, expected_shape)
+
+
+# backwards-compatible named validators
 def check_given_scalings_corrnmf(given_scalings, n_expected: int, name: str) -> None:
-    type_checker(name, given_scalings, np.ndarray)
-    shape_checker(name, given_scalings, (n_expected,))
+    _check_given_array(given_scalings, (n_expected,), name)
 
 
 def check_given_embeddings_corrnmf(
     given_embeddings, n_expected: int, dim_expected: int, name: str
 ) -> None:
-    type_checker(name, given_embeddings, np.ndarray)
-    shape_checker(name, given_embeddings, (n_expected, dim_expected))
+    _check_given_array(given_embeddings, (n_expected, dim_expected), name)
 
 
 def check_given_parameters_corrnmf(
     adata, n_signatures: int, dim_embeddings: int, given_parameters: dict[str, Any]
 ) -> None:
+    """Validate the CorrNMF given-parameter dict (declarative shape table)."""
     dict_checker("given_parameters", given_parameters, GIVEN_PARAMETERS_CORRNMF)
+
+    expected_shapes = {
+        "signature_scalings": (n_signatures,),
+        "sample_scalings": (adata.n_obs,),
+        "signature_embeddings": (n_signatures, dim_embeddings),
+        "sample_embeddings": (adata.n_obs, dim_embeddings),
+    }
+    for key, shape in expected_shapes.items():
+        if key in given_parameters:
+            _check_given_array(given_parameters[key], shape, f"given_{key}")
+
     if "asignatures" in given_parameters:
         check_given_asignatures(given_parameters["asignatures"], adata, n_signatures)
-    if "signature_scalings" in given_parameters:
-        check_given_scalings_corrnmf(
-            given_parameters["signature_scalings"],
-            n_signatures,
-            "given_signature_scalings",
-        )
-    if "sample_scalings" in given_parameters:
-        check_given_scalings_corrnmf(
-            given_parameters["sample_scalings"], adata.n_obs, "given_sample_scalings"
-        )
-    if "signature_embeddings" in given_parameters:
-        check_given_embeddings_corrnmf(
-            given_parameters["signature_embeddings"],
-            n_signatures,
-            dim_embeddings,
-            "given_signature_embeddings",
-        )
-    if "sample_embeddings" in given_parameters:
-        check_given_embeddings_corrnmf(
-            given_parameters["sample_embeddings"],
-            adata.n_obs,
-            dim_embeddings,
-            "given_sample_embeddings",
-        )
     if "variance" in given_parameters:
         variance = given_parameters["variance"]
         type_checker("given_variance", variance, [float, int])
@@ -277,32 +269,33 @@ def initialize_corrnmf(
         **kwargs,
     )
 
-    if "signature_scalings" in given_parameters:
-        asignatures.obs["scalings"] = given_parameters["signature_scalings"]
-    else:
-        asignatures.obs["scalings"] = np.zeros(n_signatures)
-
-    if "sample_scalings" in given_parameters:
-        adata.obs["scalings"] = given_parameters["sample_scalings"]
-    else:
-        adata.obs["scalings"] = np.zeros(adata.n_obs)
-
-    if "signature_embeddings" in given_parameters:
-        asignatures.obsm["embeddings"] = given_parameters["signature_embeddings"]
-    else:
-        asignatures.obsm["embeddings"] = np.random.multivariate_normal(
-            np.zeros(dim_embeddings), np.identity(dim_embeddings),
-            size=n_signatures,
+    def given_or(key: str, default_factory):
+        return (
+            given_parameters[key]
+            if key in given_parameters
+            else default_factory()
         )
 
+    def gaussian_embeddings(count: int):
+        # standard-normal draws from the global numpy RNG (implicitly seeded
+        # by a stochastic signature init's 'seed' kwarg)
+        return np.random.multivariate_normal(
+            np.zeros(dim_embeddings), np.identity(dim_embeddings), size=count
+        )
+
+    asignatures.obs["scalings"] = given_or(
+        "signature_scalings", lambda: np.zeros(n_signatures)
+    )
+    adata.obs["scalings"] = given_or(
+        "sample_scalings", lambda: np.zeros(adata.n_obs)
+    )
+    asignatures.obsm["embeddings"] = given_or(
+        "signature_embeddings", lambda: gaussian_embeddings(n_signatures)
+    )
     if initialize_sample_embeddings:
-        if "sample_embeddings" in given_parameters:
-            adata.obsm["embeddings"] = given_parameters["sample_embeddings"]
-        else:
-            adata.obsm["embeddings"] = np.random.multivariate_normal(
-                np.zeros(dim_embeddings), np.identity(dim_embeddings),
-                size=adata.n_obs,
-            )
+        adata.obsm["embeddings"] = given_or(
+            "sample_embeddings", lambda: gaussian_embeddings(adata.n_obs)
+        )
 
     variance = float(given_parameters.get("variance", 1.0))
     return asignatures, variance

@@ -78,6 +78,22 @@ def umap(adata, basis: str, **kwargs) -> None:
     adata.obsm["X_umap"] = _umap(_get_basis_obsm(adata, basis), **kwargs)
 
 
+_REDUCERS = {"pca": _pca, "tsne": _tsne, "umap": _umap}
+
+
+def _warn_nothing_to_reduce(n_dimensions: int, what: str) -> bool:
+    if n_dimensions not in (1, 2):
+        return False
+    warnings.warn(
+        f"The dimension of the {what} is {n_dimensions}. "
+        + ("The dimensionality of the data will not be reduced."
+           if what == "data points"
+           else "No dimensionality reduction will be applied."),
+        UserWarning,
+    )
+    return True
+
+
 def reduce_dimension_numpy(
     data: np.ndarray,
     method: str = "umap",
@@ -90,33 +106,16 @@ def reduce_dimension_numpy(
     value_checker("method", method, DIM_REDUCTION_METHODS)
     if normalize:
         data = data / np.sqrt(np.sum(data**2, axis=1))[:, None]
-
-    n_dimensions = data.shape[1]
-    if n_dimensions in (1, 2):
-        warnings.warn(
-            f"The dimension of the data points is {n_dimensions}. "
-            "The dimensionality of the data will not be reduced.",
-            UserWarning,
-        )
+    if _warn_nothing_to_reduce(data.shape[1], "data points"):
         return data
-
-    if method == "pca":
-        return _pca(data, n_components=n_components, **kwargs)
-    if method == "tsne":
-        return _tsne(data, n_components=n_components, **kwargs)
-    return _umap(data, n_components=n_components, **kwargs)
+    return _REDUCERS[method](data, n_components=n_components, **kwargs)
 
 
 def reduce_dimension(adata, basis: str, method: str = "umap",
                      n_components: int = 2, **kwargs) -> None:
     """Compute and store a dimensionality reduction of adata.obsm[basis]."""
     data = _get_basis_obsm(adata, basis)
-    if data.shape[1] in (1, 2):
-        warnings.warn(
-            f"The dimension of the observation annotations is {data.shape[1]}. "
-            "No dimensionality reduction will be applied.",
-            UserWarning,
-        )
+    if _warn_nothing_to_reduce(data.shape[1], "observation annotations"):
         return
     adata.obsm[f"X_{method}"] = reduce_dimension_numpy(
         data, method=method, n_components=n_components, **kwargs
@@ -129,12 +128,7 @@ def reduce_dimension_multiple(adatas: Iterable, basis: str,
     shared CorrNMF signature+sample embedding space)."""
     adatas = list(adatas)
     data = np.concatenate([_get_basis_obsm(a, basis) for a in adatas])
-    if data.shape[1] in (1, 2):
-        warnings.warn(
-            f"The dimension of the observation annotations is {data.shape[1]}. "
-            "No dimensionality reduction will be applied.",
-            UserWarning,
-        )
+    if _warn_nothing_to_reduce(data.shape[1], "observation annotations"):
         return
     reduced = reduce_dimension_numpy(data, method=method, **kwargs)
     offset = 0
