@@ -27,7 +27,6 @@ import numpy as np
 from .. import containers
 from ..utils import (
     dict_checker,
-    normalize_WH,
     shape_checker,
     type_checker,
     value_checker,

@@ -9,7 +9,7 @@ computed from scalings/embeddings, ELBO objective (maximize), scaled
 from __future__ import annotations
 
 import warnings
-from typing import Any, Iterable, Literal
+from typing import Iterable, Literal
 
 import numpy as np
 
