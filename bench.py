@@ -97,10 +97,11 @@ def measure_cpu_baseline(X, n_iterations: int = 400) -> float:
 # --------------------------------------------------------------------------
 
 def measure_tpu(X) -> tuple[float, float, int]:
+    import jax
     import jax.numpy as jnp
 
     from salamander_tpu.engine import FitConfig
-    from salamander_tpu.parallel import fit_klnmf_restarts
+    from salamander_tpu.initialization.methods import random_init_batch
     from salamander_tpu.parallel.restarts import build_klnmf_restart_runner
 
     config = FitConfig(
@@ -108,30 +109,37 @@ def measure_tpu(X) -> tuple[float, float, int]:
     )
     runner = build_klnmf_restart_runner(config)
     Xf = jnp.asarray(X, jnp.float32)
+    data = {"X": Xf}
 
     log("bench: compiling + warmup run ...")
     t0 = time.perf_counter()
-    result = fit_klnmf_restarts(
-        Xf, N_SIGNATURES, N_RESTARTS, seed=0, config=config, runner=runner
+    W0, H0 = random_init_batch(
+        jax.random.PRNGKey(0), Xf, N_SIGNATURES, N_RESTARTS
     )
+    _, losses, n_iterations = runner({"W": W0, "H": H0}, data)
+    n_iterations = np.asarray(n_iterations)
     log(f"bench: warmup (incl. compile) {time.perf_counter() - t0:.1f}s, "
-        f"iterations {result.n_iterations.min()}..{result.n_iterations.max()}")
+        f"iterations {n_iterations.min()}..{n_iterations.max()}")
 
     best_rate, best_loss, total_iterations = 0.0, np.inf, 0
     for trial in range(3):  # best-of-3: the fit window is ~0.2s, jitter-prone
-        t0 = time.perf_counter()
-        result = fit_klnmf_restarts(
-            Xf, N_SIGNATURES, N_RESTARTS, seed=1 + trial, config=config,
-            runner=runner,
+        # init outside the clock: the CPU baseline times only the update
+        # loop, so the TPU window measures the same thing
+        W0, H0 = random_init_batch(
+            jax.random.PRNGKey(1 + trial), Xf, N_SIGNATURES, N_RESTARTS
         )
+        jax.block_until_ready((W0, H0))
+        t0 = time.perf_counter()
+        _, losses, n_iterations = runner({"W": W0, "H": H0}, data)
+        losses = np.asarray(losses)
         elapsed = time.perf_counter() - t0
-        trial_iterations = int(np.sum(result.n_iterations))
+        trial_iterations = int(np.sum(np.asarray(n_iterations)))
         rate = trial_iterations / elapsed
         log(f"bench: timed fit {trial}: {elapsed:.2f}s, total MU iterations "
-            f"{trial_iterations}, best loss {result.best_loss:.2f}")
+            f"{trial_iterations}, best loss {losses.min():.2f}")
         if rate > best_rate:
             best_rate = rate
-            best_loss = result.best_loss
+            best_loss = float(losses.min())
             total_iterations = trial_iterations
     return best_rate, best_loss, total_iterations
 
