@@ -110,3 +110,22 @@ def test_engine_is_jittable_and_donatable():
     jitted = jax.jit(lambda x0: fit_loop(update, objective, x0, config))
     result = jitted(jnp.asarray([4.0, 5.0]))
     assert int(result.n_iterations) <= 50
+
+
+def test_backend_supports_callbacks_on_cpu():
+    from salamander_tpu.engine.fit import backend_supports_callbacks
+
+    assert backend_supports_callbacks() is True  # CPU backend has callbacks
+
+
+def test_print_history_trace(capsys):
+    from salamander_tpu.engine.fit import print_history_trace
+
+    history = np.array([100.0, 90.0, 80.0, 70.0, 60.0, np.nan])
+    print_history_trace(history, n_evals=5, conv_test_freq=10,
+                        verbosity_freq=20)
+    out = capsys.readouterr().out.splitlines()
+    assert out == [
+        "iteration: 20; objective: 90.00",
+        "iteration: 40; objective: 70.00",
+    ]

@@ -147,3 +147,37 @@ def test_normalize_wh_preserves_product(matrices):
     W_n, H_n = klnmf.normalize_wh(2.0 * W, H)
     assert np.allclose(np.asarray(W_n).sum(axis=0), 1.0)
     assert np.allclose(np.asarray(W_n) @ np.asarray(H_n), 2.0 * W @ H)
+
+
+def test_update_WH_weights_and_given_signatures_combined(matrices):
+    """Weights and frozen signatures compose: given columns exact, free
+    columns follow the weighted update."""
+    X, W, H = matrices
+    n_signatures = W.shape[1]
+    if n_signatures < 2:
+        return
+    weights = np.linspace(0.5, 2.0, X.shape[1])
+    W_new, H_new = klnmf.update_WH(X, W, H, weights_kl=weights,
+                                   n_given_signatures=1)
+    W_new = np.asarray(W_new)
+    assert np.array_equal(np.maximum(W[:, :1], klnmf.EPSILON), W_new[:, :1])
+    # free column changed and stays normalized
+    assert not np.allclose(W_new[:, 1], W[:, 1])
+    np.testing.assert_allclose(W_new[:, 1].sum(), 1.0, rtol=1e-8)
+    assert np.all(np.asarray(H_new) >= klnmf.EPSILON)
+
+
+def test_kernels_on_random_shapes():
+    """Shape robustness: odd V/K/D combinations keep all invariants."""
+    rng = np.random.default_rng(7)
+    for V, K, D in [(3, 1, 2), (17, 7, 5), (5, 5, 33)]:
+        X = np.clip(rng.poisson(8.0, (V, D)).astype(float), klnmf.EPSILON, None)
+        W = rng.dirichlet(np.ones(V), K).T
+        H = rng.uniform(0.5, 2.0, (K, D))
+        of0 = float(klnmf.kl_divergence(X, W, H))
+        for _ in range(5):
+            W, H = klnmf.update_WH(X, W, H)
+            of1 = float(klnmf.kl_divergence(X, W, H))
+            assert of1 <= of0 + 1e-9 * abs(of0)
+            of0 = of1
+        np.testing.assert_allclose(np.asarray(W).sum(0), 1.0, rtol=1e-8)

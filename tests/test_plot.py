@@ -143,3 +143,16 @@ def test_scatter_numpy_1d_and_2d():
     with pytest.raises(ValueError):
         plot.scatter_numpy(np.zeros((4, 3)))
     plt.close("all")
+
+
+def test_barplot_with_catalog_matching(fitted_model):
+    catalog = pd.DataFrame(
+        np.random.default_rng(0).dirichlet(
+            np.ones(fitted_model.adata.n_vars), size=7
+        ),
+        index=[f"CAT{i}" for i in range(7)],
+        columns=fitted_model.adata.var_names,
+    )
+    axes = plot.barplot_pandas(fitted_model.signatures, catalog=catalog)
+    assert axes.shape == (3, 2)  # each signature next to its best match
+    plt.close("all")
