@@ -98,6 +98,45 @@ class CorrNMF(SignatureNMF):
     def _setup_fitting_parameters(self, fitting_kwargs=None) -> None:
         return
 
+    def transform(self, adata, **fit_kwargs):
+        """Infer scalings and embeddings for NEW samples under this model's
+        frozen signature-side parameters (signatures, signature scalings,
+        signature embeddings, variance). Returns the fitted projector model;
+        neither `self` nor the input container is modified."""
+        if not getattr(self, "_is_fitted", False):
+            raise ValueError("transform() requires a fitted model.")
+        if "given_parameters" in fit_kwargs:
+            raise ValueError(
+                "transform() freezes this model's signature-side parameters "
+                "itself; 'given_parameters' cannot be overridden here - use "
+                "fit() directly for custom given parameters."
+            )
+        projector = type(self)(
+            n_signatures=self.n_signatures,
+            init_method=self.init_method,
+            dim_embeddings=self.dim_embeddings,
+            min_iterations=self.min_iterations,
+            max_iterations=self.max_iterations,
+            conv_test_freq=self.conv_test_freq,
+            tol=self.tol,
+        )
+        given = {
+            "asignatures": self.asignatures.copy(),
+            "signature_scalings": np.asarray(
+                self.asignatures.obs["scalings"], dtype=float
+            ),
+            "signature_embeddings": np.asarray(
+                self.asignatures.obsm["embeddings"]
+            ),
+            "variance": float(self.variance),
+        }
+        projector.fit(
+            adata.copy() if hasattr(adata, "copy") else adata,
+            given_parameters=given,
+            **fit_kwargs,
+        )
+        return projector
+
     def compute_correlation_scaled(
         self, data: Literal["samples", "signatures"] = "signatures"
     ) -> None:

@@ -169,3 +169,37 @@ def test_correlation_scaled(counts):
     assert corr.shape == (2, 2)
     assert np.allclose(np.diag(corr), 1.0)
     assert np.all(np.abs(corr) <= 1.0 + 1e-12)
+
+
+def test_transform_projects_new_samples(counts):
+    np.random.seed(3)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=30, max_iterations=100)
+    model.fit(AnnData(counts.copy()))
+    frozen = {
+        "signatures": model.asignatures.X.copy(),
+        "scalings": np.asarray(model.asignatures.obs["scalings"]).copy(),
+        "embeddings": model.asignatures.obsm["embeddings"].copy(),
+        "variance": model.variance,
+    }
+    new = AnnData(counts[:6].copy())
+    np.random.seed(4)
+    projected = model.transform(new)
+    # signature side frozen exactly, sample side learned for the new cohort
+    assert np.allclose(projected.asignatures.X, frozen["signatures"])
+    assert np.allclose(
+        np.asarray(projected.asignatures.obs["scalings"]), frozen["scalings"]
+    )
+    assert np.allclose(
+        projected.asignatures.obsm["embeddings"], frozen["embeddings"]
+    )
+    assert np.isclose(projected.variance, frozen["variance"])
+    assert projected.exposures.shape == (6, 2)
+    assert projected.adata.obsm["embeddings"].shape == (6, 2)
+    # original untouched
+    assert np.allclose(model.asignatures.X, frozen["signatures"])
+
+
+def test_transform_requires_fitted(counts):
+    with pytest.raises(ValueError):
+        CorrNMFDet(n_signatures=2).transform(AnnData(counts))
