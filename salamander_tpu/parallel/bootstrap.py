@@ -56,6 +56,15 @@ def bootstrap_stability(
     """
     if not getattr(model, "_is_fitted", False):
         raise ValueError("bootstrap_stability() requires a fitted model.")
+    if type(model).__name__ != "KLNMF":
+        import warnings
+
+        warnings.warn(
+            "bootstrap_stability refits replicates with the plain KLNMF "
+            f"update; stability of {type(model).__name__} signatures is "
+            "assessed under the KL objective, not the model's own.",
+            UserWarning,
+        )
     X = np.asarray(model.adata.X.T, dtype=dtype)  # (V, D)
     n_features, n_samples = X.shape
     n_signatures = model.n_signatures

@@ -213,3 +213,26 @@ def test_multimodal_fit_accepts_stop_on_nonfinite(counts, counts2):
                               min_iterations=5, max_iterations=5)
     model.fit(mdata, stop_on_nonfinite=True)
     assert np.isfinite(model.objective_function())
+
+
+def test_fit_best_of_mvnmf(counts):
+    """MvNMF's params carry the scalar line-search gamma; the batched
+    multi-start must stack and fit it like any other leaf."""
+    model = MvNMF(n_signatures=2, init_method="random", lam=0.5,
+                  min_iterations=20, max_iterations=60)
+    summary = fit_best_of(model, AnnData(counts), n_restarts=4, base_seed=2)
+    assert summary.losses.shape == (4,)
+    assert summary.best_index == int(np.argmin(summary.losses))
+    assert np.isclose(model.objective_function(),
+                      summary.losses[summary.best_index], rtol=1e-6)
+    assert 0.0 < model._gamma <= 1.0
+
+
+def test_bootstrap_warns_for_non_klnmf(counts):
+    from salamander_tpu.parallel import bootstrap_stability
+
+    model = MvNMF(n_signatures=2, min_iterations=10, max_iterations=20)
+    model.fit(AnnData(counts))
+    with pytest.warns(UserWarning, match="KL objective"):
+        result = bootstrap_stability(model, n_bootstraps=3, seed=0)
+    assert result.similarities.shape == (3, 2)
