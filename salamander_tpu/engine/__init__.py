@@ -6,4 +6,5 @@ from .fit import (  # noqa: F401
     fit_loop,
     fit_loop_lockstep,
     make_fit_function,
+    tolerance_floor,
 )

@@ -20,6 +20,7 @@ entries - exactly the reference's `of_values[1:]`), sliced host-side.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -39,6 +40,48 @@ class FitConfig(NamedTuple):
     conv_test_freq: int = 10
     tol: float = 1e-7
     stop_on_nonfinite: bool = False
+
+
+def tolerance_floor(dtype) -> float:
+    """Smallest meaningful relative-change tolerance for an objective dtype.
+
+    A convergence test comparing |of_prev - of| / |of_prev| against a
+    tolerance below the dtype's own relative resolution never measures
+    convergence - successive objective values jitter by a few ulps forever
+    and the fit silently runs to max_iterations (the reference never hits
+    this because it is float64 numpy throughout). Sub-64-bit objectives get
+    a floor of 10 machine epsilons; float64 keeps the user's tolerance.
+    """
+    if jnp.issubdtype(dtype, jnp.floating) and jnp.finfo(dtype).bits < 64:
+        return 10.0 * float(jnp.finfo(dtype).eps)
+    return 0.0
+
+
+def _effective_tol(config: "FitConfig", objective_dtype, params0) -> float:
+    """The enforceable tolerance: the user's tol floored at the resolution
+    of BOTH the objective dtype and the parameter dtypes.
+
+    Even with a float64 objective, float32 parameters keep injecting
+    ~eps(float32) relative jitter into the objective near the optimum
+    (measured: float32 KLNMF never satisfies 1e-7 under a float64
+    objective), so the state dtype bounds what a relative-change test can
+    resolve.
+    """
+    tol = float(config.tol)
+    floor = tolerance_floor(objective_dtype)
+    for leaf in jax.tree.leaves(params0):
+        dtype = jnp.asarray(leaf).dtype
+        if jnp.issubdtype(dtype, jnp.floating):
+            floor = max(floor, tolerance_floor(dtype))
+    if tol < floor:
+        warnings.warn(
+            f"tol={tol:g} is below the convergence resolution of this fit's "
+            f"dtype; using {floor:g} instead. Fit with dtype='float64' "
+            "(requires jax x64) for tighter tolerances.",
+            UserWarning,
+        )
+        return floor
+    return tol
 
 
 class FitResult(NamedTuple):
@@ -150,6 +193,7 @@ def fit_loop(
 
     of0 = objective_fn(params0)
     dtype = of0.dtype
+    tol = _effective_tol(config, dtype, params0)
     init = _LoopState(
         params=params0,
         of_prev=of0,
@@ -168,7 +212,7 @@ def fit_loop(
 
         of_value = objective_fn(params)
         rel_change = jnp.abs(state.of_prev - of_value) / jnp.abs(state.of_prev)
-        converged = (rel_change < config.tol) & (iteration >= min_iterations)
+        converged = (rel_change < tol) & (iteration >= min_iterations)
         done = converged | (iteration >= max_iterations)
         if config.stop_on_nonfinite:
             done = done | ~jnp.isfinite(of_value)
@@ -243,6 +287,7 @@ def fit_loop_lockstep(
     of0 = objective_fn(params0)  # (R,)
     n_restarts = of0.shape[0]
     dtype = of0.dtype
+    tol = _effective_tol(config, dtype, params0)
 
     def lane_mask(mask, leaf):
         return mask.reshape((n_restarts,) + (1,) * (leaf.ndim - 1))
@@ -280,7 +325,7 @@ def fit_loop_lockstep(
         rel_change = jnp.abs(state["of_prev"] - of_value) / jnp.abs(
             state["of_prev"]
         )
-        converged = (rel_change < config.tol) & (iteration >= min_iterations)
+        converged = (rel_change < tol) & (iteration >= min_iterations)
         done = done_prev | converged | (iteration >= max_iterations)
         if config.stop_on_nonfinite:
             done = done | ~jnp.isfinite(of_value)
