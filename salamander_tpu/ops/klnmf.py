@@ -116,8 +116,13 @@ def _update_H_from_aux(H, W, aux, weights_kl=None, weights_lhalf=None):
     quad = 4.0 * H * WtAux
     if weights_kl is not None:
         quad = quad * weights_kl**2
-    discriminant = 0.25 * weights_lhalf**2 + quad
-    H_new = 0.25 * (weights_lhalf / 2.0 - jnp.sqrt(discriminant)) ** 2
+    half_weight = weights_lhalf / 2.0
+    root = jnp.sqrt(half_weight**2 + quad)
+    # (w/2 - root)^2 with root = sqrt((w/2)^2 + quad): the reference's
+    # literal form (_utils_klnmf.py:266-270) cancels catastrophically in
+    # float32 when quad << w^2; root - w/2 = quad / (root + w/2) is the
+    # exact cancellation-free rewrite.
+    H_new = 0.25 * (quad / (root + half_weight)) ** 2
     if weights_kl is not None:
         H_new = H_new / weights_kl**2
     return jnp.maximum(H_new, EPSILON)
@@ -206,3 +211,76 @@ def make_step_functions(n_given_signatures: int = 0):
         )
 
     return update_fn, objective_fn
+
+
+def make_masked_step_functions(n_given_signatures: int = 0):
+    """Rank-masked twin of make_step_functions for K-padded batching.
+
+    Several problems of different rank k share ONE compiled program of padded
+    rank K: params carry a per-problem boolean 'mask' (K,) marking the active
+    leading signatures. Masked-off entries are inert: their H rows are held
+    at exact zero (so W @ H, every aux ratio and every objective value equal
+    the unpadded rank-k computation - adding exact zeros to a contraction is
+    exact), and their W columns pass through unchanged. This is what lets a
+    rank scan amortize one XLA compilation over many ranks and pack the MXU's
+    K lanes with real work (rank-scan driver: parallel/restarts.py).
+    """
+
+    def update_fn(params, data):
+        X = data["X"]
+        W, H, mask = params["W"], params["H"], params["mask"]
+        weights_kl = data.get("weights_kl")
+        weights_lhalf = data.get("weights_lhalf")
+        n_signatures = W.shape[1]
+
+        aux = X / (W @ H)
+        if n_given_signatures == n_signatures:
+            W_new = W
+        else:
+            scaled_aux = aux if weights_kl is None else weights_kl * aux
+            W_new = W * (scaled_aux @ H.T)
+            # padded columns have all-zero numerators; keep their sum at 1
+            W_new = W_new / jnp.where(mask, jnp.sum(W_new, axis=0), 1.0)
+            W_new = _freeze_given_columns(W_new, W, n_given_signatures)
+            W_new = jnp.maximum(W_new, EPSILON)
+            W_new = jnp.where(mask[None, :], W_new, W)
+
+        H_new = _update_H_from_aux(H, W, aux, weights_kl, weights_lhalf)
+        H_new = jnp.where(mask[:, None], H_new, 0.0)
+        return {"W": W_new, "H": H_new, "mask": mask}
+
+    def objective_fn(params, data):
+        # padded H rows are exactly zero, so the objective equals the
+        # unpadded rank-k value without any masking of its own
+        return klnmf_objective(
+            data["X"],
+            params["W"],
+            params["H"],
+            data.get("weights_kl"),
+            data.get("weights_lhalf"),
+        )
+
+    return update_fn, objective_fn
+
+
+def pad_rank(W, H, n_padded: int):
+    """Pad a rank-k problem to rank n_padded for the masked step functions.
+
+    W: (..., V, k) -> (..., V, n_padded) with uniform dummy columns;
+    H: (..., k, D) -> (..., n_padded, D) with exact-zero dummy rows;
+    also returns the (n_padded,) activity mask.
+    """
+    k = W.shape[-1]
+    if n_padded < k:
+        raise ValueError(f"n_padded={n_padded} below rank {k}")
+    extra = n_padded - k
+    V = W.shape[-2]
+    W_pad = jnp.concatenate(
+        [W, jnp.full(W.shape[:-1] + (extra,), 1.0 / V, W.dtype)], axis=-1
+    )
+    H_pad = jnp.concatenate(
+        [H, jnp.zeros(H.shape[:-2] + (extra,) + H.shape[-1:], H.dtype)],
+        axis=-2,
+    )
+    mask = jnp.arange(n_padded) < k
+    return W_pad, H_pad, mask

@@ -43,16 +43,31 @@ def update_W_unconstrained(X, W, H, lam: float, delta: float,
     normalization line search). Given columns are frozen and left unclipped.
     """
     n_signatures = W.shape[1]
-    Y = jnp.linalg.inv(W.T @ W + delta * jnp.eye(n_signatures, dtype=W.dtype))
+    # (W^T W + delta I) is SPD: invert via Cholesky (cheaper and better
+    # conditioned than LU-based inv; the reference's numba kernel uses
+    # np.linalg.inv, mvnmf.py:44)
+    eye = jnp.eye(n_signatures, dtype=W.dtype)
+    chol = jax.scipy.linalg.cho_factor(W.T @ W + delta * eye)
+    Y = jax.scipy.linalg.cho_solve(chol, eye)
     Y_minus = jnp.maximum(0.0, -Y)
     Y_abs = jnp.abs(Y)
     WY_minus = W @ Y_minus
     WY_abs = W @ Y_abs
 
     rowsums_H = jnp.sum(H, axis=1)
-    disc_linear = (rowsums_H - 4.0 * lam * WY_minus) ** 2
+    linear = rowsums_H - 4.0 * lam * WY_minus
     disc_ratio = 8.0 * lam * WY_abs * ((X / (W @ H)) @ H.T)
-    numerator = jnp.sqrt(disc_linear + disc_ratio) - rowsums_H + 4.0 * lam * WY_minus
+    root = jnp.sqrt(linear**2 + disc_ratio)
+    # numerator = sqrt(linear^2 + d) - linear. The reference evaluates this
+    # literally (mvnmf.py:56-60), which catastrophically cancels in float32
+    # when d << linear^2 (measured: 5-10% objective oscillations on PCAWG);
+    # for positive `linear` use the equivalent d / (sqrt(linear^2+d)+linear),
+    # which is cancellation-free. Identical in exact arithmetic.
+    numerator = jnp.where(
+        linear > 0.0,
+        disc_ratio / (root + jnp.abs(linear)),
+        root - linear,
+    )
     denominator = 4.0 * lam * WY_abs
     W_new = W * numerator / denominator
 
