@@ -141,6 +141,59 @@ def embedding_hessian(embedding, embeddings_other, scaling, scalings_other,
     )
 
 
+def _solve_spd_small(hess, grad):
+    """Solve hess @ x = grad for the tiny SPD Newton systems.
+
+    jnp.linalg.solve lowers batched 2x2 systems to an LU custom call that
+    serializes on TPU (measured: the sample-side Newton under restart
+    batching spent ~97% of its time here); closed-form Cramer solves for
+    dim <= 3 are branch-free vectorized arithmetic, and larger dims use a
+    Cholesky solve (the Hessian is SPD by construction).
+    """
+    dim = grad.shape[0]
+    if dim == 1:
+        return grad / hess[0, 0]
+    if dim == 2:
+        a, b, c, d = hess[0, 0], hess[0, 1], hess[1, 0], hess[1, 1]
+        det = a * d - b * c
+        return jnp.stack([
+            (d * grad[0] - b * grad[1]) / det,
+            (a * grad[1] - c * grad[0]) / det,
+        ])
+    if dim == 3:
+        cofactor_00 = hess[1, 1] * hess[2, 2] - hess[1, 2] * hess[2, 1]
+        cofactor_01 = hess[1, 2] * hess[2, 0] - hess[1, 0] * hess[2, 2]
+        cofactor_02 = hess[1, 0] * hess[2, 1] - hess[1, 1] * hess[2, 0]
+        det = (hess[0, 0] * cofactor_00 + hess[0, 1] * cofactor_01
+               + hess[0, 2] * cofactor_02)
+        adjugate = jnp.array([
+            [cofactor_00,
+             hess[0, 2] * hess[2, 1] - hess[0, 1] * hess[2, 2],
+             hess[0, 1] * hess[1, 2] - hess[0, 2] * hess[1, 1]],
+            [cofactor_01,
+             hess[0, 0] * hess[2, 2] - hess[0, 2] * hess[2, 0],
+             hess[0, 2] * hess[1, 0] - hess[0, 0] * hess[1, 2]],
+            [cofactor_02,
+             hess[0, 1] * hess[2, 0] - hess[0, 0] * hess[2, 1],
+             hess[0, 0] * hess[1, 1] - hess[0, 1] * hess[1, 0]],
+        ])
+        return (adjugate @ grad) / det
+    return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(hess), grad)
+
+
+# Armijo halvings until the serial backtracking's step floor: the reference
+# loop shrinks t by 0.5 while t > 1e-12, so t visits 2^0 .. 2^-40 and stops
+# at 2^-40 (~9.1e-13) unconditionally.
+_N_BACKTRACK = 41
+
+# Newton-step caps at or below this unroll into straight-line masked steps
+# instead of an early-exit while_loop. The while_loop synchronizes every
+# batched row on the slowest one (and stalls multi-start batching - round-1
+# CorrNMF multi-start gained only 1.4x); a short fixed schedule does the same
+# masked updates with uniform, fully-batchable work per EM cycle.
+_UNROLL_NEWTON_LIMIT = 4
+
+
 def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
                           variance, max_iter: int, xtol_total: float):
     """Minimize the negative surrogate for ONE embedding with damped Newton.
@@ -149,14 +202,16 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
     linear_term: (m,) = sum_i aux_i * o_i.
     Stops (scipy-style) when the applied update has sum|update| < xtol_total,
     or after max_iter Newton steps.
+
+    The Armijo backtracking is a VECTORIZED candidate search instead of a
+    nested while_loop: all halvings 2^0..2^-40 are evaluated at once (a tiny
+    (41, M) batch of exponentials) and the first one satisfying the Armijo
+    condition is selected - the same step the serial loop would accept, with
+    no data-dependent inner control flow to serialize batched rows.
     """
     dim = embedding0.shape[0]
     eye = jnp.eye(dim, dtype=embedding0.dtype)
-
-    def f(b):
-        z = offsets + embeddings_other @ b
-        return (-jnp.dot(linear_term, b) + jnp.sum(jnp.exp(z))
-                + jnp.dot(b, b) / (2.0 * variance))
+    ts = 0.5 ** jnp.arange(_N_BACKTRACK, dtype=embedding0.dtype)
 
     def step(carry):
         b, done, iteration = carry
@@ -164,20 +219,34 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
         grad = (-linear_term + embeddings_other.T @ rates + b / variance)
         hess = ((embeddings_other * rates[:, None]).T @ embeddings_other
                 + eye / variance)
-        direction = -jnp.linalg.solve(hess, grad)
-        f0 = f(b)
+        direction = -_solve_spd_small(hess, grad)
+        f0 = (-jnp.dot(linear_term, b) + jnp.sum(rates)
+              + jnp.dot(b, b) / (2.0 * variance))
         slope = jnp.dot(grad, direction)
 
-        # Armijo backtracking from the full Newton step.
-        def needs_shrink(t):
-            return (f(b + t * direction) > f0 + 1e-4 * t * slope) & (t > 1e-12)
+        candidates = b[None, :] + ts[:, None] * direction[None, :]  # (41, m)
+        f_cand = (
+            -(candidates @ linear_term)
+            + jnp.sum(jnp.exp(candidates @ embeddings_other.T
+                              + offsets[None, :]), axis=1)
+            + jnp.sum(candidates * candidates, axis=1) / (2.0 * variance)
+        )
+        ok = f_cand <= f0 + 1e-4 * ts * slope
+        ok = ok.at[-1].set(True)  # the step floor accepts 2^-40 regardless
+        t = ts[jnp.argmax(ok)]
 
-        t = jax.lax.while_loop(needs_shrink, lambda t: 0.5 * t,
-                               jnp.asarray(1.0, dtype=b.dtype))
         update = t * direction
         b_new = jnp.where(done, b, b + update)
         done_new = done | (jnp.sum(jnp.abs(update)) < xtol_total)
         return b_new, done_new, iteration + 1
+
+    carry = (embedding0, jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+    if max_iter <= _UNROLL_NEWTON_LIMIT:
+        # fixed masked schedule (e.g. the reference's sample-side maxiter=3):
+        # identical results to the early-exit loop, uniform batched work
+        for _ in range(max_iter):
+            carry = step(carry)
+        return carry[0]
 
     def keep_going(carry):
         _, done, iteration = carry
@@ -186,10 +255,70 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
     # Early-exit while_loop: converged rows stop paying for Newton steps
     # (under vmap the loop runs until the slowest row converges, typically
     # ~5-10 steps, instead of a fixed max_iter).
-    b, _, _ = jax.lax.while_loop(
-        keep_going, step, (embedding0, False, jnp.zeros((), jnp.int32))
-    )
+    b, _, _ = jax.lax.while_loop(keep_going, step, carry)
     return b
+
+
+def update_embeddings_newton_cg(embeddings0, embeddings_other, scalings,
+                                scalings_other, variance, aux_mat,
+                                max_iter: int | None = None):
+    """Host-side scipy Newton-CG twin of update_embeddings for the opt-in
+    compatibility mode: per-row scipy.optimize.minimize(method='Newton-CG')
+    exactly as the reference runs it (_utils_corrnmf.py:354-410,
+    corrnmf_det.py:103-141), including the truncated-CG forcing sequence and
+    Wolfe line search scipy applies internally. Slow (a Python loop of scipy
+    calls) but auditable: traces match the reference bit-for-bit given the
+    same inputs.
+
+    max_iter None = scipy's default (the reference's signature-side call);
+    max_iter=3 = the reference's sample-side options={'maxiter': 3}.
+    """
+    import numpy as np
+    from scipy import optimize
+
+    embeddings0 = np.asarray(embeddings0, dtype=float)
+    embeddings_other = np.asarray(embeddings_other, dtype=float)
+    scalings = np.asarray(scalings, dtype=float)
+    scalings_other = np.asarray(scalings_other, dtype=float)
+    aux_mat = np.asarray(aux_mat, dtype=float)
+    variance = float(variance)
+    options = None if max_iter is None else {"maxiter": int(max_iter)}
+
+    outer_prods = np.einsum(
+        "Km,Kn->Kmn", embeddings_other, embeddings_other
+    )
+    result = np.empty_like(embeddings0)
+    for row in range(embeddings0.shape[0]):
+        scaling = scalings[row]
+        aux_vec = aux_mat[row]
+        summand_grad = np.sum(aux_vec[:, None] * embeddings_other, axis=0)
+
+        def fun(b):
+            products = embeddings_other @ b
+            value = np.dot(products, aux_vec)
+            value -= np.sum(np.exp(scaling + scalings_other + products))
+            value -= np.dot(b, b) / (2.0 * variance)
+            return -value
+
+        def grad(b):
+            rates = np.exp(scaling + scalings_other + embeddings_other @ b)
+            return -summand_grad + embeddings_other.T @ rates + b / variance
+
+        def hess(b):
+            rates = np.exp(scaling + scalings_other + embeddings_other @ b)
+            return (
+                np.sum(rates[:, None, None] * outer_prods, axis=0)
+                + np.eye(b.shape[0]) / variance
+            )
+
+        solution = optimize.minimize(
+            fun=fun, x0=embeddings0[row], method="Newton-CG",
+            jac=grad, hess=hess, options=options,
+        ).x
+        solution[(0 < solution) & (solution < EPSILON)] = EPSILON
+        solution[(-EPSILON < solution) & (solution < 0)] = -EPSILON
+        result[row] = solution
+    return result
 
 
 def _clamp_away_from_zero(embeddings):
