@@ -22,14 +22,15 @@ from . import containers
 
 _HYPERPARAM_KEYS = {
     "KLNMF": ["n_signatures", "init_method", "min_iterations", "max_iterations",
-              "conv_test_freq", "tol"],
+              "conv_test_freq", "tol", "dtype"],
     "MvNMF": ["n_signatures", "init_method", "lam", "delta", "min_iterations",
-              "max_iterations", "conv_test_freq", "tol"],
+              "max_iterations", "conv_test_freq", "tol", "dtype"],
     "CorrNMFDet": ["n_signatures", "init_method", "dim_embeddings",
-                   "min_iterations", "max_iterations", "conv_test_freq", "tol"],
+                   "min_iterations", "max_iterations", "conv_test_freq", "tol",
+                   "dtype", "newton_cg_compat"],
     "MultimodalCorrNMF": ["ns_signatures", "dim_embeddings", "init_method",
                           "min_iterations", "max_iterations", "conv_test_freq",
-                          "tol"],
+                          "tol", "dtype", "newton_cg_compat"],
 }
 
 _EXTRA_STATE = {

@@ -38,15 +38,21 @@ class CorrNMF(SignatureNMF):
         max_iterations: int = 10000,
         conv_test_freq: int = 10,
         tol: float = 1e-7,
+        dtype: str | None = None,
+        newton_cg_compat: bool = False,
     ):
         super().__init__(
             n_signatures, init_method, min_iterations, max_iterations,
-            conv_test_freq, tol,
+            conv_test_freq, tol, dtype=dtype,
         )
         self.dim_embeddings = (
             n_signatures if dim_embeddings is None else dim_embeddings
         )
         self.variance = 1.0
+        # opt-in auditing mode: embedding M-steps run the reference's exact
+        # scipy Newton-CG on the host and the fit loop runs host-side, so
+        # traces are bit-comparable to the reference (slow; CPU-intended)
+        self.newton_cg_compat = newton_cg_compat
 
     @property
     def objective(self) -> Literal["minimize", "maximize"]:

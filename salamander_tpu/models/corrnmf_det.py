@@ -36,25 +36,32 @@ SAMPLE_NEWTON_ITERS = 3       # the reference's scipy options={"maxiter": 3}
 class CorrNMFDet(CorrNMF):
     """Deterministic correlated NMF (Paisley, Blei & Jordan 2014 variant)."""
 
+    @property
+    def _fits_on_host(self) -> bool:
+        # newton_cg_compat runs the reference's exact scipy Newton-CG per
+        # embedding row; the whole fit loop then runs host-side
+        return self.newton_cg_compat
+
     # ------------------------------------------------------------------ #
     # engine hooks
     # ------------------------------------------------------------------ #
     def _device_state(self):
-        data = {"X": jnp.asarray(self.adata.X)}  # (D, V), samples as rows
+        dtype = self._device_dtype
+        data = {"X": jnp.asarray(self.adata.X, dtype)}  # (D, V), samples as rows
         params = {
-            "signatures": jnp.asarray(self.asignatures.X),  # (K, V)
+            "signatures": jnp.asarray(self.asignatures.X, dtype),  # (K, V)
             "signature_scalings": jnp.asarray(
-                np.asarray(self.asignatures.obs["scalings"], dtype=float)
+                np.asarray(self.asignatures.obs["scalings"], dtype=float), dtype
             ),
             "sample_scalings": jnp.asarray(
-                np.asarray(self.adata.obs["scalings"], dtype=float)
+                np.asarray(self.adata.obs["scalings"], dtype=float), dtype
             ),
             "signature_embeddings": jnp.asarray(
-                self.asignatures.obsm["embeddings"]
+                self.asignatures.obsm["embeddings"], dtype
             ),
-            "sample_embeddings": jnp.asarray(self.adata.obsm["embeddings"]),
-            "variance": jnp.asarray(float(self.variance)),
-            "exposures": jnp.asarray(self.adata.obsm["exposures"]),
+            "sample_embeddings": jnp.asarray(self.adata.obsm["embeddings"], dtype),
+            "variance": jnp.asarray(float(self.variance), dtype),
+            "exposures": jnp.asarray(self.adata.obsm["exposures"], dtype),
         }
         return params, data
 
@@ -174,6 +181,17 @@ class CorrNMFDet(CorrNMF):
             )
 
     def update_signature_embeddings(self, aux) -> None:
+        if self.newton_cg_compat:
+            self.asignatures.obsm["embeddings"] = ops.update_embeddings_newton_cg(
+                self.asignatures.obsm["embeddings"],
+                self.adata.obsm["embeddings"],
+                np.asarray(self.asignatures.obs["scalings"]),
+                np.asarray(self.adata.obs["scalings"]),
+                self.variance,
+                aux,
+                max_iter=None,  # scipy default, as the reference's call
+            )
+            return
         self.asignatures.obsm["embeddings"] = np.asarray(
             ops.update_embeddings(
                 self.asignatures.obsm["embeddings"],
@@ -187,6 +205,17 @@ class CorrNMFDet(CorrNMF):
         )
 
     def update_sample_embeddings(self, aux) -> None:
+        if self.newton_cg_compat:
+            self.adata.obsm["embeddings"] = ops.update_embeddings_newton_cg(
+                self.adata.obsm["embeddings"],
+                self.asignatures.obsm["embeddings"],
+                np.asarray(self.adata.obs["scalings"]),
+                np.asarray(self.asignatures.obs["scalings"]),
+                self.variance,
+                np.asarray(aux).T,
+                max_iter=SAMPLE_NEWTON_ITERS,
+            )
+            return
         self.adata.obsm["embeddings"] = np.asarray(
             ops.update_embeddings(
                 self.adata.obsm["embeddings"],

@@ -34,10 +34,11 @@ class KLNMF(StandardNMF):
         max_iterations: int = 10000,
         conv_test_freq: int = 10,
         tol: float = 1e-7,
+        dtype: str | None = None,
     ):
         super().__init__(
             n_signatures, init_method, min_iterations, max_iterations,
-            conv_test_freq, tol,
+            conv_test_freq, tol, dtype=dtype,
         )
         self.weights_kl: np.ndarray | None = None
         self.weights_lhalf: np.ndarray | None = None
@@ -68,10 +69,11 @@ class KLNMF(StandardNMF):
     # ------------------------------------------------------------------ #
     def _device_state(self):
         params, data = super()._device_state()
+        dtype = self._device_dtype
         if self.weights_kl is not None:
-            data["weights_kl"] = jnp.asarray(self.weights_kl)
+            data["weights_kl"] = jnp.asarray(self.weights_kl, dtype)
         if self.weights_lhalf is not None:
-            data["weights_lhalf"] = jnp.asarray(self.weights_lhalf)
+            data["weights_lhalf"] = jnp.asarray(self.weights_lhalf, dtype)
         return params, data
 
     def _build_step(self, given_parameters=None):

@@ -32,6 +32,7 @@ from ..ops import corrnmf as ops
 from ..ops import klnmf as klnmf_ops
 from ..utils import dict_checker, type_checker, value_checker
 from .corrnmf_det import SAMPLE_NEWTON_ITERS, SIGNATURE_NEWTON_ITERS
+from .signature_nmf import promote_objective, resolve_dtype
 
 
 class MultimodalCorrNMF:
@@ -47,8 +48,12 @@ class MultimodalCorrNMF:
         max_iterations: int = 10000,
         conv_test_freq: int = 10,
         tol: float = 1e-7,
+        dtype: str | None = None,
+        newton_cg_compat: bool = False,
     ):
         self.ns_signatures = list(ns_signatures)
+        # opt-in auditing mode (see CorrNMF.newton_cg_compat)
+        self.newton_cg_compat = newton_cg_compat
         self.dim_embeddings = (
             int(np.max(ns_signatures)) if dim_embeddings is None else dim_embeddings
         )
@@ -57,6 +62,8 @@ class MultimodalCorrNMF:
         self.max_iterations = max_iterations
         self.conv_test_freq = conv_test_freq
         self.tol = tol
+        resolved = resolve_dtype(dtype)
+        self.dtype = None if resolved is None else resolved.name
         self.variance = 1.0
 
         default_names = [f"mod{n}" for n in range(1, len(ns_signatures) + 1)]
@@ -67,6 +74,7 @@ class MultimodalCorrNMF:
             name: containers.AnnData() for name in default_names
         }
         self.history: dict[str, Any] = {}
+        self._is_fitted = False
         total = sum(ns_signatures)
         self.signature_correlation = np.full((total, total), np.nan)
 
@@ -235,27 +243,33 @@ class MultimodalCorrNMF:
     # engine hooks
     # ------------------------------------------------------------------ #
     def _device_state(self):
+        dtype = resolve_dtype(self.dtype)
         data = {
-            "X": {name: jnp.asarray(self.mdata[name].X) for name in self.mod_names}
+            "X": {
+                name: jnp.asarray(self.mdata[name].X, dtype)
+                for name in self.mod_names
+            }
         }
         mods = {}
         for name in self.mod_names:
             adata, asigs = self.mdata[name], self.asignatures[name]
             mods[name] = {
-                "signatures": jnp.asarray(asigs.X),
+                "signatures": jnp.asarray(asigs.X, dtype),
                 "signature_scalings": jnp.asarray(
-                    np.asarray(asigs.obs["scalings"], dtype=float)
+                    np.asarray(asigs.obs["scalings"], dtype=float), dtype
                 ),
                 "sample_scalings": jnp.asarray(
-                    np.asarray(adata.obs["scalings"], dtype=float)
+                    np.asarray(adata.obs["scalings"], dtype=float), dtype
                 ),
-                "signature_embeddings": jnp.asarray(asigs.obsm["embeddings"]),
-                "exposures": jnp.asarray(adata.obsm["exposures"]),
+                "signature_embeddings": jnp.asarray(
+                    asigs.obsm["embeddings"], dtype
+                ),
+                "exposures": jnp.asarray(adata.obsm["exposures"], dtype),
             }
         params = {
             "mods": mods,
-            "sample_embeddings": jnp.asarray(self.mdata.obsm["embeddings"]),
-            "variance": jnp.asarray(float(self.variance)),
+            "sample_embeddings": jnp.asarray(self.mdata.obsm["embeddings"], dtype),
+            "variance": jnp.asarray(float(self.variance), dtype),
         }
         return params, data
 
@@ -413,9 +427,25 @@ class MultimodalCorrNMF:
 
     def _update_parameters(self, given_parameters=None) -> None:
         """One full joint EM cycle, eagerly (test/inspection surface)."""
+        if self.newton_cg_compat:
+            self._update_parameters_host(given_parameters)
+            return
         params, data = self._device_state()
         update_fn, _ = self._build_step(given_parameters)
         self._absorb_params(update_fn(params, data))
+
+    def _update_parameters_host(self, given_parameters=None) -> None:
+        """One full joint EM cycle through the eager reference-named methods
+        (the compatibility path: exact reference order, scipy Newton-CG
+        embeddings; reference mmcorrnmf.py:443-453)."""
+        given = given_parameters or {}
+        self.update_sample_scalings(given)
+        self.compute_exposures()
+        auxs = self._compute_auxs()
+        self.update_signature_scalings(auxs, given)
+        self.update_embeddings(auxs, given)
+        self.update_variance(given)
+        self.update_signatures(given)
 
     # ------------------------------------------------------------------ #
     # eager per-update methods (reference-named test/inspection surface)
@@ -468,6 +498,17 @@ class MultimodalCorrNMF:
             if "signature_embeddings" in given.get(name, {}):
                 continue
             adata, asigs = self.mdata[name], self.asignatures[name]
+            if self.newton_cg_compat:
+                asigs.obsm["embeddings"] = ops.update_embeddings_newton_cg(
+                    asigs.obsm["embeddings"],
+                    self.mdata.obsm["embeddings"],
+                    np.asarray(asigs.obs["scalings"]),
+                    np.asarray(adata.obs["scalings"]),
+                    self.variance,
+                    auxs[name],
+                    max_iter=None,
+                )
+                continue
             asigs.obsm["embeddings"] = np.asarray(
                 ops.update_embeddings(
                     asigs.obsm["embeddings"],
@@ -498,6 +539,17 @@ class MultimodalCorrNMF:
             ],
             axis=1,
         )
+        if self.newton_cg_compat:
+            self.mdata.obsm["embeddings"] = ops.update_embeddings_newton_cg(
+                self.mdata.obsm["embeddings"],
+                sig_embs,
+                scalings_mat,
+                sig_scals,
+                self.variance,
+                aux_all.T,
+                max_iter=SAMPLE_NEWTON_ITERS,
+            )
+            return
         self.mdata.obsm["embeddings"] = np.asarray(
             ops.update_embeddings(
                 self.mdata.obsm["embeddings"],
@@ -566,8 +618,36 @@ class MultimodalCorrNMF:
         self._setup_mdata(mdata)
         self._initialize(given_parameters, init_kwargs)
 
+        if self.newton_cg_compat:
+            # reference-verbatim host loop over the scipy-exact update cycle
+            of_values = [self.objective_function()]
+            n_iteration = 0
+            converged = False
+            while not converged:
+                n_iteration += 1
+                if verbose and n_iteration % verbosity_freq == 0:
+                    print(f"iteration: {n_iteration}; "
+                          f"objective: {of_values[-1]:.2f}")
+                self._update_parameters_host(given_parameters)
+                if n_iteration % self.conv_test_freq == 0:
+                    previous = of_values[-1]
+                    of_values.append(self.objective_function())
+                    rel_change = abs(previous - of_values[-1]) / abs(previous)
+                    converged = (
+                        rel_change < self.tol
+                        and n_iteration >= self.min_iterations
+                    )
+                converged |= n_iteration >= self.max_iterations
+            if history:
+                self.history["objective_function"] = of_values[1:]
+                self.history["n_iterations"] = n_iteration
+            self.mdata.update()
+            self._is_fitted = True
+            return self
+
         params0, data = self._device_state()
         update_fn, objective_fn = self._build_step(given_parameters)
+        objective_fn = promote_objective(objective_fn, params0)
         config = self._fit_config()
         if stop_on_nonfinite:
             config = config._replace(stop_on_nonfinite=True)
@@ -594,6 +674,7 @@ class MultimodalCorrNMF:
             )
             self.history["n_iterations"] = int(result.n_iterations)
         self.mdata.update()
+        self._is_fitted = True
         return self
 
     # ------------------------------------------------------------------ #

@@ -33,10 +33,11 @@ class MvNMF(StandardNMF):
         max_iterations: int = 10000,
         conv_test_freq: int = 10,
         tol: float = 1e-7,
+        dtype: str | None = None,
     ):
         super().__init__(
             n_signatures, init_method, min_iterations, max_iterations,
-            conv_test_freq, tol,
+            conv_test_freq, tol, dtype=dtype,
         )
         self.lam = lam
         self.delta = delta

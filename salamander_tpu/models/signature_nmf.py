@@ -33,6 +33,77 @@ EPSILON = float(np.finfo(np.float32).eps)
 DIM_REDUCTION_METHODS = ("pca", "tsne", "umap")
 
 
+def resolve_dtype(dtype):
+    """Validate and canonicalize a model compute dtype.
+
+    None means 'backend default': float64 when jax x64 is enabled (the
+    CPU parity configuration), float32 otherwise (the TPU production
+    configuration). Explicit float64 requires x64.
+    """
+    if dtype is None:
+        return None
+    import jax
+
+    resolved = np.dtype(dtype)
+    if resolved not in (np.dtype(np.float32), np.dtype(np.float64)):
+        raise ValueError(
+            f"Unsupported model dtype {dtype!r}: use 'float32' or 'float64'."
+        )
+    if resolved == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype='float64' requires jax x64 "
+            "(jax.config.update('jax_enable_x64', True))."
+        )
+    return resolved
+
+
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree to `dtype` (None = no-op)."""
+    if dtype is None:
+        return tree
+    import jax
+    import jax.numpy as jnp
+
+    def cast(leaf):
+        leaf = jnp.asarray(leaf)
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree.map(cast, tree)
+
+
+def promote_objective(objective_fn, params0):
+    """Evaluate the convergence objective in float64 when the platform
+    allows it, regardless of the update dtype.
+
+    With float32 updates, the objective's own resolution (~1e-7 relative)
+    sits at the default convergence tolerance; measuring it in float64
+    restores a meaningful convergence test at negligible cost (one upcast
+    every conv_test_freq iterations). When x64 is unavailable (TPU
+    production), this is the identity and the engine instead floors the
+    tolerance at the dtype's resolution (engine.tolerance_floor).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not jax.config.jax_enable_x64:
+        return objective_fn
+    leaves = [
+        leaf for leaf in jax.tree.leaves(params0)
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+    ]
+    if all(leaf.dtype == jnp.float64 for leaf in leaves):
+        return objective_fn
+
+    def objective_fn_f64(params, data):
+        return objective_fn(
+            cast_floating(params, np.float64), cast_floating(data, np.float64)
+        )
+
+    return objective_fn_f64
+
+
 class SignatureNMF(ABC):
     """Shared structure of all NMF models used for signature analysis."""
 
@@ -49,6 +120,7 @@ class SignatureNMF(ABC):
         max_iterations: int = 10000,
         conv_test_freq: int = 10,
         tol: float = 1e-7,
+        dtype: str | None = None,
     ):
         value_checker("init_method", init_method, INIT_METHODS)
         self.n_signatures = n_signatures
@@ -57,11 +129,21 @@ class SignatureNMF(ABC):
         self.max_iterations = max_iterations
         self.conv_test_freq = conv_test_freq
         self.tol = tol
+        # compute dtype of the device fit (None = backend default: float64
+        # under jax x64, float32 on TPU); the convergence objective is
+        # promoted to float64 whenever the platform allows.
+        resolved = resolve_dtype(dtype)
+        self.dtype = None if resolved is None else resolved.name
 
         self.adata = containers.AnnData()
         self.asignatures = containers.AnnData()
         self.history: dict[str, Any] = {}
         self._is_fitted = False
+
+    @property
+    def _device_dtype(self):
+        """Resolved numpy dtype for device arrays, or None (backend default)."""
+        return resolve_dtype(self.dtype)
 
     # ------------------------------------------------------------------ #
     # container views
@@ -202,8 +284,14 @@ class SignatureNMF(ABC):
         self._initialize(given_parameters, init_kwargs)
         self._setup_fitting_parameters(fitting_kwargs)
 
+        if getattr(self, "_fits_on_host", False):
+            return self._fit_host(
+                given_parameters, history, verbose, verbosity_freq
+            )
+
         params0, data = self._device_state()
         update_fn, objective_fn = self._build_step(given_parameters)
+        objective_fn = promote_objective(objective_fn, params0)
         config = self._fit_config()
         if stop_on_nonfinite:
             config = config._replace(stop_on_nonfinite=True)
@@ -233,6 +321,36 @@ class SignatureNMF(ABC):
                 np.asarray(result.history)[:n_evals]
             )
             self.history["n_iterations"] = int(result.n_iterations)
+        self._is_fitted = True
+        return self
+
+    def _fit_host(self, given_parameters=None, history: bool = True,
+                  verbose: int = 0, verbosity_freq: int = 1000,
+                  ) -> "SignatureNMF":
+        """Reference-verbatim host fit loop (used by compatibility modes
+        whose per-iteration updates run host-side, e.g. CorrNMF's
+        newton_cg_compat). Semantics: reference signature_nmf.py:315-385."""
+        of_values = [self.objective_function()]
+        n_iteration = 0
+        converged = False
+        while not converged:
+            n_iteration += 1
+            if verbose and n_iteration % verbosity_freq == 0:
+                print(f"iteration: {n_iteration}; "
+                      f"objective: {of_values[-1]:.2f}")
+            self._update_parameters(given_parameters)
+            if n_iteration % self.conv_test_freq == 0:
+                previous = of_values[-1]
+                of_values.append(self.objective_function())
+                rel_change = abs(previous - of_values[-1]) / abs(previous)
+                converged = (
+                    rel_change < self.tol
+                    and n_iteration >= self.min_iterations
+                )
+            converged |= n_iteration >= self.max_iterations
+        if history:
+            self.history["objective_function"] = of_values[1:]
+            self.history["n_iterations"] = n_iteration
         self._is_fitted = True
         return self
 

@@ -39,10 +39,11 @@ class StandardNMF(SignatureNMF):
 
     def _device_state(self):
         # kernel orientation: X (V, D), W (V, K), H (K, D)
-        data = {"X": jnp.asarray(self.adata.X.T)}
+        dtype = self._device_dtype
+        data = {"X": jnp.asarray(self.adata.X.T, dtype)}
         params = {
-            "W": jnp.asarray(self.asignatures.X.T),
-            "H": jnp.asarray(self.adata.obsm["exposures"].T),
+            "W": jnp.asarray(self.asignatures.X.T, dtype),
+            "H": jnp.asarray(self.adata.obsm["exposures"].T, dtype),
         }
         return params, data
 

@@ -97,6 +97,26 @@ class TestUpdates:
         model_init.update_variance()
         assert np.allclose(model_init.variance, load("variance_updated"))
 
+    def test_update_signature_embeddings_newton_cg_compat(
+        self, model_init, load
+    ):
+        """The opt-in compat mode runs the reference's exact scipy Newton-CG
+        per row, reproducing the golden tightly."""
+        model_init.newton_cg_compat = True
+        model_init.update_signature_embeddings(load("aux"))
+        np.testing.assert_allclose(
+            model_init.asignatures.obsm["embeddings"],
+            load("signature_embeddings_updated").T, rtol=1e-5, atol=1e-8,
+        )
+
+    def test_update_sample_embeddings_newton_cg_compat(self, model_init, load):
+        model_init.newton_cg_compat = True
+        model_init.update_sample_embeddings(load("aux"))
+        np.testing.assert_allclose(
+            model_init.adata.obsm["embeddings"],
+            load("sample_embeddings_updated").T, rtol=1e-5, atol=1e-8,
+        )
+
 
 def test_fit_elbo_increases(counts):
     model = CorrNMFDet(
@@ -112,6 +132,24 @@ def test_fit_elbo_increases(counts):
     assert np.all(diffs >= -np.abs(np.asarray(trace[:-1])) * 1e-8 - 1e-8)
     assert model.exposures.shape == (counts.shape[0], 2)
     assert model.variance > 0
+
+
+def test_fit_newton_cg_compat_host_loop(counts):
+    """newton_cg_compat=True fits through the host loop with scipy-exact
+    embedding M-steps: ELBO non-decreasing, history recorded, model usable."""
+    model = CorrNMFDet(
+        n_signatures=2, dim_embeddings=2, newton_cg_compat=True,
+        min_iterations=10, max_iterations=30, conv_test_freq=10,
+    )
+    np.random.seed(3)
+    model.fit(AnnData(counts))
+    trace = model.history["objective_function"]
+    assert model.history["n_iterations"] <= 30
+    assert len(trace) >= 2
+    diffs = np.diff(trace)
+    assert np.all(diffs >= -np.abs(np.asarray(trace[:-1])) * 1e-8 - 1e-8)
+    assert model._is_fitted
+    assert model.exposures.shape == (counts.shape[0], 2)
 
 
 @pytest.mark.parametrize("nsigs,dim", [(1, 1), (2, 1), (2, 2)])

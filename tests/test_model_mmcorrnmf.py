@@ -201,6 +201,35 @@ class TestUpdates:
             )
             assert ours <= golden + 1e-8 * abs(golden)
 
+    def test_update_sample_embeddings_newton_cg_compat_equals_golden(
+        self, data_dir, model_init, auxs
+    ):
+        """Under the opt-in Newton-CG compatibility mode the joint sample
+        M-step runs the reference's exact scipy truncated Newton-CG
+        (maxiter=3), so the golden iterate is reproduced EXACTLY - the
+        auditable-trace counterpart of the dominance pin above."""
+        expected = np.load(data_dir / "sample_embeddings_updated.npy").T
+        model_init.newton_cg_compat = True
+        model_init.update_sample_embeddings(auxs)
+        np.testing.assert_allclose(
+            model_init.mdata.obsm["embeddings"], expected, rtol=1e-6,
+            atol=1e-9,
+        )
+
+    def test_update_signature_embeddings_newton_cg_compat_equals_golden(
+        self, data_dir, model_init, auxs
+    ):
+        model_init.newton_cg_compat = True
+        model_init.update_signature_embeddings(auxs)
+        for n in range(N_MOD):
+            expected = np.load(
+                data_dir / f"model{n}_signature_embeddings_updated.npy"
+            ).T
+            np.testing.assert_allclose(
+                model_init.asignatures[f"mod{n}"].obsm["embeddings"],
+                expected, rtol=1e-5, atol=1e-8,
+            )
+
     def test_update_variance(self, data_dir, model_init):
         model_init.update_variance()
         expected = np.load(data_dir / "variance_updated.npy")
