@@ -11,7 +11,14 @@ objectives.
 """
 
 from .bootstrap import BootstrapResult, bootstrap_stability  # noqa: F401
-from .mesh import make_mesh, restart_sharding  # noqa: F401
+from .mesh import (  # noqa: F401
+    hybrid_mesh_shape,
+    init_distributed,
+    make_hybrid_mesh,
+    make_mesh,
+    restart_sharding,
+    slice_groups,
+)
 from .multistart import MultiStartSummary, fit_best_of  # noqa: F401
 from .restarts import (  # noqa: F401
     RestartResult,
