@@ -280,6 +280,39 @@ def config5_rank_scan():
     })
 
 
+def config5b_rank_scan_padded():
+    """K-padded rank scan: ranks share bucketed compiled programs (3 compiles
+    for k=2..20 instead of 19), per-rank results identical to config 5."""
+    from salamander_tpu.parallel import rank_scan_klnmf
+
+    X = datasets.synthetic_catalog(n_features=96, n_samples=10_000,
+                                   n_signatures=8, seed=0)
+    config = FitConfig(min_iterations=200, max_iterations=2000,
+                       conv_test_freq=10, tol=1e-7)
+    start = time.perf_counter()
+    results = rank_scan_klnmf(X, range(2, 21), 100, seed=0, config=config,
+                              pad_ranks=True)
+    cold = time.perf_counter() - start
+    start = time.perf_counter()
+    results = rank_scan_klnmf(X, range(2, 21), 100, seed=0, config=config,
+                              pad_ranks=True)
+    steady = time.perf_counter() - start
+    total_iters = int(sum(np.sum(r.n_iterations) for r in results.values()))
+    emit({
+        "config": "5b_rank_scan_padded_k2_20_100restarts_96x10k",
+        "cold_wall_seconds_incl_3_bucket_compiles": round(cold, 1),
+        "steady_state_seconds": round(steady, 1),
+        "cold_over_steady": round(cold / steady, 2),
+        "total_mu_iterations": total_iters,
+        "tpu_steady_aggregate_mu_iterations_per_sec": round(
+            total_iters / steady, 1
+        ),
+        "best_loss_per_rank": {
+            k: round(r.best_loss, 1) for k, r in results.items()
+        },
+    })
+
+
 CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
@@ -287,6 +320,7 @@ CONFIGS = {
     "3b": config3b_corrnmf_multistart,
     "4": config4_multimodal,
     "5": config5_rank_scan,
+    "5b": config5b_rank_scan_padded,
 }
 
 

@@ -11,6 +11,7 @@ sharded too (XLA all-reduces the cross-sample contractions).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -45,6 +46,26 @@ class RestartResult(NamedTuple):
         return self.H[self.best_index]
 
 
+def _lockstep_run(update_fn, objective_fn, config: FitConfig):
+    """The shared natively-batched fit: one lockstep while_loop over all
+    restarts, per-lane convergence, final losses evaluated on device."""
+
+    def run(params0, data):
+        batched_update = jax.vmap(lambda p: update_fn(p, data))
+        batched_objective = jax.vmap(lambda p: objective_fn(p, data))
+
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched_update(q), params
+            )
+
+        result = fit_loop_lockstep(batched_objective, params0, config, block)
+        final_loss = batched_objective(result.params)
+        return result.params, final_loss, result.n_iterations
+
+    return run
+
+
 def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
                                mesh=None, use_pallas: bool = False):
     """Compile (once) the batched multi-start KLNMF fit.
@@ -58,19 +79,23 @@ def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
     VMEM-resident TPU kernel (unweighted path only).
     """
     update_fn, objective_fn = ops.make_step_functions()
-    if use_pallas and weighted:
-        raise ValueError("The fused Pallas path supports only unweighted KLNMF.")
     if use_pallas and mesh is not None:
         raise ValueError("The fused Pallas path is single-device; drop 'mesh'.")
 
     if use_pallas:
-        # Natively-batched loop around the chunked VMEM-resident MU kernel:
-        # the kernel advances ALL restarts per call (vmap would serialize it).
-        from ..ops.pallas_klnmf import make_block_update_batched
+        # Natively-batched loop around a fused VMEM-resident MU kernel (the
+        # kernel advances ALL restarts per call - vmap would serialize it);
+        # make_block_update_auto picks the weighted or D-tiled variant from
+        # the data shapes.
+        from ..ops.pallas_klnmf import make_block_update_auto
 
         def run_pallas(params0, data):
             n_restarts = params0["W"].shape[0]
-            block_update = make_block_update_batched(data["X"], n_restarts)
+            block_update = make_block_update_auto(
+                data["X"], n_restarts,
+                weights_kl=data.get("weights_kl"),
+                weights_lhalf=data.get("weights_lhalf"),
+            )
             batched_objective = jax.vmap(objective_fn, in_axes=(0, None))
             result = fit_loop_lockstep(
                 lambda p: batched_objective(p, data),
@@ -85,18 +110,7 @@ def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
 
     # Natively-batched lockstep loop (one while over the whole batch):
     # ~40% higher aggregate throughput than vmap-of-while for multi-start.
-    def run(params0, data):
-        batched_update = jax.vmap(lambda p: update_fn(p, data))
-        batched_objective = jax.vmap(lambda p: objective_fn(p, data))
-
-        def block(params, steps):
-            return jax.lax.fori_loop(
-                0, steps, lambda _, q: batched_update(q), params
-            )
-
-        result = fit_loop_lockstep(batched_objective, params0, config, block)
-        final_loss = batched_objective(result.params)
-        return result.params, final_loss, result.n_iterations
+    run = _lockstep_run(update_fn, objective_fn, config)
 
     if mesh is None:
         return jax.jit(run)
@@ -205,6 +219,35 @@ def rank_scan(
     return results
 
 
+def build_klnmf_masked_runner(config: FitConfig, mesh=None):
+    """Compile (once) a rank-MASKED multi-start KLNMF fit: lanes of different
+    rank share one K-padded program. params0 = {"W": (R,V,Kp), "H": (R,Kp,D),
+    "mask": (R,Kp) bool}; returns (params, losses, n_iterations) like
+    build_klnmf_restart_runner."""
+    update_fn, objective_fn = ops.make_masked_step_functions()
+    run = _lockstep_run(update_fn, objective_fn, config)
+    if mesh is None:
+        return jax.jit(run)
+    shardings = restart_sharding(mesh)
+    in_shardings = (
+        {"W": shardings["W"], "H": shardings["H"], "mask": shardings["mask"]},
+        {"X": shardings["X"]},
+    )
+    out_shardings = (
+        {"W": shardings["W"], "H": shardings["H"], "mask": shardings["mask"]},
+        shardings["per_restart"],
+        shardings["per_restart"],
+    )
+    return jax.jit(run, in_shardings=in_shardings, out_shardings=out_shardings)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_masked_runner(config: FitConfig, mesh):
+    """One jitted masked runner per (config, mesh): repeated rank scans and
+    all buckets of one scan share a single jit cache (per-shape compiles)."""
+    return build_klnmf_masked_runner(config, mesh=mesh)
+
+
 def rank_scan_klnmf(
     X,
     n_signatures_range,
@@ -213,15 +256,96 @@ def rank_scan_klnmf(
     config: FitConfig | None = None,
     mesh=None,
     dtype=jnp.float32,
+    pad_ranks: bool = True,
+    rank_bucket: int = 8,
 ) -> dict[int, RestartResult]:
     """Multi-start KLNMF over a range of ranks (the model-selection scan the
-    reference tutorial runs as a nested Python loop). One compiled program
-    per rank; all restarts of a rank run simultaneously."""
+    reference tutorial runs as a nested Python loop, tutorial.ipynb cell 70).
+
+    With pad_ranks=True (default), ranks are rounded up to multiples of
+    `rank_bucket` and every rank in a bucket runs as extra lanes of ONE
+    K-padded compiled program with per-lane rank masks: a 19-rank scan costs
+    ~3 XLA compilations instead of 19, and small ranks stop wasting the
+    MXU's K lanes. Per-rank results are identical to the unpadded scan
+    (same seeds, masked lanes advance and converge independently).
+    pad_ranks=False keeps one compiled program per rank."""
+    config = config or FitConfig()
+    ranks = [int(k) for k in n_signatures_range]
     results: dict[int, RestartResult] = {}
-    for offset, k in enumerate(n_signatures_range):
-        results[int(k)] = fit_klnmf_restarts(
-            X, int(k), n_restarts,
-            seed=seed + 1000 * offset,
-            config=config, mesh=mesh, dtype=dtype,
+
+    if not pad_ranks:
+        for offset, k in enumerate(ranks):
+            results[k] = fit_klnmf_restarts(
+                X, k, n_restarts,
+                seed=seed + 1000 * offset,
+                config=config, mesh=mesh, dtype=dtype,
+            )
+        return results
+
+    X = jnp.asarray(X, dtype)
+    data = {"X": X}
+    if mesh is not None:
+        shardings = restart_sharding(mesh)
+        data["X"] = jax.device_put(data["X"], shardings["X"])
+    # group ranks into shared-padded-K buckets, keeping each rank's seed
+    # identical to the unpadded scan's
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for offset, k in enumerate(ranks):
+        padded = ((k + rank_bucket - 1) // rank_bucket) * rank_bucket
+        buckets.setdefault(padded, []).append((offset, k))
+
+    # HBM guard: the aux ratio intermediate costs ~3 (V, D) buffers per lane,
+    # so packing a whole bucket's ranks into one call is only worth it for
+    # small problems; otherwise run one rank per call - every call of a
+    # bucket still shares the SAME compiled program (identical shapes), so
+    # the compile count stays at one per bucket either way.
+    lane_budget_bytes = 4 * 1024**3
+    per_lane = 3 * X.shape[0] * X.shape[1] * 4
+    lanes_cap = max(n_restarts, int(lane_budget_bytes / per_lane))
+
+    try:
+        runner = _cached_masked_runner(config, mesh)
+    except TypeError:  # unhashable mesh: fall back to a fresh runner
+        runner = build_klnmf_masked_runner(config, mesh=mesh)
+    for padded, members in sorted(buckets.items()):
+        groups = (
+            [members] if len(members) * n_restarts <= lanes_cap
+            else [[member] for member in members]
         )
+        for group in groups:
+            W_parts, H_parts, mask_parts = [], [], []
+            for offset, k in group:
+                key = jax.random.PRNGKey(seed + 1000 * offset)
+                W0, H0 = random_init_batch(key, X, k, n_restarts, dtype)
+                W0, H0, mask = ops.pad_rank(W0, H0, padded)
+                W_parts.append(W0)
+                H_parts.append(H0)
+                mask_parts.append(jnp.broadcast_to(mask, (n_restarts, padded)))
+            params0 = {
+                "W": jnp.concatenate(W_parts),
+                "H": jnp.concatenate(H_parts),
+                "mask": jnp.concatenate(mask_parts),
+            }
+            if mesh is not None:
+                params0 = {
+                    "W": jax.device_put(params0["W"], shardings["W"]),
+                    "H": jax.device_put(params0["H"], shardings["H"]),
+                    "mask": jax.device_put(params0["mask"], shardings["mask"]),
+                }
+
+            params, losses, n_iterations = runner(params0, data)
+            losses = np.asarray(losses)
+            n_iterations = np.asarray(n_iterations)
+            W = np.asarray(params["W"])
+            H = np.asarray(params["H"])
+            for i, (offset, k) in enumerate(group):
+                lanes = slice(i * n_restarts, (i + 1) * n_restarts)
+                losses_k = losses[lanes]
+                results[k] = RestartResult(
+                    W=W[lanes][:, :, :k],
+                    H=H[lanes][:, :k, :],
+                    losses=losses_k,
+                    n_iterations=n_iterations[lanes],
+                    best_index=int(np.argmin(losses_k)),
+                )
     return results
