@@ -197,3 +197,50 @@ def random_init_batch(key, data_mat, n_signatures: int, n_restarts: int,
     W = jnp.maximum(W, EPSILON)
     H = jnp.maximum(H, EPSILON)
     return W, H
+
+
+def corrnmf_init_batch(key, data_mat, n_signatures: int, dim_embeddings: int,
+                       n_restarts: int, dtype=None):
+    """Initialize a batch of CorrNMF parameter pytrees on device.
+
+    The jax.random counterpart of initialize_corrnmf with init_method
+    'random' (reference initialization/initialize.py:319-384): Dirichlet
+    signatures, zero scalings, standard-normal embeddings, unit variance;
+    exposures derived from the scalings/embeddings. data_mat is (D, V) with
+    samples as rows (model orientation). Returns the params pytree of
+    CorrNMFDet._device_state with a leading restart axis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.corrnmf import compute_exposures
+
+    if dtype is None:
+        dtype = data_mat.dtype
+    n_samples, n_features = data_mat.shape
+    key_sig, key_sig_emb, key_smp_emb = jax.random.split(key, 3)
+    signatures = jax.random.dirichlet(
+        key_sig, jnp.ones(n_features, dtype), shape=(n_restarts, n_signatures)
+    )
+    signatures = jnp.maximum(signatures, EPSILON)
+    signature_embeddings = jax.random.normal(
+        key_sig_emb, (n_restarts, n_signatures, dim_embeddings), dtype
+    )
+    sample_embeddings = jax.random.normal(
+        key_smp_emb, (n_restarts, n_samples, dim_embeddings), dtype
+    )
+    signature_scalings = jnp.zeros((n_restarts, n_signatures), dtype)
+    sample_scalings = jnp.zeros((n_restarts, n_samples), dtype)
+    exposures = jax.vmap(compute_exposures)(
+        signature_scalings, sample_scalings,
+        signature_embeddings, sample_embeddings,
+    )
+    return {
+        "signatures": signatures,
+        "signature_scalings": signature_scalings,
+        "sample_scalings": sample_scalings,
+        "signature_embeddings": signature_embeddings,
+        "sample_embeddings": sample_embeddings,
+        "variance": jnp.ones((n_restarts,), dtype),
+        "exposures": exposures,
+    }

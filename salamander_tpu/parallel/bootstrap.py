@@ -8,8 +8,10 @@ engine - and each replicate's signatures are Hungarian-matched back to the
 full-data fit to produce per-signature cosine-stability distributions
 (the SigProfiler-style stability score).
 
-Currently implemented for the W/H families (KLNMF semantics; the fit uses
-the unweighted joint multiplicative update).
+Every family refits under its OWN update rule and objective: the replicate
+fits reuse the model's engine step functions (KLNMF's weighted MU, MvNMF's
+volume-penalized line search, CorrNMFDet's variational EM), so the stability
+numbers mean what they claim for every model class.
 """
 
 from __future__ import annotations
@@ -20,10 +22,11 @@ import jax
 import numpy as np
 import pandas as pd
 
+from .. import containers
 from ..engine import FitConfig, make_fit_function
-from ..initialization.methods import random_init_batch
-from ..ops import klnmf as ops
 from ..utils import match_signatures_pair
+
+_SUPPORTED = ("KLNMF", "MvNMF", "CorrNMFDet")
 
 
 class BootstrapResult(NamedTuple):
@@ -39,78 +42,104 @@ def _cosine(u, v):
     return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)))
 
 
+def _stack(trees):
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *trees)
+
+
 def bootstrap_stability(
     model,
     n_bootstraps: int = 50,
     seed: int = 0,
     config: FitConfig | None = None,
-    dtype=np.float32,
 ) -> BootstrapResult:
-    """Assess signature stability of a FITTED StandardNMF-family model.
+    """Assess signature stability of a FITTED model under cohort resampling.
 
     Draws `n_bootstraps` resampled cohorts (samples with replacement), fits
-    all of them in one device program (random init per replicate), matches
-    each replicate's signatures to the model's, and reports matched cosine
-    similarities. Stability near 1 = robust signature; low mean stability
-    flags overfitting / rank too high.
+    all of them in one device program using the model's own step functions
+    (fresh initialization per replicate with the model's init_method),
+    matches each replicate's signatures to the model's, and reports matched
+    cosine similarities. Stability near 1 = robust signature; low mean
+    stability flags overfitting / rank too high.
     """
+    class_name = type(model).__name__
+    if class_name not in _SUPPORTED:
+        raise ValueError(
+            f"bootstrap_stability supports {_SUPPORTED}; got {class_name}. "
+            "For MultimodalCorrNMF, bootstrap each modality's single-modality "
+            "fit or use fit_best_of's loss table for robustness checks."
+        )
     if not getattr(model, "_is_fitted", False):
         raise ValueError("bootstrap_stability() requires a fitted model.")
-    if type(model).__name__ != "KLNMF":
-        import warnings
+    from ..io import _HYPERPARAM_KEYS
 
-        warnings.warn(
-            "bootstrap_stability refits replicates with the plain KLNMF "
-            f"update; stability of {type(model).__name__} signatures is "
-            "assessed under the KL objective, not the model's own.",
-            UserWarning,
-        )
-    X = np.asarray(model.adata.X.T, dtype=dtype)  # (V, D)
-    n_features, n_samples = X.shape
-    n_signatures = model.n_signatures
     config = config or FitConfig(
         min_iterations=model.min_iterations,
         max_iterations=model.max_iterations,
         conv_test_freq=model.conv_test_freq,
         tol=model.tol,
     )
-
+    n_samples = model.adata.n_obs
     rng = np.random.default_rng(seed)
-    sample_indices = rng.integers(
-        0, n_samples, size=(n_bootstraps, n_samples)
-    )
-    X_boot = np.stack([X[:, idx] for idx in sample_indices])  # (B, V, D)
+    sample_indices = rng.integers(0, n_samples, size=(n_bootstraps, n_samples))
+    X = np.asarray(model.adata.X)  # (D, V), samples as rows
 
-    # per-replicate random init (jax.random, batched)
-    key = jax.random.PRNGKey(seed)
-    W0, H0 = random_init_batch(
-        key, jax.numpy.asarray(X, dtype), n_signatures, n_bootstraps, dtype
-    )
+    # one throwaway clone drives per-replicate init + device-state assembly
+    hyperparameters = {
+        key: getattr(model, key) for key in _HYPERPARAM_KEYS[class_name]
+    }
+    clone = type(model)(**hyperparameters)
+    stochastic_init = clone.init_method in ("random", "separableNMF", "nndsvdar")
 
-    update_fn, objective_fn = ops.make_step_functions()
+    params_per_replicate, data_per_replicate = [], []
+    for b in range(n_bootstraps):
+        indices = sample_indices[b]
+        adata_b = containers.AnnData(X[indices])
+        np.random.seed(seed + b)  # drives unseeded CorrNMF embedding draws
+        clone._setup_adata(adata_b)
+        init_kwargs = {"seed": seed + b} if stochastic_init else None
+        clone._initialize(None, init_kwargs)
+        clone._setup_fitting_parameters(None)
+        # per-sample loss weights follow their samples into the replicate
+        for attr in ("weights_kl", "weights_lhalf"):
+            weights = getattr(model, attr, None)
+            if weights is not None:
+                setattr(clone, attr, np.asarray(weights)[indices])
+        params_b, data_b = clone._device_state()
+        params_per_replicate.append(jax.tree.map(np.asarray, params_b))
+        data_per_replicate.append(jax.tree.map(np.asarray, data_b))
+
+    params0 = _stack(params_per_replicate)
+    data = _stack(data_per_replicate)
+    update_fn, objective_fn = clone._build_step(None)
+    from ..models.signature_nmf import promote_objective
+
+    objective_fn = promote_objective(
+        objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
+    )
     run = make_fit_function(
-        update_fn, objective_fn, config, batched=True, batched_data=True
+        update_fn, objective_fn, config, batched=True, batched_data=True,
+        unroll=getattr(clone, "_unroll_blocks", False),
     )
-    result = run(
-        {"W": W0, "H": H0}, {"X": jax.numpy.asarray(X_boot, dtype)}
-    )
-    W_boot = np.asarray(result.params["W"])  # (B, V, K)
+    result = run(params0, data)
     losses = np.asarray(
-        jax.jit(
-            jax.vmap(objective_fn, in_axes=(0, 0))
-        )({"W": result.params["W"], "H": result.params["H"]},
-          {"X": jax.numpy.asarray(X_boot, dtype)})
+        jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(result.params, data)
     )
+    if "W" in result.params:  # KLNMF/MvNMF kernel orientation (B, V, K)
+        W_boot = np.transpose(np.asarray(result.params["W"]), (0, 2, 1))
+    else:  # CorrNMFDet carries (B, K, V) signatures directly
+        W_boot = np.asarray(result.params["signatures"])
 
+    n_signatures = model.n_signatures
+    n_features = X.shape[1]
     reference_signatures = model.signatures  # (K, V) dataframe
     matched = np.empty((n_bootstraps, n_signatures, n_features))
     similarities = np.empty((n_bootstraps, n_signatures))
     for b in range(n_bootstraps):
         replicate = pd.DataFrame(
-            W_boot[b].T, columns=reference_signatures.columns
+            W_boot[b], columns=reference_signatures.columns
         )
         order = match_signatures_pair(reference_signatures, replicate)
-        matched[b] = W_boot[b].T[order]
+        matched[b] = W_boot[b][order]
         for k in range(n_signatures):
             similarities[b, k] = _cosine(
                 reference_signatures.values[k], matched[b, k]

@@ -35,6 +35,32 @@ def _index_pytree(tree, index: int):
     return jax.tree.map(lambda leaf: leaf[index], tree)
 
 
+# families with a device-side batched 'random' initializer
+_DEVICE_INIT_FAMILIES = ("KLNMF", "MvNMF", "CorrNMFDet")
+
+
+def _device_init_batch(model, data, n_restarts: int, base_seed: int):
+    """Build the batched params0 pytree directly on device with jax.random
+    (no host loop, no global numpy RNG)."""
+    import jax.numpy as jnp
+
+    from ..initialization.methods import corrnmf_init_batch, random_init_batch
+
+    key = jax.random.PRNGKey(base_seed)
+    name = type(model).__name__
+    if name in ("KLNMF", "MvNMF"):
+        X = data["X"]  # (V, D) kernel orientation
+        W0, H0 = random_init_batch(key, X, model.n_signatures, n_restarts,
+                                   X.dtype)
+        params = {"W": W0, "H": H0}
+        if name == "MvNMF":
+            params["gamma"] = jnp.ones((n_restarts,), X.dtype)
+        return params
+    return corrnmf_init_batch(
+        key, data["X"], model.n_signatures, model.dim_embeddings, n_restarts
+    )
+
+
 def fit_best_of(
     model,
     data_container,
@@ -44,6 +70,7 @@ def fit_best_of(
     init_kwargs: dict[str, Any] | None = None,
     fitting_kwargs: dict[str, Any] | None = None,
     mesh=None,
+    batched_init: bool | str = "auto",
 ) -> MultiStartSummary:
     """Fit `n_restarts` differently-initialized copies of `model` at once and
     keep the best.
@@ -54,6 +81,13 @@ def fit_best_of(
     parameters (and its objective trace in .history); the full loss table is
     returned. With a `mesh` (from parallel.make_mesh), the restart axis of
     every parameter leaf is sharded over the mesh's 'restarts' axis.
+
+    batched_init: with 'auto' (default), models using init_method='random'
+    without given_parameters are initialized by one device-side jax.random
+    program (negligible init time at any restart count, no global numpy RNG
+    use); other configurations fall back to a host loop over the model's own
+    initializer (restoring the global RNG state afterwards). True forces the
+    device path (raises if unsupported), False forces the host loop.
     """
     is_multimodal = hasattr(model, "mdata") and not hasattr(model, "adata")
 
@@ -64,6 +98,19 @@ def fit_best_of(
         model._setup_fitting_parameters(fitting_kwargs)
 
     init_kwargs = {} if init_kwargs is None else dict(init_kwargs)
+    device_init_supported = (
+        not is_multimodal
+        and not given_parameters
+        and model.init_method == "random"
+        and type(model).__name__ in _DEVICE_INIT_FAMILIES
+    )
+    if batched_init is True and not device_init_supported:
+        raise ValueError(
+            "batched_init=True requires init_method='random', no "
+            f"given_parameters, and a model in {_DEVICE_INIT_FAMILIES}."
+        )
+    use_device_init = batched_init is not False and device_init_supported
+
     seeds_init_kwargs = "seed" in init_kwargs or model.init_method in (
         "random", "separableNMF", "nndsvdar"
     )
@@ -82,21 +129,38 @@ def fit_best_of(
             UserWarning,
         )
 
-    params_per_restart = []
-    data = None
-    for restart in range(n_restarts):
-        seed = base_seed + restart
-        np.random.seed(seed)  # drives the unseeded CorrNMF embedding draws
+    if use_device_init:
+        # one host init populates the containers (shapes/names); the actual
+        # per-restart parameters come from one batched device program
         kwargs = dict(init_kwargs)
-        if seeds_init_kwargs:
-            kwargs["seed"] = seed
-        model._initialize(given_parameters, kwargs)
-        if not is_multimodal:
-            model._setup_fitting_parameters(fitting_kwargs)
-        params_r, data = model._device_state()
-        params_per_restart.append(jax.tree.map(np.asarray, params_r))
-
-    params0 = _stack_pytrees(params_per_restart)
+        kwargs.setdefault("seed", base_seed)
+        rng_state = np.random.get_state()
+        try:
+            model._initialize(given_parameters, kwargs)
+        finally:
+            np.random.set_state(rng_state)
+        model._setup_fitting_parameters(fitting_kwargs)
+        _, data = model._device_state()
+        params0 = _device_init_batch(model, data, n_restarts, base_seed)
+    else:
+        params_per_restart = []
+        data = None
+        rng_state = np.random.get_state()
+        try:
+            for restart in range(n_restarts):
+                seed = base_seed + restart
+                np.random.seed(seed)  # drives unseeded CorrNMF embedding draws
+                kwargs = dict(init_kwargs)
+                if seeds_init_kwargs:
+                    kwargs["seed"] = seed
+                model._initialize(given_parameters, kwargs)
+                if not is_multimodal:
+                    model._setup_fitting_parameters(fitting_kwargs)
+                params_r, data = model._device_state()
+                params_per_restart.append(jax.tree.map(np.asarray, params_r))
+        finally:
+            np.random.set_state(rng_state)
+        params0 = _stack_pytrees(params_per_restart)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -107,6 +171,9 @@ def fit_best_of(
             lambda leaf: jax.device_put(leaf, restart_first), params0
         )
     update_fn, objective_fn = model._build_step(given_parameters)
+    from ..models.signature_nmf import promote_objective
+
+    objective_fn = promote_objective(objective_fn, _index_pytree(params0, 0))
     run = make_fit_function(update_fn, objective_fn, model._fit_config(),
                             batched=True,
                             unroll=getattr(model, "_unroll_blocks", False))

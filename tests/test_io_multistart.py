@@ -1,6 +1,8 @@
 """Checkpoint round-trips for all four model families, the generic batched
 multi-start driver, profiling utilities, and the engine's NaN guard."""
 
+import warnings
+
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -138,6 +140,57 @@ def test_fit_best_of_multimodal(counts, counts2):
     assert summary.best_index == int(np.argmax(summary.losses))
 
 
+def test_fit_best_of_device_init_leaves_global_rng_alone(counts):
+    """The 'random' init path builds all restarts on device with jax.random;
+    the global numpy RNG state must be untouched (round-1 footgun)."""
+    model = KLNMF(n_signatures=2, init_method="random",
+                  min_iterations=10, max_iterations=30)
+    np.random.seed(12345)
+    state_before = np.random.get_state()
+    summary = fit_best_of(model, AnnData(counts), n_restarts=4, base_seed=3)
+    state_after = np.random.get_state()
+    assert state_before[0] == state_after[0]
+    assert np.array_equal(state_before[1], state_after[1])
+    assert len(set(np.round(summary.losses, 6))) > 1
+
+
+def test_fit_best_of_device_init_corrnmf(counts2):
+    """CorrNMF-family multi-start inits on device (no host loop)."""
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2, init_method="random",
+                       min_iterations=10, max_iterations=30)
+    summary = fit_best_of(model, AnnData(counts2), n_restarts=4, base_seed=0)
+    assert np.all(np.isfinite(summary.losses))
+    assert len(set(np.round(summary.losses, 4))) > 1
+    assert model.variance > 0
+
+
+def test_fit_best_of_device_init_mvnmf_gamma(counts):
+    model = MvNMF(n_signatures=2, init_method="random",
+                  min_iterations=10, max_iterations=30)
+    summary = fit_best_of(model, AnnData(counts), n_restarts=3, base_seed=0)
+    assert np.all(np.isfinite(summary.losses))
+    assert 0.0 < model._gamma <= 1.0
+
+
+def test_fit_best_of_forced_batched_init_validates(counts):
+    model = KLNMF(n_signatures=2, init_method="nndsvd",
+                  min_iterations=10, max_iterations=10)
+    with pytest.raises(ValueError, match="batched_init"):
+        fit_best_of(model, AnnData(counts), n_restarts=2, batched_init=True)
+
+
+def test_fit_best_of_host_init_restores_rng(counts):
+    """Non-'random' inits fall back to the host loop, which must restore the
+    global RNG state afterwards."""
+    model = KLNMF(n_signatures=2, init_method="separableNMF",
+                  min_iterations=10, max_iterations=20)
+    np.random.seed(999)
+    expected_next = np.random.random()
+    np.random.seed(999)
+    fit_best_of(model, AnnData(counts), n_restarts=2, base_seed=1)
+    assert np.random.random() == expected_next
+
+
 def test_fit_best_of_respects_given_parameters(counts):
     adata = AnnData(counts)
     given = adata[:1, :].copy()
@@ -228,11 +281,45 @@ def test_fit_best_of_mvnmf(counts):
     assert 0.0 < model._gamma <= 1.0
 
 
-def test_bootstrap_warns_for_non_klnmf(counts):
+def test_bootstrap_refits_mvnmf_under_own_objective(counts):
     from salamander_tpu.parallel import bootstrap_stability
 
-    model = MvNMF(n_signatures=2, min_iterations=10, max_iterations=20)
+    model = MvNMF(n_signatures=2, lam=0.5, min_iterations=10,
+                  max_iterations=20)
     model.fit(AnnData(counts))
-    with pytest.warns(UserWarning, match="KL objective"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no 'wrong objective' warning anymore
         result = bootstrap_stability(model, n_bootstraps=3, seed=0)
     assert result.similarities.shape == (3, 2)
+    assert np.all(np.isfinite(result.losses))
+    # replicate losses are volume-penalized KL values, not plain KL: they
+    # must match re-evaluating the MvNMF objective, i.e. include lam*logdet
+    assert np.all(result.losses > 0)
+
+
+def test_bootstrap_refits_corrnmf_under_own_objective(counts):
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.parallel import bootstrap_stability
+
+    np.random.seed(1)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2, min_iterations=5,
+                       max_iterations=10)
+    model.fit(AnnData(counts))
+    result = bootstrap_stability(model, n_bootstraps=3, seed=0)
+    assert result.similarities.shape == (3, 2)
+    # the replicate objective is the ELBO (maximized, negative-valued for
+    # count data), not a KL divergence
+    assert np.all(np.isfinite(result.losses))
+    assert np.all(result.losses < 0)
+
+
+def test_bootstrap_rejects_multimodal(counts, counts2):
+    from salamander_tpu.parallel import bootstrap_stability
+
+    mdata = MuData({"a": AnnData(counts.copy()), "b": AnnData(counts2.copy())})
+    np.random.seed(0)
+    model = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
+                              min_iterations=5, max_iterations=5)
+    model.fit(mdata)
+    with pytest.raises(ValueError, match="MultimodalCorrNMF"):
+        bootstrap_stability(model, n_bootstraps=2)
