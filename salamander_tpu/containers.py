@@ -51,6 +51,109 @@ class AxisArrays(dict):
         super().__setitem__(key, value)
 
 
+# ---------------------------------------------------------------------------
+# scverse on-disk encodings (anndata spec v0.1.0 / element encodings v0.2.0),
+# shared by AnnData.write_h5ad and MuData.write_h5mu.
+# ---------------------------------------------------------------------------
+
+def _h5_write_string_array(group, name, values):
+    import h5py
+
+    dataset = group.create_dataset(
+        name, data=np.asarray(values, dtype=object),
+        dtype=h5py.string_dtype(encoding="utf-8"),
+    )
+    dataset.attrs["encoding-type"] = "string-array"
+    dataset.attrs["encoding-version"] = "0.2.0"
+    return dataset
+
+
+def _h5_write_array(group, name, values):
+    values = np.asarray(values)
+    if values.dtype == object or values.dtype.kind in "US":
+        return _h5_write_string_array(group, name, values.astype(str))
+    dataset = group.create_dataset(name, data=values)
+    dataset.attrs["encoding-type"] = "array"
+    dataset.attrs["encoding-version"] = "0.2.0"
+    return dataset
+
+
+def _h5_write_dataframe(handle, name, frame):
+    import h5py
+
+    group = handle.create_group(name)
+    group.attrs["encoding-type"] = "dataframe"
+    group.attrs["encoding-version"] = "0.2.0"
+    group.attrs["_index"] = "_index"
+    group.attrs.create(
+        "column-order",
+        data=np.asarray([str(c) for c in frame.columns], dtype=object),
+        dtype=h5py.string_dtype(encoding="utf-8"),
+    )
+    _h5_write_string_array(group, "_index", frame.index.astype(str))
+    for column in frame.columns:
+        _h5_write_array(group, str(column), frame[column].to_numpy())
+
+
+def _h5_write_mappings(handle, mappings):
+    for mapping_name, mapping in mappings:
+        group = handle.create_group(mapping_name)
+        group.attrs["encoding-type"] = "dict"
+        group.attrs["encoding-version"] = "0.1.0"
+        for key, value in mapping.items():
+            _h5_write_array(group, key, value)
+
+
+def _h5_write_anndata(handle, adata) -> None:
+    """Write one AnnData into an open h5py Group/File with anndata encodings."""
+    handle.attrs["encoding-type"] = "anndata"
+    handle.attrs["encoding-version"] = "0.1.0"
+    x_dataset = handle.create_dataset("X", data=adata.X)
+    x_dataset.attrs["encoding-type"] = "array"
+    x_dataset.attrs["encoding-version"] = "0.2.0"
+    _h5_write_dataframe(handle, "obs", adata.obs)
+    _h5_write_dataframe(handle, "var", adata.var)
+    _h5_write_mappings(handle, [
+        ("obsm", adata.obsm), ("obsp", adata.obsp), ("varm", adata.varm),
+    ])
+
+
+def _h5_decode(values):
+    values = values[...]
+    if values.dtype.kind in "OS":
+        return np.array(
+            [v.decode() if isinstance(v, bytes) else str(v) for v in values]
+        )
+    return values
+
+
+def _h5_read_dataframe(group):
+    index_key = group.attrs.get("_index", "_index")
+    index = _h5_decode(group[index_key])
+    frame = pd.DataFrame(index=pd.Index(index))
+    order = group.attrs.get("column-order", [])
+    columns = [c.decode() if isinstance(c, bytes) else str(c) for c in order]
+    for column in columns:
+        if column in group:
+            frame[column] = _h5_decode(group[column])
+    return frame
+
+
+def _h5_read_anndata(cls, handle):
+    adata = cls(
+        np.asarray(handle["X"][...]),
+        _h5_read_dataframe(handle["obs"]),
+        _h5_read_dataframe(handle["var"]),
+    )
+    for mapping_name, mapping in [
+        ("obsm", adata.obsm), ("obsp", adata.obsp), ("varm", adata.varm),
+    ]:
+        if mapping_name in handle:
+            for key in handle[mapping_name]:
+                mapping[key] = np.asarray(handle[mapping_name][key][...])
+    return adata
+
+
 class AnnData:
     """An annotated data matrix: X of shape (n_obs, n_vars) plus metadata."""
 
@@ -210,54 +313,8 @@ class AnnData:
         so fitted containers open in the scverse ecosystem."""
         import h5py
 
-        def write_string_array(group, name, values):
-            dataset = group.create_dataset(
-                name, data=np.asarray(values, dtype=object),
-                dtype=h5py.string_dtype(encoding="utf-8"),
-            )
-            dataset.attrs["encoding-type"] = "string-array"
-            dataset.attrs["encoding-version"] = "0.2.0"
-            return dataset
-
-        def write_array(group, name, values):
-            values = np.asarray(values)
-            if values.dtype == object or values.dtype.kind in "US":
-                return write_string_array(group, name, values.astype(str))
-            dataset = group.create_dataset(name, data=values)
-            dataset.attrs["encoding-type"] = "array"
-            dataset.attrs["encoding-version"] = "0.2.0"
-            return dataset
-
-        def write_dataframe(handle, name, frame):
-            group = handle.create_group(name)
-            group.attrs["encoding-type"] = "dataframe"
-            group.attrs["encoding-version"] = "0.2.0"
-            group.attrs["_index"] = "_index"
-            group.attrs.create(
-                "column-order",
-                data=np.asarray([str(c) for c in frame.columns], dtype=object),
-                dtype=h5py.string_dtype(encoding="utf-8"),
-            )
-            write_string_array(group, "_index", frame.index.astype(str))
-            for column in frame.columns:
-                write_array(group, str(column), frame[column].to_numpy())
-
         with h5py.File(path, "w") as handle:
-            handle.attrs["encoding-type"] = "anndata"
-            handle.attrs["encoding-version"] = "0.1.0"
-            x_dataset = handle.create_dataset("X", data=self._X)
-            x_dataset.attrs["encoding-type"] = "array"
-            x_dataset.attrs["encoding-version"] = "0.2.0"
-            write_dataframe(handle, "obs", self.obs)
-            write_dataframe(handle, "var", self.var)
-            for mapping_name, mapping in [
-                ("obsm", self.obsm), ("obsp", self.obsp), ("varm", self.varm)
-            ]:
-                group = handle.create_group(mapping_name)
-                group.attrs["encoding-type"] = "dict"
-                group.attrs["encoding-version"] = "0.1.0"
-                for key, value in mapping.items():
-                    write_array(group, key, value)
+            _h5_write_anndata(handle, self)
 
     @classmethod
     def read_h5ad(cls, path: str) -> "AnnData":
@@ -265,44 +322,8 @@ class AnnData:
         dense-X subset of the format this framework uses)."""
         import h5py
 
-        def decode(values):
-            values = values[...]
-            if values.dtype.kind in "OS":
-                return np.array(
-                    [v.decode() if isinstance(v, bytes) else str(v)
-                     for v in values]
-                )
-            return values
-
-        def read_dataframe(group):
-            index_key = group.attrs.get("_index", "_index")
-            index = decode(group[index_key])
-            frame = pd.DataFrame(index=pd.Index(index))
-            order = group.attrs.get("column-order", [])
-            columns = [
-                c.decode() if isinstance(c, bytes) else str(c) for c in order
-            ]
-            for column in columns:
-                if column in group:
-                    frame[column] = decode(group[column])
-            return frame
-
         with h5py.File(path, "r") as handle:
-            adata = cls(
-                np.asarray(handle["X"][...]),
-                read_dataframe(handle["obs"]),
-                read_dataframe(handle["var"]),
-            )
-            for mapping_name, mapping in [
-                ("obsm", adata.obsm), ("obsp", adata.obsp),
-                ("varm", adata.varm),
-            ]:
-                if mapping_name in handle:
-                    for key in handle[mapping_name]:
-                        mapping[key] = np.asarray(
-                            handle[mapping_name][key][...]
-                        )
-        return adata
+            return _h5_read_anndata(cls, handle)
 
     @classmethod
     def read_npz(cls, path: str) -> "AnnData":
@@ -430,6 +451,71 @@ class MuData:
         for key, value in self.obsp.items():
             out.obsp[key] = value.copy()
         return out
+
+    def write_h5mu(self, path: str) -> None:
+        """Write a mudata-compatible .h5mu file (MuData on-disk spec v0.1.0:
+        a root 'MuData' group with global obs/obsm/obsp and one anndata-encoded
+        group per modality under mod/), so joint multimodal fits open in the
+        scverse ecosystem (reference stores its state in mudata.MuData,
+        models/mmcorrnmf.py:59-67, but never persists it)."""
+        import h5py
+
+        with h5py.File(path, "w") as handle:
+            handle.attrs["encoding-type"] = "MuData"
+            handle.attrs["encoding-version"] = "0.1.0"
+            _h5_write_dataframe(handle, "obs", self.obs)
+            # mudata expects a global var frame; ours is the concatenation of
+            # the modality var names (disjoint feature spaces)
+            var_names = np.concatenate(
+                [np.asarray(a.var_names, dtype=object) for a in self.mod.values()]
+            ) if self.mod else np.empty((0,), dtype=object)
+            _h5_write_dataframe(
+                handle, "var", pd.DataFrame(index=pd.Index(var_names))
+            )
+            _h5_write_mappings(handle, [
+                ("obsm", self.obsm), ("obsp", self.obsp),
+            ])
+            mod_group = handle.create_group("mod")
+            mod_group.attrs["encoding-type"] = "dict"
+            mod_group.attrs["encoding-version"] = "0.1.0"
+            mod_group.attrs.create(
+                "mod-order",
+                data=np.asarray(list(self.mod), dtype=object),
+                dtype=h5py.string_dtype(encoding="utf-8"),
+            )
+            for name, adata in self.mod.items():
+                _h5_write_anndata(mod_group.create_group(name), adata)
+
+    @classmethod
+    def read_h5mu(cls, path: str) -> "MuData":
+        """Read an .h5mu file written by write_h5mu (or by mudata, for the
+        dense-X subset of the format this framework uses)."""
+        import h5py
+
+        with h5py.File(path, "r") as handle:
+            mod_group = handle["mod"]
+            order = [
+                n.decode() if isinstance(n, bytes) else str(n)
+                for n in mod_group.attrs.get("mod-order", list(mod_group))
+            ]
+            mods = {
+                name: _h5_read_anndata(AnnData, mod_group[name])
+                for name in order if name in mod_group
+            }
+            mdata = cls(mods)
+            if "obs" in handle:
+                obs = _h5_read_dataframe(handle["obs"])
+                if len(obs.index) == mdata.n_obs:
+                    mdata.obs = obs
+            for mapping_name, mapping in [
+                ("obsm", mdata.obsm), ("obsp", mdata.obsp),
+            ]:
+                if mapping_name in handle:
+                    for key in handle[mapping_name]:
+                        mapping[key] = np.asarray(
+                            handle[mapping_name][key][...]
+                        )
+        return mdata
 
     def __repr__(self) -> str:
         lines = [f"MuData object with n_obs = {self.n_obs}, n_mod = {self.n_mod}"]

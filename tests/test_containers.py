@@ -135,6 +135,44 @@ def test_h5ad_spec_markers(tmp_path, adata):
         assert handle["X"].attrs["encoding-type"] == "array"
 
 
+def test_h5mu_roundtrip(tmp_path):
+    pytest.importorskip("h5py")
+    a = AnnData(np.arange(6.0).reshape(3, 2))
+    a.obs_names = ["s1", "s2", "s3"]
+    a.var_names = ["f1", "f2"]
+    a.obsm["exposures"] = np.ones((3, 2))
+    b = AnnData(np.arange(9.0).reshape(3, 3))
+    b.obs_names = ["s1", "s2", "s3"]
+    b.var_names = ["g1", "g2", "g3"]
+    mdata = MuData({"sbs": a, "indel": b})
+    mdata.obsm["embeddings"] = np.full((3, 2), 0.5)
+
+    path = str(tmp_path / "model.h5mu")
+    mdata.write_h5mu(path)
+    loaded = MuData.read_h5mu(path)
+    assert loaded.mod_names == ["sbs", "indel"]
+    assert np.array_equal(loaded["sbs"].X, a.X)
+    assert np.array_equal(loaded["indel"].X, b.X)
+    assert list(loaded["indel"].var_names) == ["g1", "g2", "g3"]
+    assert np.array_equal(loaded.obsm["embeddings"], mdata.obsm["embeddings"])
+    assert np.array_equal(loaded["sbs"].obsm["exposures"], np.ones((3, 2)))
+    assert list(loaded.obs_names) == ["s1", "s2", "s3"]
+
+
+def test_h5mu_spec_markers(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    a = AnnData(np.ones((2, 2)))
+    mdata = MuData({"sbs": a})
+    path = str(tmp_path / "spec.h5mu")
+    mdata.write_h5mu(path)
+    with h5py.File(path, "r") as handle:
+        assert handle.attrs["encoding-type"] == "MuData"
+        assert handle.attrs["encoding-version"] == "0.1.0"
+        assert handle["mod"]["sbs"].attrs["encoding-type"] == "anndata"
+        assert list(handle["mod"].attrs["mod-order"].astype(str)) == ["sbs"]
+        assert handle["obs"].attrs["encoding-type"] == "dataframe"
+
+
 def test_subsetting_keeps_varm(adata):
     adata.varm["anno"] = np.arange(8.0).reshape(4, 2)
     sub = adata[[0, 2], :]
