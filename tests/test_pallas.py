@@ -12,6 +12,10 @@ from salamander_tpu.ops.pallas_klnmf import (
     default_chunk,
     fused_mu_block,
     fused_mu_block_batched,
+    fused_mu_block_batched_weighted,
+    fused_mu_iteration_dtiled,
+    make_block_update_auto,
+    pick_d_tile,
 )
 
 
@@ -69,6 +73,131 @@ def test_default_chunk_divides_and_scales():
     # big problems fall back to tiny chunks
     assert default_chunk(100, 96, 100_000) == 1
     assert default_chunk(7, 8, 8) == 7
+
+
+def batched_problem(X, R=4, K=3, seed=1):
+    rng = np.random.default_rng(seed)
+    V, D = X.shape
+    W = jnp.asarray(rng.dirichlet(np.ones(V), (R, K)).transpose(0, 2, 1),
+                    jnp.float32)
+    H = jnp.asarray(rng.uniform(size=(R, K, D)).astype(np.float32) * 30)
+    return W, H
+
+
+@pytest.mark.parametrize("use_kl,use_lhalf", [
+    (True, False), (False, True), (True, True), (False, False),
+])
+def test_fused_weighted_matches_xla(problem, use_kl, use_lhalf):
+    X, _, _ = problem
+    rng = np.random.default_rng(3)
+    W, H = batched_problem(X)
+    weights_kl = (
+        jnp.asarray(rng.uniform(0.5, 2.0, X.shape[1]), jnp.float32)
+        if use_kl else None
+    )
+    weights_lhalf = (
+        jnp.asarray(rng.uniform(0.0, 1.0, X.shape[1]), jnp.float32)
+        if use_lhalf else None
+    )
+    steps = 4
+    W_ref, H_ref = [], []
+    for r in range(W.shape[0]):
+        Wr, Hr = W[r], H[r]
+        for _ in range(steps):
+            Wr, Hr = klnmf.update_WH(X, Wr, Hr, weights_kl, weights_lhalf)
+        W_ref.append(np.asarray(Wr))
+        H_ref.append(np.asarray(Hr))
+    W_pl, H_pl = fused_mu_block_batched_weighted(
+        X, W, H, steps, weights_kl=weights_kl, weights_lhalf=weights_lhalf,
+        chunk=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(W_pl), np.stack(W_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(H_pl), np.stack(H_ref), rtol=1e-5)
+
+
+def test_fused_weighted_given_signatures(problem):
+    X, _, _ = problem
+    W, H = batched_problem(X)
+    steps = 3
+    W_ref, H_ref = [], []
+    for r in range(W.shape[0]):
+        Wr, Hr = W[r], H[r]
+        for _ in range(steps):
+            Wr, Hr = klnmf.update_WH(X, Wr, Hr, n_given_signatures=2)
+        W_ref.append(np.asarray(Wr))
+        H_ref.append(np.asarray(Hr))
+    W_pl, H_pl = fused_mu_block_batched_weighted(
+        X, W, H, steps, chunk=2, n_given_signatures=2, interpret=True,
+    )
+    # the frozen columns pass through exactly; the free ones evolve
+    np.testing.assert_array_equal(np.asarray(W_pl[:, :, :2]),
+                                  np.asarray(W[:, :, :2]))
+    np.testing.assert_allclose(np.asarray(W_pl), np.stack(W_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(H_pl), np.stack(H_ref), rtol=1e-5)
+
+
+def test_dtiled_iteration_matches_xla(problem):
+    X, _, _ = problem
+    W, H = batched_problem(X)
+    W_ref = np.stack([
+        np.asarray(klnmf.update_WH(X, W[r], H[r])[0])
+        for r in range(W.shape[0])
+    ])
+    H_ref = np.stack([
+        np.asarray(klnmf.update_WH(X, W[r], H[r])[1])
+        for r in range(W.shape[0])
+    ])
+    W_pl, H_pl = fused_mu_iteration_dtiled(X, W, H, chunk=2, d_tile=8,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(W_pl), W_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(H_pl), H_ref, rtol=1e-5)
+
+
+def test_dtiled_iteration_with_padding_matches_xla(problem):
+    """A d_tile that does not divide D exercises the mask-padded remainder."""
+    X, _, _ = problem
+    W, H = batched_problem(X)
+    W_ref = np.stack([
+        np.asarray(klnmf.update_WH(X, W[r], H[r])[0])
+        for r in range(W.shape[0])
+    ])
+    H_ref = np.stack([
+        np.asarray(klnmf.update_WH(X, W[r], H[r])[1])
+        for r in range(W.shape[0])
+    ])
+    W_pl, H_pl = fused_mu_iteration_dtiled(X, W, H, chunk=2, d_tile=7,
+                                           interpret=True)
+    assert np.asarray(H_pl).shape == H.shape
+    np.testing.assert_allclose(np.asarray(W_pl), W_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(H_pl), H_ref, rtol=1e-5)
+
+
+def test_pick_d_tile_is_lane_aligned():
+    assert pick_d_tile(10_000) == 2048
+    assert pick_d_tile(192) == 256
+    assert pick_d_tile(100) == 128
+    assert pick_d_tile(4096) == 2048
+    assert all(pick_d_tile(n) % 128 == 0 for n in (5, 200, 1000, 99999))
+
+
+def test_block_update_auto_selects_variants(problem):
+    X, _, _ = problem
+    W, H = batched_problem(X)
+    params = {"W": W, "H": H}
+    # small problem, unweighted -> plain batched kernel path
+    update = make_block_update_auto(X, W.shape[0], interpret=True)
+    out = update(params, jnp.asarray(2, jnp.int32))
+    assert out["W"].shape == W.shape
+    # weighted path
+    weights = jnp.ones((X.shape[1],), jnp.float32) * 1.5
+    update_w = make_block_update_auto(X, W.shape[0], weights_kl=weights,
+                                      interpret=True)
+    out_w = update_w(params, jnp.asarray(2, jnp.int32))
+    assert out_w["H"].shape == H.shape
+    # weighted + too-large D -> explicit error (fall back to XLA)
+    X_big = jnp.ones((96, 100_000), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        make_block_update_auto(X_big, 4, weights_kl=jnp.ones((100_000,)))
 
 
 def test_lockstep_loop_matches_vmap(problem):
