@@ -186,11 +186,20 @@ def random_init_batch(key, data_mat, n_signatures: int, n_restarts: int,
         dtype = data_mat.dtype
     n_features, n_samples = data_mat.shape
     key_w, key_h = jax.random.split(key)
-    W = jax.random.dirichlet(
-        key_w, jnp.ones(n_features, dtype), shape=(n_restarts, n_signatures)
-    ).transpose(0, 2, 1)
-    exposures = jax.random.dirichlet(
-        key_h, jnp.ones(n_signatures, dtype), shape=(n_restarts, n_samples)
+    # Dirichlet(1,...,1) == normalized iid Exponential(1) draws - identical
+    # distribution, but exponential sampling is a branch-free program where
+    # jax.random.dirichlet's gamma rejection sampler (nested while_loops)
+    # takes ~70s PER SHAPE to compile through the remote tunnel at
+    # rank-scan sizes.
+    draws_w = jax.random.exponential(
+        key_w, (n_restarts, n_signatures, n_features), dtype
+    )
+    W = (draws_w / jnp.sum(draws_w, axis=-1, keepdims=True)).transpose(0, 2, 1)
+    draws_h = jax.random.exponential(
+        key_h, (n_restarts, n_samples, n_signatures), dtype
+    )
+    exposures = (
+        draws_h / jnp.sum(draws_h, axis=-1, keepdims=True)
     ).transpose(0, 2, 1)
     totals = jnp.sum(data_mat, axis=0)
     H = exposures * totals[None, None, :]
@@ -219,9 +228,11 @@ def corrnmf_init_batch(key, data_mat, n_signatures: int, dim_embeddings: int,
         dtype = data_mat.dtype
     n_samples, n_features = data_mat.shape
     key_sig, key_sig_emb, key_smp_emb = jax.random.split(key, 3)
-    signatures = jax.random.dirichlet(
-        key_sig, jnp.ones(n_features, dtype), shape=(n_restarts, n_signatures)
+    # Dirichlet(1,..,1) via normalized exponentials (see random_init_batch)
+    draws = jax.random.exponential(
+        key_sig, (n_restarts, n_signatures, n_features), dtype
     )
+    signatures = draws / jnp.sum(draws, axis=-1, keepdims=True)
     signatures = jnp.maximum(signatures, EPSILON)
     signature_embeddings = jax.random.normal(
         key_sig_emb, (n_restarts, n_signatures, dim_embeddings), dtype

@@ -241,6 +241,22 @@ def build_klnmf_masked_runner(config: FitConfig, mesh=None):
     return jax.jit(run, in_shardings=in_shardings, out_shardings=out_shardings)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_signatures", "n_restarts", "padded")
+)
+def _padded_random_init(key, X, n_signatures: int, n_restarts: int,
+                        padded: int):
+    """Jitted per-rank init for the padded scan: identical draws to the
+    unpadded path's random_init_batch + pad_rank. Run it on the HOST CPU
+    backend (rank_scan_klnmf passes CPU-committed inputs): each rank is a
+    different shape, and per-rank compiles through a remote TPU tunnel cost
+    more than the whole scan - the CPU compiles are native and the jax
+    threefry PRNG draws are platform-deterministic."""
+    W0, H0 = random_init_batch(key, X, n_signatures, n_restarts, X.dtype)
+    W0, H0, mask = ops.pad_rank(W0, H0, padded)
+    return W0, H0, jnp.broadcast_to(mask, (n_restarts, padded))
+
+
 @functools.lru_cache(maxsize=8)
 def _cached_masked_runner(config: FitConfig, mesh):
     """One jitted masked runner per (config, mesh): repeated rank scans and
@@ -307,6 +323,8 @@ def rank_scan_klnmf(
         runner = _cached_masked_runner(config, mesh)
     except TypeError:  # unhashable mesh: fall back to a fresh runner
         runner = build_klnmf_masked_runner(config, mesh=mesh)
+    cpu_device = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
+    X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
     for padded, members in sorted(buckets.items()):
         groups = (
             [members] if len(members) * n_restarts <= lanes_cap
@@ -316,16 +334,23 @@ def rank_scan_klnmf(
             W_parts, H_parts, mask_parts = [], [], []
             for offset, k in group:
                 key = jax.random.PRNGKey(seed + 1000 * offset)
-                W0, H0 = random_init_batch(key, X, k, n_restarts, dtype)
-                W0, H0, mask = ops.pad_rank(W0, H0, padded)
+                if cpu_device is not None:
+                    key = jax.device_put(key, cpu_device)
+                W0, H0, mask = _padded_random_init(
+                    key, X_host, k, n_restarts, padded
+                )
                 W_parts.append(W0)
                 H_parts.append(H0)
-                mask_parts.append(jnp.broadcast_to(mask, (n_restarts, padded)))
+                mask_parts.append(mask)
             params0 = {
                 "W": jnp.concatenate(W_parts),
                 "H": jnp.concatenate(H_parts),
                 "mask": jnp.concatenate(mask_parts),
             }
+            if cpu_device is not None and mesh is None:
+                # host-initialized params move to the accelerator in one
+                # transfer (mixed placements would fail inside the runner)
+                params0 = jax.device_put(params0, jax.devices()[0])
             if mesh is not None:
                 params0 = {
                     "W": jax.device_put(params0["W"], shardings["W"]),
