@@ -26,7 +26,7 @@ from .. import containers
 from ..engine import FitConfig, make_fit_function
 from ..utils import match_signatures_pair
 
-_SUPPORTED = ("KLNMF", "MvNMF", "CorrNMFDet")
+_SUPPORTED = ("KLNMF", "MvNMF", "CorrNMFDet", "MultimodalCorrNMF")
 
 
 class BootstrapResult(NamedTuple):
@@ -35,6 +35,7 @@ class BootstrapResult(NamedTuple):
     stability: pd.Series        # mean matched cosine per signature
     similarities: pd.DataFrame  # (n_bootstraps, n_signatures) matched cosines
     signatures: np.ndarray      # (B, K, V) matched bootstrap signatures
+                                # (multimodal: {mod_name: (B, K_mod, V_mod)})
     losses: np.ndarray          # (B,) final objective per replicate
 
 
@@ -44,6 +45,25 @@ def _cosine(u, v):
 
 def _stack(trees):
     return jax.tree.map(lambda *leaves: np.stack(leaves), *trees)
+
+
+def _match_replicates(reference_signatures, W_boot, names):
+    """Hungarian-match each replicate's signatures to the reference frame;
+    returns (matched (B,K,V), similarities DataFrame)."""
+    n_bootstraps, n_signatures, n_features = W_boot.shape
+    matched = np.empty((n_bootstraps, n_signatures, n_features))
+    similarities = np.empty((n_bootstraps, n_signatures))
+    for b in range(n_bootstraps):
+        replicate = pd.DataFrame(
+            W_boot[b], columns=reference_signatures.columns
+        )
+        order = match_signatures_pair(reference_signatures, replicate)
+        matched[b] = W_boot[b][order]
+        for k in range(n_signatures):
+            similarities[b, k] = _cosine(
+                reference_signatures.values[k], matched[b, k]
+            )
+    return matched, pd.DataFrame(similarities, columns=names)
 
 
 def bootstrap_stability(
@@ -60,13 +80,15 @@ def bootstrap_stability(
     matches each replicate's signatures to the model's, and reports matched
     cosine similarities. Stability near 1 = robust signature; low mean
     stability flags overfitting / rank too high.
+
+    MultimodalCorrNMF resamples the shared sample axis (the same bootstrap
+    indices across all modalities), refits the joint model, and matches
+    per modality; `signatures` is then a per-modality dict.
     """
     class_name = type(model).__name__
     if class_name not in _SUPPORTED:
         raise ValueError(
-            f"bootstrap_stability supports {_SUPPORTED}; got {class_name}. "
-            "For MultimodalCorrNMF, bootstrap each modality's single-modality "
-            "fit or use fit_best_of's loss table for robustness checks."
+            f"bootstrap_stability supports {_SUPPORTED}; got {class_name}."
         )
     if not getattr(model, "_is_fitted", False):
         raise ValueError("bootstrap_stability() requires a fitted model.")
@@ -78,6 +100,8 @@ def bootstrap_stability(
         conv_test_freq=model.conv_test_freq,
         tol=model.tol,
     )
+    if class_name == "MultimodalCorrNMF":
+        return _bootstrap_multimodal(model, n_bootstraps, seed, config)
     n_samples = model.adata.n_obs
     rng = np.random.default_rng(seed)
     sample_indices = rng.integers(0, n_samples, size=(n_bootstraps, n_samples))
@@ -129,27 +153,78 @@ def bootstrap_stability(
     else:  # CorrNMFDet carries (B, K, V) signatures directly
         W_boot = np.asarray(result.params["signatures"])
 
-    n_signatures = model.n_signatures
-    n_features = X.shape[1]
-    reference_signatures = model.signatures  # (K, V) dataframe
-    matched = np.empty((n_bootstraps, n_signatures, n_features))
-    similarities = np.empty((n_bootstraps, n_signatures))
-    for b in range(n_bootstraps):
-        replicate = pd.DataFrame(
-            W_boot[b], columns=reference_signatures.columns
-        )
-        order = match_signatures_pair(reference_signatures, replicate)
-        matched[b] = W_boot[b][order]
-        for k in range(n_signatures):
-            similarities[b, k] = _cosine(
-                reference_signatures.values[k], matched[b, k]
-            )
-
-    names = list(model.signature_names)
-    similarity_frame = pd.DataFrame(similarities, columns=names)
+    matched, similarity_frame = _match_replicates(
+        model.signatures, W_boot, list(model.signature_names)
+    )
     return BootstrapResult(
         stability=similarity_frame.mean(axis=0),
         similarities=similarity_frame,
         signatures=matched,
+        losses=losses,
+    )
+
+
+def _bootstrap_multimodal(model, n_bootstraps: int, seed: int,
+                          config: FitConfig) -> BootstrapResult:
+    """Joint multimodal bootstrap: one resampled sample set per replicate
+    shared by all modalities, refit with the model's own joint EM."""
+    from ..io import _HYPERPARAM_KEYS
+    from ..models.signature_nmf import promote_objective
+
+    hyperparameters = {
+        key: getattr(model, key)
+        for key in _HYPERPARAM_KEYS["MultimodalCorrNMF"]
+    }
+    clone = type(model)(**hyperparameters)
+    stochastic_init = clone.init_method in ("random", "separableNMF", "nndsvdar")
+    mod_names = model.mod_names
+    X = {name: np.asarray(model.mdata[name].X) for name in mod_names}
+    n_samples = model.mdata.n_obs
+    rng = np.random.default_rng(seed)
+    sample_indices = rng.integers(0, n_samples, size=(n_bootstraps, n_samples))
+
+    params_per_replicate, data_per_replicate = [], []
+    for b in range(n_bootstraps):
+        indices = sample_indices[b]
+        mdata_b = containers.MuData({
+            name: containers.AnnData(X[name][indices]) for name in mod_names
+        })
+        np.random.seed(seed + b)  # drives unseeded embedding draws
+        clone._setup_mdata(mdata_b)
+        init_kwargs = {"seed": seed + b} if stochastic_init else None
+        clone._initialize(None, init_kwargs)
+        params_b, data_b = clone._device_state()
+        params_per_replicate.append(jax.tree.map(np.asarray, params_b))
+        data_per_replicate.append(jax.tree.map(np.asarray, data_b))
+
+    params0 = _stack(params_per_replicate)
+    data = _stack(data_per_replicate)
+    update_fn, objective_fn = clone._build_step(None)
+    objective_fn = promote_objective(
+        objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
+    )
+    run = make_fit_function(
+        update_fn, objective_fn, config, batched=True, batched_data=True,
+        unroll=False,
+    )
+    result = run(params0, data)
+    losses = np.asarray(
+        jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(result.params, data)
+    )
+
+    matched_by_mod = {}
+    similarity_frames = []
+    for name in mod_names:
+        W_boot = np.asarray(result.params["mods"][name]["signatures"])
+        matched, frame = _match_replicates(
+            model.signatures[name], W_boot, model.signature_names[name]
+        )
+        matched_by_mod[name] = matched
+        similarity_frames.append(frame)
+    similarity_frame = pd.concat(similarity_frames, axis=1)
+    return BootstrapResult(
+        stability=similarity_frame.mean(axis=0),
+        similarities=similarity_frame,
+        signatures=matched_by_mod,
         losses=losses,
     )

@@ -313,13 +313,30 @@ def test_bootstrap_refits_corrnmf_under_own_objective(counts):
     assert np.all(result.losses < 0)
 
 
-def test_bootstrap_rejects_multimodal(counts, counts2):
+def test_bootstrap_multimodal_joint_refits(counts, counts2):
+    """Multimodal bootstrap resamples the shared sample axis and refits the
+    JOINT model; matching/stability reported per modality."""
     from salamander_tpu.parallel import bootstrap_stability
 
     mdata = MuData({"a": AnnData(counts.copy()), "b": AnnData(counts2.copy())})
     np.random.seed(0)
     model = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
-                              min_iterations=5, max_iterations=5)
+                              min_iterations=5, max_iterations=10)
     model.fit(mdata)
-    with pytest.raises(ValueError, match="MultimodalCorrNMF"):
-        bootstrap_stability(model, n_bootstraps=2)
+    result = bootstrap_stability(model, n_bootstraps=3, seed=0)
+    expected_columns = sum(model.signature_names.values(), [])
+    assert list(result.similarities.columns) == expected_columns
+    assert result.similarities.shape == (3, 4)
+    assert set(result.signatures) == {"a", "b"}
+    assert result.signatures["a"].shape == (3, 2, counts.shape[1])
+    assert np.all(np.isfinite(result.losses))
+    assert np.all(result.losses < 0)  # joint ELBO, maximized
+
+
+def test_bootstrap_requires_fitted_multimodal():
+    from salamander_tpu.parallel import bootstrap_stability
+
+    with pytest.raises(ValueError, match="fitted"):
+        bootstrap_stability(
+            MultimodalCorrNMF(ns_signatures=[2, 2]), n_bootstraps=2
+        )
