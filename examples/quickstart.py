@@ -29,6 +29,12 @@ catalog = datasets.load_cosmic_sbs_catalog()
 model.plot_signatures(outfile="signatures.png")
 sal.pl.barplot_pandas(model.signatures, catalog=catalog)
 
-# 5. Checkpoint for later analysis.
+# 5. How stable are the signatures? Bootstrap-refit resampled cohorts as
+#    one device program (each family refits under its own objective).
+stability = sal.bootstrap_stability(model, n_bootstraps=20, seed=0)
+print("per-signature bootstrap stability:",
+      stability.stability.round(3).to_dict())
+
+# 6. Checkpoint for later analysis.
 sal.save_model(model, "klnmf_best.npz")
 print("saved klnmf_best.npz; restore with sal.load_model(...)")

@@ -21,14 +21,15 @@ from . import (
 )
 from .containers import AnnData, MuData
 from .io import load_model, save_model
-from .parallel import fit_best_of
+from .parallel import bootstrap_stability, fit_best_of
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "__version__",
     "AnnData",
     "MuData",
+    "bootstrap_stability",
     "consts",
     "containers",
     "datasets",
@@ -43,10 +44,6 @@ __all__ = [
     "save_model",
     "utils",
 ]
-
-
-def _optional_namespaces():
-    """models/pl/tl are imported lazily as they come online."""
 
 
 try:  # plotting style applied on import, as in the reference facade
