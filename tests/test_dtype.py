@@ -180,3 +180,18 @@ def test_f32_multistart_converges():
     summary = fit_best_of(model, adata, n_restarts=4, base_seed=0)
     assert np.all(summary.n_iterations < 5000)
     assert np.all(np.isfinite(summary.losses))
+
+
+def test_f32_mvnmf_objective_monotone():
+    """Regression guard for the float32 cancellation fix: the MvNMF
+    objective trace at float32 must be non-increasing (the literal
+    reference discriminant form oscillated it by 5-10%)."""
+    adata = synthetic_adata(n_features=32, n_samples=64, k=4, seed=11)
+    model = MvNMF(n_signatures=4, init_method="random", min_iterations=100,
+                  max_iterations=1500, dtype="float32")
+    model.fit(adata, init_kwargs={"seed": 2})
+    trace = np.asarray(model.history["objective_function"], dtype=np.float64)
+    increases = np.diff(trace)
+    # allow float32 evaluation noise of a few ulps, nothing more
+    tolerance = np.abs(trace[:-1]) * 5e-7
+    assert np.all(increases <= tolerance), increases.max()

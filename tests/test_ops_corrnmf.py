@@ -218,3 +218,62 @@ def test_embedding_gradient_and_hessian_consistency():
     np.testing.assert_allclose(hess_kernel, hess_auto, rtol=1e-8)
     # SPD: all eigenvalues positive
     assert np.all(np.linalg.eigvalsh(np.asarray(hess_kernel)) > 0)
+
+
+def test_vectorized_backtracking_matches_serial_armijo():
+    """The 41-candidate vectorized Armijo search must accept exactly the
+    step the reference-style serial halving loop (shrink 0.5 while the
+    Armijo condition fails and t > 1e-12) would accept."""
+    import jax.numpy as jnp
+
+    from salamander_tpu.ops import corrnmf as ops
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        m, M = rng.integers(1, 5), rng.integers(2, 12)
+        embeddings_other = rng.normal(size=(M, m))
+        offsets = rng.normal(size=M)
+        linear_term = rng.normal(size=m) * rng.uniform(0.5, 50)
+        variance = rng.uniform(0.05, 2.0)
+        b = rng.normal(size=m) * rng.uniform(0.5, 3)
+
+        def f(x):
+            z = offsets + embeddings_other @ x
+            return (-linear_term @ x + np.sum(np.exp(z))
+                    + x @ x / (2 * variance))
+
+        rates = np.exp(offsets + embeddings_other @ b)
+        grad = -linear_term + embeddings_other.T @ rates + b / variance
+        hess = ((embeddings_other * rates[:, None]).T @ embeddings_other
+                + np.eye(m) / variance)
+        direction = -np.linalg.solve(hess, grad)
+        f0, slope = f(b), grad @ direction
+
+        t_serial = 1.0
+        while f(b + t_serial * direction) > f0 + 1e-4 * t_serial * slope \
+                and t_serial > 1e-12:
+            t_serial *= 0.5
+
+        ts = 0.5 ** np.arange(ops._N_BACKTRACK)
+        candidates = b[None] + ts[:, None] * direction[None]
+        f_cand = np.array([f(c) for c in candidates])
+        ok = f_cand <= f0 + 1e-4 * ts * slope
+        ok[-1] = True
+        t_vector = ts[np.argmax(ok)]
+        assert t_vector == t_serial, (trial, t_vector, t_serial)
+
+
+def test_solve_spd_small_matches_linalg():
+    import jax.numpy as jnp
+
+    from salamander_tpu.ops.corrnmf import _solve_spd_small
+
+    rng = np.random.default_rng(1)
+    for dim in (1, 2, 3, 5):
+        A = rng.normal(size=(dim, dim))
+        hess = A @ A.T + np.eye(dim)  # SPD
+        grad = rng.normal(size=dim)
+        expected = np.linalg.solve(hess, grad)
+        result = np.asarray(_solve_spd_small(jnp.asarray(hess),
+                                             jnp.asarray(grad)))
+        np.testing.assert_allclose(result, expected, rtol=1e-10)
