@@ -1,0 +1,275 @@
+"""Stochastic (minibatch) variational EM for correlated NMF.
+
+The reference's CorrNMFDet (models/corrnmf_det.py:157-169) is strictly
+full-batch: every EM cycle touches all D samples. For cohorts where D is far
+beyond the reference's scale, this module provides the online-EM variant
+(Cappe & Moulines 2009; Hoffman et al. 2013 for the step-size schedule):
+each step draws a minibatch of samples, refreshes that minibatch's LOCAL
+parameters (sample scalings + embeddings) with the exact batch M-steps, and
+updates the GLOBAL parameters from Robbins-Monro running averages of the
+minibatch-scaled sufficient statistics:
+
+  s1[k] = sum_d aux[k, d]                   (signature-scaling numerator)
+  s2[k] = sum_d exp(tau_d + <l_k, u_d>)     (signature-scaling denominator)
+  C[v,k] = W_vk * sum_d ratio_vd h_dk       (expected signature counts;
+                                             column-normalizing C IS the
+                                             KL multiplicative W update)
+
+with rho_t = (t + delay)^(-forgetting) and t = 0, 1, ... The signature
+embeddings have no fixed-dimensional sufficient statistic (their M-step is a
+Newton solve whose rate term depends on the variable), so they take the
+standard non-conjugate SVI route: a Newton solve on the minibatch-rescaled
+surrogate, blended into the running iterate with the same rho_t.
+
+Exactness anchor (pinned by tests/test_svi.py): with batch_size = n_samples
+and rho = 1 (delay=1, t=0), one SVI step IS one deterministic EM cycle - the
+statistics equal their full-batch values and the blending is the identity -
+so the whole scheme is a strict generalization of CorrNMFDet's update.
+
+Everything here is jittable with static batch size; the per-step cost is
+O(batch_size) instead of O(D), and the minibatch gather/scatter pattern is
+compatible with the sample-sharded mesh layout (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import corrnmf as ops
+from .klnmf import EPSILON
+
+
+class SVIConfig(NamedTuple):
+    """Step-size schedule and solver knobs for the stochastic EM fit.
+
+    rho_t = (t + delay)^(-forgetting): forgetting in (0.5, 1] guarantees
+    Robbins-Monro convergence; delay >= 1 tempers early steps. delay=1 makes
+    the first step's rho exactly 1, which initializes the running statistics
+    to the first minibatch estimate.
+    """
+
+    batch_size: int = 128
+    forgetting: float = 0.7
+    delay: float = 1.0
+    signature_newton_iters: int = 4
+    sample_newton_iters: int = 3  # the reference's sample-side maxiter=3
+
+
+class SVIState(NamedTuple):
+    params: Any          # the CorrNMFDet parameter pytree (minus exposures)
+    stat_observed: Any   # (K,) running average of D-scaled sum_d aux[k,d]
+    stat_predicted: Any  # (K,) running average of D-scaled sum_d exp(...)
+    stat_counts: Any     # (V,K) running average of expected signature counts
+    step: Any            # scalar int32 step counter t
+
+
+def svi_init(params) -> SVIState:
+    """Fresh SVI state around a CorrNMFDet parameter pytree (the running
+    statistics start at zero; rho_0 = 1 with the default delay overwrites
+    them with the first minibatch estimate)."""
+    signatures = params["signatures"]
+    n_signatures, n_features = signatures.shape
+    dtype = signatures.dtype
+    return SVIState(
+        params={key: value for key, value in params.items()
+                if key != "exposures"},
+        stat_observed=jnp.zeros((n_signatures,), dtype),
+        stat_predicted=jnp.zeros((n_signatures,), dtype),
+        stat_counts=jnp.zeros((n_features, n_signatures), dtype),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_svi_step(
+    n_samples: int,
+    config: SVIConfig,
+    n_given_signatures: int = 0,
+    fix_signature_scalings: bool = False,
+    fix_sample_scalings: bool = False,
+    fix_signature_embeddings: bool = False,
+    fix_sample_embeddings: bool = False,
+    fix_variance: bool = False,
+):
+    """Build the jittable minibatch step (state, X, key) -> state.
+
+    X is the full (D, V) count matrix resident on device; each step gathers
+    its minibatch rows. The update order inside a step mirrors the
+    deterministic EM cycle exactly (sample scalings -> exposures/aux ->
+    signature scalings -> signature embeddings -> sample embeddings ->
+    variance -> signatures), which is what makes the full-batch/rho=1 case
+    collapse to CorrNMFDet's update.
+    """
+    batch_size = int(config.batch_size)
+    if not 1 <= batch_size <= n_samples:
+        raise ValueError(
+            f"batch_size={batch_size} must be in [1, n_samples={n_samples}]"
+        )
+    scale = n_samples / batch_size
+    fix_signatures = False
+    K_given = int(n_given_signatures)
+
+    def step(state: SVIState, X, key) -> SVIState:
+        params = dict(state.params)
+        signatures = params["signatures"]          # (K, V)
+        sig_scal = params["signature_scalings"]    # (K,)
+        smp_scal = params["sample_scalings"]       # (D,)
+        sig_emb = params["signature_embeddings"]   # (K, m)
+        smp_emb = params["sample_embeddings"]      # (D, m)
+        variance = params["variance"]
+        dtype = signatures.dtype
+
+        rho = (state.step.astype(dtype) + config.delay) ** (
+            -config.forgetting
+        )
+
+        indices = jax.random.choice(
+            key, n_samples, shape=(batch_size,), replace=False
+        )
+        X_batch = jnp.take(X, indices, axis=0)          # (B, V)
+        tau_batch = jnp.take(smp_scal, indices, axis=0)  # (B,)
+        u_batch = jnp.take(smp_emb, indices, axis=0)     # (B, m)
+
+        # 1. minibatch sample scalings (exact local M-step, closed form)
+        if not fix_sample_scalings:
+            tau_batch = ops.update_sample_scalings(
+                X_batch, sig_scal, sig_emb, u_batch
+            )
+
+        # 2.+3. minibatch exposures and sufficient statistics
+        exposures_batch = ops.compute_exposures(
+            sig_scal, tau_batch, sig_emb, u_batch
+        )                                                # (B, K)
+        ratios = X_batch / (exposures_batch @ signatures)  # (B, V)
+        aux_batch = exposures_batch.T * (signatures @ ratios.T)  # (K, B)
+
+        # 4. signature scalings from running-averaged statistics
+        observed_hat = scale * jnp.sum(aux_batch, axis=1)
+        predicted_hat = scale * jnp.sum(
+            jnp.exp(tau_batch[None, :] + sig_emb @ u_batch.T), axis=1
+        )
+        stat_observed = (1.0 - rho) * state.stat_observed + rho * observed_hat
+        stat_predicted = (
+            (1.0 - rho) * state.stat_predicted + rho * predicted_hat
+        )
+        if not fix_signature_scalings:
+            sig_scal = jnp.log(stat_observed) - jnp.log(stat_predicted)
+
+        # 5a. signature embeddings: Newton solve on the minibatch-rescaled
+        # surrogate (aux and rate terms scaled by D/B; the log(scale) offset
+        # multiplies the rate sum, the Gaussian prior stays unscaled),
+        # blended with rho - the non-conjugate SVI global update
+        if not fix_signature_embeddings:
+            log_scale = jnp.log(jnp.asarray(scale, dtype))
+            sig_emb_star = ops.update_embeddings(
+                sig_emb, u_batch, sig_scal, tau_batch + log_scale,
+                variance, scale * aux_batch,
+                max_iter=config.signature_newton_iters,
+            )
+            sig_emb = (1.0 - rho) * sig_emb + rho * sig_emb_star
+
+        # 5b. minibatch sample embeddings (exact local update, 3 Newton
+        # steps as in the reference's sample-side maxiter=3)
+        if not fix_sample_embeddings:
+            u_batch = ops.update_embeddings(
+                u_batch, sig_emb, tau_batch, sig_scal, variance,
+                aux_batch.T, max_iter=config.sample_newton_iters,
+            )
+
+        # scatter the refreshed locals back into the full arrays
+        if not fix_sample_scalings:
+            smp_scal = smp_scal.at[indices].set(tau_batch)
+        if not fix_sample_embeddings:
+            smp_emb = smp_emb.at[indices].set(u_batch)
+
+        # 6. variance from the full (partially refreshed) embedding arrays
+        if not fix_variance:
+            variance = ops.update_variance(sig_emb, smp_emb)
+
+        # 7. signatures: column-normalized running average of the expected
+        # signature counts (the KL multiplicative W update in statistic form)
+        counts_hat = (
+            signatures.T * (ratios.T @ exposures_batch) * scale
+        )                                                # (V, K)
+        stat_counts = (1.0 - rho) * state.stat_counts + rho * counts_hat
+        if not fix_signatures:
+            W_new = stat_counts / jnp.sum(stat_counts, axis=0)
+            W_new = jnp.maximum(W_new, EPSILON)
+            if K_given > 0:
+                given = jnp.arange(W_new.shape[1]) < K_given
+                W_new = jnp.where(given[None, :], signatures.T, W_new)
+            signatures = W_new.T
+
+        params.update(
+            signatures=signatures,
+            signature_scalings=sig_scal,
+            sample_scalings=smp_scal,
+            signature_embeddings=sig_emb,
+            sample_embeddings=smp_emb,
+            variance=variance,
+        )
+        return SVIState(
+            params=params,
+            stat_observed=stat_observed,
+            stat_predicted=stat_predicted,
+            stat_counts=stat_counts,
+            step=state.step + 1,
+        )
+
+    return step
+
+
+def full_elbo(params, X):
+    """Full-data ELBO at the current SVI state (exposures recomputed)."""
+    exposures = ops.compute_exposures(
+        params["signature_scalings"],
+        params["sample_scalings"],
+        params["signature_embeddings"],
+        params["sample_embeddings"],
+    )
+    return ops.elbo_corrnmf(
+        X,
+        params["signatures"],
+        exposures,
+        params["signature_embeddings"],
+        params["sample_embeddings"],
+        params["variance"],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("step_fn", "n_steps", "eval_freq"),
+)
+def run_svi(step_fn, state0: SVIState, X, key, n_steps: int, eval_freq: int):
+    """Drive `n_steps` minibatch steps, recording the full-data ELBO every
+    `eval_freq` steps. Returns (final_state, history) with history shape
+    (n_steps // eval_freq,). One compiled program; the full count matrix
+    stays resident on device throughout."""
+    n_evals = n_steps // eval_freq
+    remainder = n_steps - n_evals * eval_freq
+
+    def advance(carry, n):
+        state, key = carry
+
+        def body(_, inner):
+            state, key = inner
+            key, subkey = jax.random.split(key)
+            return step_fn(state, X, subkey), key
+
+        return jax.lax.fori_loop(0, n, body, (state, key))
+
+    def block(carry, _):
+        carry = advance(carry, eval_freq)
+        return carry, full_elbo(carry[0].params, X)
+
+    carry, history = jax.lax.scan(
+        block, (state0, key), None, length=n_evals
+    )
+    if remainder:
+        carry = advance(carry, remainder)
+    state, _ = carry
+    return state, history

@@ -1,0 +1,157 @@
+"""Stochastic (minibatch) variational EM for CorrNMF.
+
+Anchors:
+  * EXACTNESS: with batch_size = n_samples and rho = 1 (step 0, delay 1),
+    one SVI step equals one deterministic EM cycle (CorrNMFDet._build_step)
+    up to summation reordering - the statistics are the full-batch ones and
+    the blending is the identity.
+  * PROGRESS: minibatch steps raise the full-data ELBO far above the
+    initialization on synthetic data and approach the full-batch optimum.
+  * MODEL API: fit_minibatch fills the containers, records the ELBO trace,
+    and honors given-parameter freezing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from salamander_tpu.containers import AnnData
+from salamander_tpu.models import CorrNMFDet
+from salamander_tpu.ops import svi
+
+
+def make_synthetic(n_samples=60, n_features=24, n_signatures=3, seed=0):
+    rng = np.random.default_rng(seed)
+    signatures = rng.dirichlet(np.full(n_features, 0.5), size=n_signatures)
+    exposures = rng.gamma(2.0, 50.0, size=(n_samples, n_signatures))
+    X = rng.poisson(exposures @ signatures).astype(float)
+    X[X == 0] = 1.0
+    return X
+
+
+@pytest.fixture(scope="module")
+def fitted_state():
+    """A CorrNMFDet initialized on synthetic counts (no fitting yet)."""
+    X = make_synthetic()
+    model = CorrNMFDet(n_signatures=3, dim_embeddings=2)
+    adata = AnnData(X.copy())
+    model._setup_adata(adata)
+    model._initialize(init_kwargs={"seed": 11})
+    model._setup_fitting_parameters()
+    return model
+
+
+def test_full_batch_rho_one_equals_em_cycle(fitted_state):
+    model = fitted_state
+    params, data = model._device_state()
+    update_fn, _ = model._build_step()
+    expected = update_fn(params, data)
+
+    config = svi.SVIConfig(
+        batch_size=int(model.adata.n_obs),
+        delay=1.0,  # rho_0 = (0 + 1)^(-f) = 1 for any forgetting
+        signature_newton_iters=100,  # match the batch signature-side cap
+    )
+    step_fn = svi.make_svi_step(int(model.adata.n_obs), config)
+    state = svi.svi_init(params)
+    state = jax.jit(step_fn)(state, data["X"], jax.random.PRNGKey(3))
+
+    for name in (
+        "signatures",
+        "signature_scalings",
+        "sample_scalings",
+        "signature_embeddings",
+        "sample_embeddings",
+        "variance",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(state.params[name]),
+            np.asarray(expected[name]),
+            rtol=1e-8,
+            atol=1e-10,
+            err_msg=name,
+        )
+
+
+def test_minibatch_steps_raise_full_elbo(fitted_state):
+    model = fitted_state
+    params, data = model._device_state()
+    config = svi.SVIConfig(batch_size=16)
+    step_fn = svi.make_svi_step(int(model.adata.n_obs), config)
+    state0 = svi.svi_init(params)
+
+    elbo0 = float(svi.full_elbo(state0.params, data["X"]))
+    state, history = svi.run_svi(
+        step_fn, state0, data["X"], jax.random.PRNGKey(0),
+        n_steps=300, eval_freq=50,
+    )
+    history = np.asarray(history)
+    assert history.shape == (6,)
+    assert np.all(np.isfinite(history))
+    elbo_final = float(svi.full_elbo(state.params, data["X"]))
+    assert elbo_final > elbo0
+    # the trace should climb overall (stochastic, so endpoints only)
+    assert history[-1] > history[0]
+
+    # and land within 2% of a same-budget full-batch EM fit's ELBO
+    batch = CorrNMFDet(
+        n_signatures=3, dim_embeddings=2,
+        min_iterations=10, max_iterations=80, tol=0.0,
+    )
+    adata = AnnData(np.asarray(data["X"]).copy())
+    batch.fit(adata, init_kwargs={"seed": 11})
+    elbo_batch = batch.history["objective_function"][-1]
+    assert elbo_final > elbo_batch - 0.02 * abs(elbo_batch)
+
+
+def test_fit_minibatch_model_api():
+    X = make_synthetic(seed=5)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+    adata = AnnData(X.copy())
+    model.fit_minibatch(
+        adata, batch_size=20, n_steps=120, eval_freq=30, seed=1,
+        init_kwargs={"seed": 2},
+    )
+    assert model._is_fitted
+    assert len(model.history["objective_function"]) == 4
+    assert model.history["n_iterations"] == 120
+    exposures = model.adata.obsm["exposures"]
+    assert exposures.shape == (X.shape[0], 2)
+    assert np.all(np.isfinite(exposures))
+    # signatures are row-stochastic (rows = signatures over features)
+    np.testing.assert_allclose(model.asignatures.X.sum(axis=1), 1.0, rtol=1e-5)
+    # the fitted ELBO improves on a freshly initialized model's
+    fresh = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+    fresh_adata = AnnData(X.copy())
+    fresh._setup_adata(fresh_adata)
+    fresh._initialize(init_kwargs={"seed": 2})
+    assert model.objective_function() > fresh.objective_function()
+
+
+def test_fit_minibatch_given_parameters_frozen():
+    X = make_synthetic(seed=7)
+    sig_scalings = np.array([-0.3, 0.4])
+    variance = 1.7
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+    adata = AnnData(X.copy())
+    model.fit_minibatch(
+        adata, batch_size=16, n_steps=60, eval_freq=30, seed=4,
+        given_parameters={
+            "signature_scalings": sig_scalings,
+            "variance": variance,
+        },
+        init_kwargs={"seed": 3},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.asignatures.obs["scalings"], float), sig_scalings
+    )
+    assert model.variance == variance
+
+
+def test_batch_size_validation(fitted_state):
+    with pytest.raises(ValueError, match="batch_size"):
+        svi.make_svi_step(10, svi.SVIConfig(batch_size=11))
+    with pytest.raises(ValueError, match="batch_size"):
+        svi.make_svi_step(10, svi.SVIConfig(batch_size=0))
