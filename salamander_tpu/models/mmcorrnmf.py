@@ -677,6 +677,89 @@ class MultimodalCorrNMF:
         self._is_fitted = True
         return self
 
+    def fit_minibatch(
+        self,
+        mdata,
+        batch_size: int = 128,
+        n_steps: int = 2000,
+        eval_freq: int = 50,
+        forgetting: float = 0.7,
+        delay: float = 1.0,
+        seed: int = 0,
+        given_parameters: dict[str, Any] | None = None,
+        init_kwargs: dict[str, Any] | None = None,
+        history: bool = True,
+    ) -> "MultimodalCorrNMF":
+        """Stochastic (minibatch) variational EM for the multimodal model:
+        one shared minibatch of samples drives all modalities per step, with
+        the joint sample-embedding solve over the concatenated signature
+        axes and Robbins-Monro-averaged per-modality global statistics
+        (ops/svi.py). With batch_size = n_samples at step-size 1, one step
+        is one full joint EM cycle; see CorrNMFDet.fit_minibatch for the
+        practical guidance (full-batch `fit` is preferred while the cohort
+        fits HBM)."""
+        from ..ops import svi
+
+        self._setup_mdata(mdata)
+        self._initialize(given_parameters, init_kwargs)
+
+        given = given_parameters or {}
+
+        def mod_flags(name):
+            g = given.get(name, {})
+            n_given = g["asignatures"].n_obs if "asignatures" in g else 0
+            index = self.mod_names.index(name)
+            return {
+                "n_given": int(n_given),
+                "fix_signatures": n_given == self.ns_signatures[index],
+                "fix_sig_scalings": "signature_scalings" in g,
+                "fix_smp_scalings": "sample_scalings" in g,
+                "fix_sig_embeddings": "signature_embeddings" in g,
+            }
+
+        params, data = self._device_state()
+        config = svi.SVIConfig(
+            batch_size=batch_size, forgetting=forgetting, delay=delay,
+            sample_newton_iters=SAMPLE_NEWTON_ITERS,
+        )
+        step_fn = svi.make_mm_svi_step(
+            n_samples=int(self.mdata.n_obs),
+            mod_names=self.mod_names,
+            ns_signatures=self.ns_signatures,
+            config=config,
+            mod_flags={name: mod_flags(name) for name in self.mod_names},
+            fix_sample_embeddings="sample_embeddings" in given,
+            fix_variance="variance" in given,
+        )
+        import jax
+
+        state0 = svi.mm_svi_init(params)
+        state, elbo_trace = svi.run_svi(
+            step_fn, state0, data["X"], jax.random.PRNGKey(seed),
+            n_steps, eval_freq, elbo_fn=svi.mm_full_elbo,
+        )
+        final = {
+            "mods": {},
+            "sample_embeddings": state.params["sample_embeddings"],
+            "variance": state.params["variance"],
+        }
+        for name in self.mod_names:
+            mod = dict(state.params["mods"][name])
+            mod["exposures"] = ops.compute_exposures(
+                mod["signature_scalings"], mod["sample_scalings"],
+                mod["signature_embeddings"], final["sample_embeddings"],
+            )
+            final["mods"][name] = mod
+        self._absorb_params(final)
+        if history:
+            self.history["objective_function"] = list(
+                np.asarray(elbo_trace)
+            )
+            self.history["n_iterations"] = int(n_steps)
+        self.mdata.update()
+        self._is_fitted = True
+        return self
+
     # ------------------------------------------------------------------ #
     # analysis + plotting
     # ------------------------------------------------------------------ #

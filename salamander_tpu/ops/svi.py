@@ -242,13 +242,16 @@ def full_elbo(params, X):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("step_fn", "n_steps", "eval_freq"),
+    static_argnames=("step_fn", "n_steps", "eval_freq", "elbo_fn"),
 )
-def run_svi(step_fn, state0: SVIState, X, key, n_steps: int, eval_freq: int):
+def run_svi(step_fn, state0, X, key, n_steps: int, eval_freq: int,
+            elbo_fn=full_elbo):
     """Drive `n_steps` minibatch steps, recording the full-data ELBO every
     `eval_freq` steps. Returns (final_state, history) with history shape
-    (n_steps // eval_freq,). One compiled program; the full count matrix
-    stays resident on device throughout."""
+    (n_steps // eval_freq,). One compiled program; the full count data
+    (array or pytree of per-modality arrays) stays resident on device
+    throughout. elbo_fn(params, X) evaluates the recorded objective
+    (full_elbo for CorrNMFDet, mm_full_elbo for MultimodalCorrNMF)."""
     n_evals = n_steps // eval_freq
     remainder = n_steps - n_evals * eval_freq
 
@@ -264,7 +267,7 @@ def run_svi(step_fn, state0: SVIState, X, key, n_steps: int, eval_freq: int):
 
     def block(carry, _):
         carry = advance(carry, eval_freq)
-        return carry, full_elbo(carry[0].params, X)
+        return carry, elbo_fn(carry[0].params, X)
 
     carry, history = jax.lax.scan(
         block, (state0, key), None, length=n_evals
@@ -273,3 +276,244 @@ def run_svi(step_fn, state0: SVIState, X, key, n_steps: int, eval_freq: int):
         carry = advance(carry, remainder)
     state, _ = carry
     return state, history
+
+
+# --------------------------------------------------------------------- #
+# multimodal (MuData) variant: shared sample embeddings, per-modality
+# globals and statistics
+# --------------------------------------------------------------------- #
+
+
+class MMSVIState(NamedTuple):
+    params: Any   # the MultimodalCorrNMF parameter pytree (minus exposures)
+    stats: Any    # {mod: {"observed": (K,), "predicted": (K,),
+    #                      "counts": (V, K)}}
+    step: Any
+
+
+def mm_svi_init(params) -> MMSVIState:
+    """Fresh multimodal SVI state around a MultimodalCorrNMF parameter
+    pytree (models/mmcorrnmf.py _device_state)."""
+    mods = {}
+    stats = {}
+    for name, mod in params["mods"].items():
+        signatures = mod["signatures"]
+        n_signatures, n_features = signatures.shape
+        dtype = signatures.dtype
+        mods[name] = {k: v for k, v in mod.items() if k != "exposures"}
+        stats[name] = {
+            "observed": jnp.zeros((n_signatures,), dtype),
+            "predicted": jnp.zeros((n_signatures,), dtype),
+            "counts": jnp.zeros((n_features, n_signatures), dtype),
+        }
+    return MMSVIState(
+        params={
+            "mods": mods,
+            "sample_embeddings": params["sample_embeddings"],
+            "variance": params["variance"],
+        },
+        stats=stats,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def mm_full_elbo(params, X):
+    """Full-data multimodal ELBO (exposures recomputed; shared sample
+    penalty added exactly once, as in MultimodalCorrNMF._build_step)."""
+    U = params["sample_embeddings"]
+    variance = params["variance"]
+    elbo = 0.0
+    for name, mod in params["mods"].items():
+        exposures = ops.compute_exposures(
+            mod["signature_scalings"], mod["sample_scalings"],
+            mod["signature_embeddings"], U,
+        )
+        elbo += ops.elbo_corrnmf(
+            X[name], mod["signatures"], exposures,
+            mod["signature_embeddings"], U, variance,
+            penalize_sample_embeddings=False,
+        )
+    n_obs, dim = U.shape
+    elbo -= 0.5 * dim * n_obs * jnp.log(2.0 * jnp.pi * variance)
+    elbo -= jnp.sum(U**2) / (2.0 * variance)
+    return elbo
+
+
+def make_mm_svi_step(
+    n_samples: int,
+    mod_names: list,
+    ns_signatures: list,
+    config: SVIConfig,
+    mod_flags: dict | None = None,
+    fix_sample_embeddings: bool = False,
+    fix_variance: bool = False,
+):
+    """Multimodal twin of make_svi_step: (MMSVIState, X_dict, key) -> state.
+
+    One shared minibatch of samples drives every modality; the joint
+    sample-embedding update concatenates the modality signature axes exactly
+    as the full-batch step does (models/mmcorrnmf.py _build_step step 5b).
+    mod_flags[name] may carry 'n_given', 'fix_signatures',
+    'fix_sig_scalings', 'fix_smp_scalings', 'fix_sig_embeddings' (all
+    defaulting to free)."""
+    batch_size = int(config.batch_size)
+    if not 1 <= batch_size <= n_samples:
+        raise ValueError(
+            f"batch_size={batch_size} must be in [1, n_samples={n_samples}]"
+        )
+    scale = n_samples / batch_size
+    mod_names = list(mod_names)
+    defaults = dict(
+        n_given=0, fix_signatures=False, fix_sig_scalings=False,
+        fix_smp_scalings=False, fix_sig_embeddings=False,
+    )
+    flags = {
+        name: {**defaults, **((mod_flags or {}).get(name, {}))}
+        for name in mod_names
+    }
+
+    def step(state: MMSVIState, X, key) -> MMSVIState:
+        mods = {
+            name: dict(state.params["mods"][name]) for name in mod_names
+        }
+        U = state.params["sample_embeddings"]
+        variance = state.params["variance"]
+        dtype = U.dtype
+        stats = {name: dict(state.stats[name]) for name in mod_names}
+
+        rho = (state.step.astype(dtype) + config.delay) ** (
+            -config.forgetting
+        )
+        log_scale = jnp.log(jnp.asarray(scale, dtype))
+
+        indices = jax.random.choice(
+            key, n_samples, shape=(batch_size,), replace=False
+        )
+        U_batch = jnp.take(U, indices, axis=0)  # (B, m)
+
+        # 1-3: per-modality locals + sufficient statistics on the batch
+        batch = {}
+        for name in mod_names:
+            m, f = mods[name], flags[name]
+            X_batch = jnp.take(X[name], indices, axis=0)   # (B, V_i)
+            tau_batch = jnp.take(m["sample_scalings"], indices, axis=0)
+            if not f["fix_smp_scalings"]:
+                tau_batch = ops.update_sample_scalings(
+                    X_batch, m["signature_scalings"],
+                    m["signature_embeddings"], U_batch,
+                )
+            exposures_batch = ops.compute_exposures(
+                m["signature_scalings"], tau_batch,
+                m["signature_embeddings"], U_batch,
+            )                                              # (B, K_i)
+            ratios = X_batch / (exposures_batch @ m["signatures"])
+            aux_batch = (
+                exposures_batch.T * (m["signatures"] @ ratios.T)
+            )                                              # (K_i, B)
+            batch[name] = dict(
+                tau=tau_batch, exposures=exposures_batch,
+                ratios=ratios, aux=aux_batch,
+            )
+
+        # 4: per-modality signature scalings from running averages
+        for name in mod_names:
+            m, f, b, s = mods[name], flags[name], batch[name], stats[name]
+            observed_hat = scale * jnp.sum(b["aux"], axis=1)
+            predicted_hat = scale * jnp.sum(
+                jnp.exp(b["tau"][None, :]
+                        + m["signature_embeddings"] @ U_batch.T),
+                axis=1,
+            )
+            s["observed"] = (1.0 - rho) * s["observed"] + rho * observed_hat
+            s["predicted"] = (
+                (1.0 - rho) * s["predicted"] + rho * predicted_hat
+            )
+            if not f["fix_sig_scalings"]:
+                m["signature_scalings"] = jnp.log(s["observed"]) - jnp.log(
+                    s["predicted"]
+                )
+
+        # 5a: per-modality signature embeddings (damped SVI global update)
+        for name in mod_names:
+            m, f, b = mods[name], flags[name], batch[name]
+            if f["fix_sig_embeddings"]:
+                continue
+            sig_emb_star = ops.update_embeddings(
+                m["signature_embeddings"], U_batch,
+                m["signature_scalings"], b["tau"] + log_scale,
+                variance, scale * b["aux"],
+                max_iter=config.signature_newton_iters,
+            )
+            m["signature_embeddings"] = (
+                (1.0 - rho) * m["signature_embeddings"] + rho * sig_emb_star
+            )
+
+        # 5b: joint minibatch sample-embedding update across modalities
+        if not fix_sample_embeddings:
+            sig_embs = jnp.concatenate(
+                [mods[n]["signature_embeddings"] for n in mod_names], axis=0
+            )
+            sig_scals = jnp.concatenate(
+                [mods[n]["signature_scalings"] for n in mod_names]
+            )
+            aux_all = jnp.concatenate(
+                [batch[n]["aux"] for n in mod_names], axis=0
+            )                                              # (sum K, B)
+            scalings_mat = jnp.concatenate(
+                [
+                    jnp.tile(
+                        batch[n]["tau"][:, None], (1, ns_signatures[i])
+                    )
+                    for i, n in enumerate(mod_names)
+                ],
+                axis=1,
+            )                                              # (B, sum K)
+            U_batch = ops.update_embeddings(
+                U_batch, sig_embs, scalings_mat, sig_scals, variance,
+                aux_all.T, max_iter=config.sample_newton_iters,
+            )
+            U = U.at[indices].set(U_batch)
+
+        # scatter the per-modality locals
+        for name in mod_names:
+            if not flags[name]["fix_smp_scalings"]:
+                mods[name]["sample_scalings"] = (
+                    mods[name]["sample_scalings"]
+                    .at[indices].set(batch[name]["tau"])
+                )
+
+        # 6: shared variance from all signature embeddings + full U
+        if not fix_variance:
+            all_sig_embs = jnp.concatenate(
+                [mods[n]["signature_embeddings"] for n in mod_names], axis=0
+            )
+            variance = ops.update_variance(all_sig_embs, U)
+
+        # 7: per-modality signatures from running expected counts
+        for name in mod_names:
+            m, f, b, s = mods[name], flags[name], batch[name], stats[name]
+            counts_hat = (
+                m["signatures"].T * (b["ratios"].T @ b["exposures"]) * scale
+            )                                              # (V_i, K_i)
+            s["counts"] = (1.0 - rho) * s["counts"] + rho * counts_hat
+            if not f["fix_signatures"]:
+                W_new = s["counts"] / jnp.sum(s["counts"], axis=0)
+                W_new = jnp.maximum(W_new, EPSILON)
+                if f["n_given"] > 0:
+                    given = jnp.arange(W_new.shape[1]) < f["n_given"]
+                    W_new = jnp.where(
+                        given[None, :], m["signatures"].T, W_new
+                    )
+                m["signatures"] = W_new.T
+
+        return MMSVIState(
+            params={
+                "mods": mods,
+                "sample_embeddings": U,
+                "variance": variance,
+            },
+            stats=stats,
+            step=state.step + 1,
+        )
+
+    return step

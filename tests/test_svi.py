@@ -155,3 +155,102 @@ def test_batch_size_validation(fitted_state):
         svi.make_svi_step(10, svi.SVIConfig(batch_size=11))
     with pytest.raises(ValueError, match="batch_size"):
         svi.make_svi_step(10, svi.SVIConfig(batch_size=0))
+
+
+# --------------------------------------------------------------------- #
+# multimodal
+# --------------------------------------------------------------------- #
+
+
+def make_mm_model(seed=0, n_samples=50):
+    from salamander_tpu.containers import MuData
+    from salamander_tpu.models import MultimodalCorrNMF
+
+    rng = np.random.default_rng(seed)
+    mods = {}
+    for name, n_features in (("sbs", 20), ("indel", 12)):
+        signatures = rng.dirichlet(np.full(n_features, 0.5), size=2)
+        exposures = rng.gamma(2.0, 40.0, size=(n_samples, 2))
+        X = rng.poisson(exposures @ signatures).astype(float)
+        X[X == 0] = 1.0
+        mods[name] = X
+    from salamander_tpu.containers import AnnData
+
+    mdata = MuData({name: AnnData(X) for name, X in mods.items()})
+    model = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2)
+    return model, mdata
+
+
+def test_mm_full_batch_rho_one_equals_em_cycle():
+    model, mdata = make_mm_model()
+    model._setup_mdata(mdata)
+    model._initialize(init_kwargs={"seed": 4})
+    params, data = model._device_state()
+    update_fn, _ = model._build_step()
+    expected = update_fn(params, data)
+
+    config = svi.SVIConfig(
+        batch_size=int(model.mdata.n_obs),
+        delay=1.0,
+        signature_newton_iters=100,
+    )
+    step_fn = svi.make_mm_svi_step(
+        int(model.mdata.n_obs), model.mod_names, model.ns_signatures, config
+    )
+    state = svi.mm_svi_init(params)
+    state = jax.jit(step_fn)(state, data["X"], jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(
+        np.asarray(state.params["sample_embeddings"]),
+        np.asarray(expected["sample_embeddings"]),
+        rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        float(state.params["variance"]), float(expected["variance"]),
+        rtol=1e-10,
+    )
+    for name in model.mod_names:
+        for field in ("signatures", "signature_scalings",
+                      "sample_scalings", "signature_embeddings"):
+            np.testing.assert_allclose(
+                np.asarray(state.params["mods"][name][field]),
+                np.asarray(expected["mods"][name][field]),
+                rtol=1e-8, atol=1e-10,
+                err_msg=f"{name}/{field}",
+            )
+
+
+def test_mm_fit_minibatch_model_api():
+    model, mdata = make_mm_model(seed=3)
+    model.fit_minibatch(
+        mdata, batch_size=16, n_steps=150, eval_freq=50, seed=2,
+        init_kwargs={"seed": 1},
+    )
+    assert model._is_fitted
+    hist = model.history["objective_function"]
+    assert len(hist) == 3
+    assert np.all(np.isfinite(hist))
+    assert hist[-1] > hist[0]
+    for name in model.mod_names:
+        sigs = model.asignatures[name].X
+        np.testing.assert_allclose(sigs.sum(axis=1), 1.0, rtol=1e-5)
+        assert model.mdata[name].obsm["exposures"].shape == (50, 2)
+    assert model.mdata.obsm["embeddings"].shape == (50, 2)
+
+
+def test_mm_fit_minibatch_given_parameters_frozen():
+    model, mdata = make_mm_model(seed=6)
+    sig_scalings = np.array([0.25, -0.5])
+    model.fit_minibatch(
+        mdata, batch_size=16, n_steps=60, eval_freq=30, seed=0,
+        given_parameters={"sbs": {"signature_scalings": sig_scalings}},
+        init_kwargs={"seed": 8},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.asignatures["sbs"].obs["scalings"], float),
+        sig_scalings,
+    )
+    assert not np.array_equal(
+        np.asarray(model.asignatures["indel"].obs["scalings"], float),
+        sig_scalings,
+    )
