@@ -76,17 +76,33 @@ class CorrNMFDet(CorrNMF):
         self.variance = float(params["variance"])
         self.adata.obsm["exposures"] = np.asarray(params["exposures"])
 
-    def _build_step(self, given_parameters=None):
+    def _given_flags(self, given_parameters) -> dict[str, Any]:
+        """Freeze flags derived from a given_parameters dict — the single
+        source of truth for which parameters fit and fit_minibatch hold
+        fixed."""
         given = given_parameters or {}
         n_given = 0
         if "asignatures" in given:
             n_given = int(given["asignatures"].n_obs)
-        fix_signatures = n_given == self.n_signatures
-        fix_sig_scalings = "signature_scalings" in given
-        fix_smp_scalings = "sample_scalings" in given
-        fix_sig_embeddings = "signature_embeddings" in given
-        fix_smp_embeddings = "sample_embeddings" in given
-        fix_variance = "variance" in given
+        return {
+            "n_given": n_given,
+            "fix_signatures": n_given == self.n_signatures,
+            "fix_signature_scalings": "signature_scalings" in given,
+            "fix_sample_scalings": "sample_scalings" in given,
+            "fix_signature_embeddings": "signature_embeddings" in given,
+            "fix_sample_embeddings": "sample_embeddings" in given,
+            "fix_variance": "variance" in given,
+        }
+
+    def _build_step(self, given_parameters=None):
+        flags = self._given_flags(given_parameters)
+        n_given = flags["n_given"]
+        fix_signatures = flags["fix_signatures"]
+        fix_sig_scalings = flags["fix_signature_scalings"]
+        fix_smp_scalings = flags["fix_sample_scalings"]
+        fix_sig_embeddings = flags["fix_signature_embeddings"]
+        fix_smp_embeddings = flags["fix_sample_embeddings"]
+        fix_variance = flags["fix_variance"]
 
         def update_fn(params, data):
             X = data["X"]
@@ -158,58 +174,73 @@ class CorrNMFDet(CorrNMF):
         forgetting: float = 0.7,
         delay: float = 1.0,
         seed: int = 0,
+        signature_newton_iters: int = 4,
         given_parameters: dict[str, Any] | None = None,
         init_kwargs: dict[str, Any] | None = None,
         history: bool = True,
     ) -> "CorrNMFDet":
         """Fit with stochastic (minibatch) variational EM instead of
-        full-batch cycles - the scaling path for cohorts whose sample count
-        is far beyond what a full-batch EM cycle can touch per iteration.
+        full-batch cycles - for cohorts whose sample count makes full EM
+        cycles too slow: per-step compute is amortized O(batch_size) while
+        a full-batch cycle is O(n_samples). The count matrix must still fit
+        in device memory (for beyond-HBM cohorts, shard the sample axis
+        across a mesh - parallel/mesh.py); pass eval_freq=0 to skip the
+        O(n_samples) full-data ELBO evaluations too.
 
         Each step refreshes `batch_size` samples' local parameters with the
         exact batch M-steps and updates the global parameters from
         Robbins-Monro running averages of minibatch-scaled sufficient
         statistics (rho_t = (t + delay)^(-forgetting); see ops/svi.py).
-        With batch_size = n_samples and delay=1, forgetting such that
-        rho = 1, a step reduces exactly to one deterministic EM cycle.
+        With batch_size >= n_samples, delay=1, and signature_newton_iters
+        raised to the full-batch cap (100), the first step reduces exactly
+        to one deterministic EM cycle; at the default signature_newton_iters
+        (4, plenty under rho-damping) it is the same cycle with a truncated
+        signature-embedding Newton solve.
 
-        Runs a fixed `n_steps` step budget (stochastic traces have no
-        meaningful relative-change convergence test); the full-data ELBO is
-        recorded every `eval_freq` steps into history.
+        batch_size is clamped to n_samples, so the defaults work on small
+        cohorts. Runs a fixed `n_steps` step budget (stochastic traces have
+        no meaningful relative-change convergence test); the full-data ELBO
+        is recorded every `eval_freq` steps into history.
 
         Practical guidance (measured, BENCHMARKS.md): on TPU, full-batch
-        `fit` is faster AND finds better optima for any cohort that fits in
-        HBM - use this path when D is beyond that. Raising `delay` (20-100)
-        tempers the early noisy steps and preserves more of the
-        initialization basin.
+        `fit` is faster AND finds better optima for any cohort where its
+        O(n_samples) cycles are acceptable - reach for this path when they
+        are not. Raising `delay` (20-100) tempers the early noisy steps and
+        preserves more of the initialization basin.
         """
         from ..ops import svi
+
+        if self.newton_cg_compat:
+            raise ValueError(
+                "fit_minibatch does not support newton_cg_compat=True: the "
+                "scipy-exact host path has no minibatch twin, so compat-mode "
+                "audit traces would silently get device-Newton numerics. "
+                "Use fit() for auditable traces."
+            )
 
         self._setup_adata(adata)
         self._initialize(given_parameters, init_kwargs)
         self._setup_fitting_parameters(None)
 
-        given = given_parameters or {}
-        n_given = 0
-        if "asignatures" in given:
-            n_given = int(given["asignatures"].n_obs)
+        flags = self._given_flags(given_parameters)
 
         params, data = self._device_state()
         config = svi.SVIConfig(
-            batch_size=batch_size,
+            batch_size=min(int(batch_size), int(self.adata.n_obs)),
             forgetting=forgetting,
             delay=delay,
+            signature_newton_iters=signature_newton_iters,
             sample_newton_iters=SAMPLE_NEWTON_ITERS,
         )
         step_fn = svi.make_svi_step(
             n_samples=int(self.adata.n_obs),
             config=config,
-            n_given_signatures=n_given,
-            fix_signature_scalings="signature_scalings" in given,
-            fix_sample_scalings="sample_scalings" in given,
-            fix_signature_embeddings="signature_embeddings" in given,
-            fix_sample_embeddings="sample_embeddings" in given,
-            fix_variance="variance" in given,
+            n_given_signatures=flags["n_given"],
+            fix_signature_scalings=flags["fix_signature_scalings"],
+            fix_sample_scalings=flags["fix_sample_scalings"],
+            fix_signature_embeddings=flags["fix_signature_embeddings"],
+            fix_sample_embeddings=flags["fix_sample_embeddings"],
+            fix_variance=flags["fix_variance"],
         )
         import jax
 
@@ -229,6 +260,8 @@ class CorrNMFDet(CorrNMF):
         if history:
             self.history["objective_function"] = list(np.asarray(elbo_trace))
             self.history["n_iterations"] = int(n_steps)
+            # plot_history x-axis spacing: evals are eval_freq steps apart
+            self.history["step_freq"] = int(eval_freq)
         self._is_fitted = True
         return self
 

@@ -285,23 +285,29 @@ class MultimodalCorrNMF:
         self.mdata.obsm["embeddings"] = np.asarray(params["sample_embeddings"])
         self.variance = float(params["variance"])
 
-    def _build_step(self, given_parameters=None):
+    def _mod_flags(self, given_parameters) -> dict:
+        """Per-modality freeze flags derived from a nested given_parameters
+        dict — the single source of truth for which modality parameters fit
+        and fit_minibatch hold fixed."""
         given = given_parameters or {}
-        mod_names = self.mod_names
-        ns_signatures = self.ns_signatures
-
-        def mod_flags(name):
+        flags = {}
+        for index, name in enumerate(self.mod_names):
             g = given.get(name, {})
             n_given = g["asignatures"].n_obs if "asignatures" in g else 0
-            return {
+            flags[name] = {
                 "n_given": int(n_given),
-                "fix_signatures": n_given == ns_signatures[mod_names.index(name)],
+                "fix_signatures": n_given == self.ns_signatures[index],
                 "fix_sig_scalings": "signature_scalings" in g,
                 "fix_smp_scalings": "sample_scalings" in g,
                 "fix_sig_embeddings": "signature_embeddings" in g,
             }
+        return flags
 
-        flags = {name: mod_flags(name) for name in mod_names}
+    def _build_step(self, given_parameters=None):
+        given = given_parameters or {}
+        mod_names = self.mod_names
+        ns_signatures = self.ns_signatures
+        flags = self._mod_flags(given_parameters)
         fix_sample_embeddings = "sample_embeddings" in given
         fix_variance = "variance" in given
         dim = self.dim_embeddings
@@ -641,6 +647,7 @@ class MultimodalCorrNMF:
             if history:
                 self.history["objective_function"] = of_values[1:]
                 self.history["n_iterations"] = n_iteration
+                self.history["step_freq"] = self.conv_test_freq
             self.mdata.update()
             self._is_fitted = True
             return self
@@ -673,6 +680,7 @@ class MultimodalCorrNMF:
                 np.asarray(result.history)[:n_evals]
             )
             self.history["n_iterations"] = int(result.n_iterations)
+            self.history["step_freq"] = self.conv_test_freq
         self.mdata.update()
         self._is_fitted = True
         return self
@@ -686,6 +694,7 @@ class MultimodalCorrNMF:
         forgetting: float = 0.7,
         delay: float = 1.0,
         seed: int = 0,
+        signature_newton_iters: int = 4,
         given_parameters: dict[str, Any] | None = None,
         init_kwargs: dict[str, Any] | None = None,
         history: bool = True,
@@ -694,10 +703,12 @@ class MultimodalCorrNMF:
         one shared minibatch of samples drives all modalities per step, with
         the joint sample-embedding solve over the concatenated signature
         axes and Robbins-Monro-averaged per-modality global statistics
-        (ops/svi.py). With batch_size = n_samples at step-size 1, one step
-        is one full joint EM cycle; see CorrNMFDet.fit_minibatch for the
-        practical guidance (full-batch `fit` is preferred while the cohort
-        fits HBM)."""
+        (ops/svi.py). With batch_size >= n_samples (it is clamped), delay=1
+        and signature_newton_iters=100, the first step is one full joint EM
+        cycle; see CorrNMFDet.fit_minibatch for cost semantics and practical
+        guidance (full-batch `fit` is preferred while its O(n_samples)
+        cycles are acceptable; eval_freq=0 skips the full-data ELBO
+        evaluations)."""
         from ..ops import svi
 
         self._setup_mdata(mdata)
@@ -705,21 +716,11 @@ class MultimodalCorrNMF:
 
         given = given_parameters or {}
 
-        def mod_flags(name):
-            g = given.get(name, {})
-            n_given = g["asignatures"].n_obs if "asignatures" in g else 0
-            index = self.mod_names.index(name)
-            return {
-                "n_given": int(n_given),
-                "fix_signatures": n_given == self.ns_signatures[index],
-                "fix_sig_scalings": "signature_scalings" in g,
-                "fix_smp_scalings": "sample_scalings" in g,
-                "fix_sig_embeddings": "signature_embeddings" in g,
-            }
-
         params, data = self._device_state()
         config = svi.SVIConfig(
-            batch_size=batch_size, forgetting=forgetting, delay=delay,
+            batch_size=min(int(batch_size), int(self.mdata.n_obs)),
+            forgetting=forgetting, delay=delay,
+            signature_newton_iters=signature_newton_iters,
             sample_newton_iters=SAMPLE_NEWTON_ITERS,
         )
         step_fn = svi.make_mm_svi_step(
@@ -727,7 +728,7 @@ class MultimodalCorrNMF:
             mod_names=self.mod_names,
             ns_signatures=self.ns_signatures,
             config=config,
-            mod_flags={name: mod_flags(name) for name in self.mod_names},
+            mod_flags=self._mod_flags(given_parameters),
             fix_sample_embeddings="sample_embeddings" in given,
             fix_variance="variance" in given,
         )
@@ -756,6 +757,8 @@ class MultimodalCorrNMF:
                 np.asarray(elbo_trace)
             )
             self.history["n_iterations"] = int(n_steps)
+            # plot_history x-axis spacing: evals are eval_freq steps apart
+            self.history["step_freq"] = int(eval_freq)
         self.mdata.update()
         self._is_fitted = True
         return self
@@ -809,7 +812,8 @@ class MultimodalCorrNMF:
             )
         ax = pl.history(
             values=self.history["objective_function"],
-            conv_test_freq=self.conv_test_freq,
+            # fit_minibatch traces are spaced by eval_freq, not conv_test_freq
+            conv_test_freq=self.history.get("step_freq", self.conv_test_freq),
             **kwargs,
         )
         if outfile is not None:

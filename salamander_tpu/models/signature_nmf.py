@@ -321,6 +321,7 @@ class SignatureNMF(ABC):
                 np.asarray(result.history)[:n_evals]
             )
             self.history["n_iterations"] = int(result.n_iterations)
+            self.history["step_freq"] = self.conv_test_freq
         self._is_fitted = True
         return self
 
@@ -351,6 +352,7 @@ class SignatureNMF(ABC):
         if history:
             self.history["objective_function"] = of_values[1:]
             self.history["n_iterations"] = n_iteration
+            self.history["step_freq"] = self.conv_test_freq
         self._is_fitted = True
         return self
 
@@ -414,7 +416,8 @@ class SignatureNMF(ABC):
         )
         ax = pl.history(
             values=self.history["objective_function"],
-            conv_test_freq=self.conv_test_freq,
+            # fit_minibatch traces are spaced by eval_freq, not conv_test_freq
+            conv_test_freq=self.history.get("step_freq", self.conv_test_freq),
             **kwargs,
         )
         if outfile is not None:

@@ -21,14 +21,23 @@ Newton solve whose rate term depends on the variable), so they take the
 standard non-conjugate SVI route: a Newton solve on the minibatch-rescaled
 surrogate, blended into the running iterate with the same rho_t.
 
-Exactness anchor (pinned by tests/test_svi.py): with batch_size = n_samples
-and rho = 1 (delay=1, t=0), one SVI step IS one deterministic EM cycle - the
-statistics equal their full-batch values and the blending is the identity -
-so the whole scheme is a strict generalization of CorrNMFDet's update.
+Exactness anchor (pinned by tests/test_svi.py): with batch_size = n_samples,
+rho = 1 (delay=1, t=0) and signature_newton_iters raised to the full-batch
+cap, one SVI step IS one deterministic EM cycle - the statistics equal their
+full-batch values and the blending is the identity - so the whole scheme is
+a strict generalization of CorrNMFDet's update.
 
-Everything here is jittable with static batch size; the per-step cost is
-O(batch_size) instead of O(D), and the minibatch gather/scatter pattern is
-compatible with the sample-sharded mesh layout (parallel/mesh.py).
+Cost model (everything jittable with static batch size): per-step compute is
+amortized O(batch_size) - minibatches are cut from a per-epoch shuffled
+permutation (reshuffled once per epoch, O(D log D) amortized over D/B
+steps), the sample-embedding sum-of-squares behind the variance M-step is
+carried as a running statistic (refreshed exactly at each epoch boundary),
+and gather/scatter touch only the batch rows. The full (D, V) count matrix
+does stay resident on device, and the optional full-data ELBO evaluation
+every eval_freq steps is an O(D V) pass (set eval_freq=0 to disable it);
+for cohorts beyond one device's memory, shard the sample axis across a mesh
+(parallel/mesh.py) - the minibatch gather/scatter pattern is compatible
+with that layout.
 """
 
 from __future__ import annotations
@@ -59,21 +68,54 @@ class SVIConfig(NamedTuple):
     sample_newton_iters: int = 3  # the reference's sample-side maxiter=3
 
 
+def _validate_config(config: SVIConfig, n_samples: int) -> int:
+    """Reject schedules that silently corrupt the fit. Returns batch_size.
+
+    delay < 1 makes rho_0 = delay**(-forgetting) exceed 1 (delay=0 makes it
+    inf), so the (1-rho)/rho blend leaves the convex hull and the running
+    statistics go negative/NaN; forgetting outside (0.5, 1] breaks the
+    Robbins-Monro conditions (sum rho = inf, sum rho^2 < inf)."""
+    batch_size = int(config.batch_size)
+    if not 1 <= batch_size <= n_samples:
+        raise ValueError(
+            f"batch_size={batch_size} must be in [1, n_samples={n_samples}]"
+        )
+    if not config.delay >= 1.0:
+        raise ValueError(
+            f"delay={config.delay} must be >= 1 (rho_0 = delay**-forgetting "
+            "must not exceed 1)"
+        )
+    if not 0.5 < config.forgetting <= 1.0:
+        raise ValueError(
+            f"forgetting={config.forgetting} must be in (0.5, 1] for "
+            "Robbins-Monro convergence"
+        )
+    if config.signature_newton_iters < 1 or config.sample_newton_iters < 1:
+        raise ValueError("Newton iteration counts must be >= 1")
+    return batch_size
+
+
 class SVIState(NamedTuple):
     params: Any          # the CorrNMFDet parameter pytree (minus exposures)
     stat_observed: Any   # (K,) running average of D-scaled sum_d aux[k,d]
     stat_predicted: Any  # (K,) running average of D-scaled sum_d exp(...)
     stat_counts: Any     # (V,K) running average of expected signature counts
     step: Any            # scalar int32 step counter t
+    perm: Any            # (D,) epoch sample order; reshuffled once per epoch
+    cursor: Any          # scalar int32 position in perm
+    stat_usq: Any        # scalar running sum(sample_embeddings**2)
 
 
 def svi_init(params) -> SVIState:
     """Fresh SVI state around a CorrNMFDet parameter pytree (the running
     statistics start at zero; rho_0 = 1 with the default delay overwrites
-    them with the first minibatch estimate)."""
+    them with the first minibatch estimate). cursor starts past the end of
+    perm so the first step reshuffles with its own PRNG key."""
     signatures = params["signatures"]
     n_signatures, n_features = signatures.shape
     dtype = signatures.dtype
+    sample_embeddings = params["sample_embeddings"]
+    n_samples = sample_embeddings.shape[0]
     return SVIState(
         params={key: value for key, value in params.items()
                 if key != "exposures"},
@@ -81,7 +123,34 @@ def svi_init(params) -> SVIState:
         stat_predicted=jnp.zeros((n_signatures,), dtype),
         stat_counts=jnp.zeros((n_features, n_signatures), dtype),
         step=jnp.zeros((), jnp.int32),
+        perm=jnp.arange(n_samples, dtype=jnp.int32),
+        cursor=jnp.asarray(n_samples, jnp.int32),
+        stat_usq=jnp.sum(sample_embeddings**2),
     )
+
+
+def _draw_epoch_batch(key, perm, cursor, usq_exact_fn, stat_usq, batch_size):
+    """Cut the next minibatch from the epoch permutation, reshuffling (and
+    exactly refreshing the running sum-of-squares statistic, so its O(B)
+    incremental updates can't drift) when the epoch is exhausted. Amortized
+    O(batch_size) per step."""
+    n_samples = perm.shape[0]
+
+    def reshuffle(args):
+        old_perm, _, _ = args
+        new_perm = jax.random.permutation(key, n_samples).astype(
+            old_perm.dtype
+        )
+        return new_perm, jnp.zeros((), jnp.int32), usq_exact_fn()
+
+    perm, start, stat_usq = jax.lax.cond(
+        cursor + batch_size > n_samples,
+        reshuffle,
+        lambda args: args,
+        (perm, cursor, stat_usq),
+    )
+    indices = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
+    return indices, perm, start + batch_size, stat_usq
 
 
 def make_svi_step(
@@ -103,11 +172,7 @@ def make_svi_step(
     variance -> signatures), which is what makes the full-batch/rho=1 case
     collapse to CorrNMFDet's update.
     """
-    batch_size = int(config.batch_size)
-    if not 1 <= batch_size <= n_samples:
-        raise ValueError(
-            f"batch_size={batch_size} must be in [1, n_samples={n_samples}]"
-        )
+    batch_size = _validate_config(config, n_samples)
     scale = n_samples / batch_size
     fix_signatures = False
     K_given = int(n_given_signatures)
@@ -126,12 +191,14 @@ def make_svi_step(
             -config.forgetting
         )
 
-        indices = jax.random.choice(
-            key, n_samples, shape=(batch_size,), replace=False
+        indices, perm, cursor, stat_usq = _draw_epoch_batch(
+            key, state.perm, state.cursor,
+            lambda: jnp.sum(smp_emb**2), state.stat_usq, batch_size,
         )
         X_batch = jnp.take(X, indices, axis=0)          # (B, V)
         tau_batch = jnp.take(smp_scal, indices, axis=0)  # (B,)
         u_batch = jnp.take(smp_emb, indices, axis=0)     # (B, m)
+        usq_batch_old = jnp.sum(u_batch**2)
 
         # 1. minibatch sample scalings (exact local M-step, closed form)
         if not fix_sample_scalings:
@@ -184,10 +251,14 @@ def make_svi_step(
             smp_scal = smp_scal.at[indices].set(tau_batch)
         if not fix_sample_embeddings:
             smp_emb = smp_emb.at[indices].set(u_batch)
+            stat_usq = stat_usq - usq_batch_old + jnp.sum(u_batch**2)
 
-        # 6. variance from the full (partially refreshed) embedding arrays
+        # 6. variance over all embeddings, with the O(D m) sample term
+        # carried incrementally (exact-refreshed at each epoch boundary)
         if not fix_variance:
-            variance = ops.update_variance(sig_emb, smp_emb)
+            total = jnp.sum(sig_emb**2) + stat_usq
+            count = sig_emb.size + smp_emb.size
+            variance = jnp.maximum(total / count, EPSILON)
 
         # 7. signatures: column-normalized running average of the expected
         # signature counts (the KL multiplicative W update in statistic form)
@@ -217,6 +288,9 @@ def make_svi_step(
             stat_predicted=stat_predicted,
             stat_counts=stat_counts,
             step=state.step + 1,
+            perm=perm,
+            cursor=cursor,
+            stat_usq=stat_usq,
         )
 
     return step
@@ -251,8 +325,18 @@ def run_svi(step_fn, state0, X, key, n_steps: int, eval_freq: int,
     (n_steps // eval_freq,). One compiled program; the full count data
     (array or pytree of per-modality arrays) stays resident on device
     throughout. elbo_fn(params, X) evaluates the recorded objective
-    (full_elbo for CorrNMFDet, mm_full_elbo for MultimodalCorrNMF)."""
-    n_evals = n_steps // eval_freq
+    (full_elbo for CorrNMFDet, mm_full_elbo for MultimodalCorrNMF).
+
+    Each evaluation is a full O(D V) pass; eval_freq=0 disables evaluation
+    entirely (history comes back empty), keeping every step O(batch)."""
+    if n_steps < 1:
+        raise ValueError(f"n_steps={n_steps} must be >= 1")
+    if eval_freq < 0:
+        raise ValueError(
+            f"eval_freq={eval_freq} must be >= 1, or 0 to disable the "
+            "full-data ELBO trace"
+        )
+    n_evals = n_steps // eval_freq if eval_freq else 0
     remainder = n_steps - n_evals * eval_freq
 
     def advance(carry, n):
@@ -269,9 +353,15 @@ def run_svi(step_fn, state0, X, key, n_steps: int, eval_freq: int,
         carry = advance(carry, eval_freq)
         return carry, elbo_fn(carry[0].params, X)
 
-    carry, history = jax.lax.scan(
-        block, (state0, key), None, length=n_evals
-    )
+    if n_evals:
+        carry, history = jax.lax.scan(
+            block, (state0, key), None, length=n_evals
+        )
+    else:
+        carry = (state0, key)
+        history = jnp.zeros(
+            (0,), jax.tree_util.tree_leaves(state0.params)[0].dtype
+        )
     if remainder:
         carry = advance(carry, remainder)
     state, _ = carry
@@ -289,6 +379,9 @@ class MMSVIState(NamedTuple):
     stats: Any    # {mod: {"observed": (K,), "predicted": (K,),
     #                      "counts": (V, K)}}
     step: Any
+    perm: Any     # (D,) epoch sample order; reshuffled once per epoch
+    cursor: Any   # scalar int32 position in perm
+    stat_usq: Any  # scalar running sum(sample_embeddings**2)
 
 
 def mm_svi_init(params) -> MMSVIState:
@@ -306,14 +399,19 @@ def mm_svi_init(params) -> MMSVIState:
             "predicted": jnp.zeros((n_signatures,), dtype),
             "counts": jnp.zeros((n_features, n_signatures), dtype),
         }
+    sample_embeddings = params["sample_embeddings"]
+    n_samples = sample_embeddings.shape[0]
     return MMSVIState(
         params={
             "mods": mods,
-            "sample_embeddings": params["sample_embeddings"],
+            "sample_embeddings": sample_embeddings,
             "variance": params["variance"],
         },
         stats=stats,
         step=jnp.zeros((), jnp.int32),
+        perm=jnp.arange(n_samples, dtype=jnp.int32),
+        cursor=jnp.asarray(n_samples, jnp.int32),
+        stat_usq=jnp.sum(sample_embeddings**2),
     )
 
 
@@ -356,11 +454,7 @@ def make_mm_svi_step(
     mod_flags[name] may carry 'n_given', 'fix_signatures',
     'fix_sig_scalings', 'fix_smp_scalings', 'fix_sig_embeddings' (all
     defaulting to free)."""
-    batch_size = int(config.batch_size)
-    if not 1 <= batch_size <= n_samples:
-        raise ValueError(
-            f"batch_size={batch_size} must be in [1, n_samples={n_samples}]"
-        )
+    batch_size = _validate_config(config, n_samples)
     scale = n_samples / batch_size
     mod_names = list(mod_names)
     defaults = dict(
@@ -386,10 +480,12 @@ def make_mm_svi_step(
         )
         log_scale = jnp.log(jnp.asarray(scale, dtype))
 
-        indices = jax.random.choice(
-            key, n_samples, shape=(batch_size,), replace=False
+        indices, perm, cursor, stat_usq = _draw_epoch_batch(
+            key, state.perm, state.cursor,
+            lambda: jnp.sum(U**2), state.stat_usq, batch_size,
         )
         U_batch = jnp.take(U, indices, axis=0)  # (B, m)
+        usq_batch_old = jnp.sum(U_batch**2)
 
         # 1-3: per-modality locals + sufficient statistics on the batch
         batch = {}
@@ -473,6 +569,7 @@ def make_mm_svi_step(
                 aux_all.T, max_iter=config.sample_newton_iters,
             )
             U = U.at[indices].set(U_batch)
+            stat_usq = stat_usq - usq_batch_old + jnp.sum(U_batch**2)
 
         # scatter the per-modality locals
         for name in mod_names:
@@ -482,12 +579,16 @@ def make_mm_svi_step(
                     .at[indices].set(batch[name]["tau"])
                 )
 
-        # 6: shared variance from all signature embeddings + full U
+        # 6: shared variance from all signature embeddings + full U, with
+        # the O(D m) sample term carried incrementally (exact-refreshed at
+        # each epoch boundary)
         if not fix_variance:
             all_sig_embs = jnp.concatenate(
                 [mods[n]["signature_embeddings"] for n in mod_names], axis=0
             )
-            variance = ops.update_variance(all_sig_embs, U)
+            total = jnp.sum(all_sig_embs**2) + stat_usq
+            count = all_sig_embs.size + U.size
+            variance = jnp.maximum(total / count, EPSILON)
 
         # 7: per-modality signatures from running expected counts
         for name in mod_names:
@@ -514,6 +615,9 @@ def make_mm_svi_step(
             },
             stats=stats,
             step=state.step + 1,
+            perm=perm,
+            cursor=cursor,
+            stat_usq=stat_usq,
         )
 
     return step

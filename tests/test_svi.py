@@ -157,6 +157,146 @@ def test_batch_size_validation(fitted_state):
         svi.make_svi_step(10, svi.SVIConfig(batch_size=0))
 
 
+def test_schedule_validation():
+    """delay < 1 silently NaN-poisons the blend, forgetting outside
+    (0.5, 1] breaks Robbins-Monro - both must be rejected eagerly."""
+    with pytest.raises(ValueError, match="delay"):
+        svi.make_svi_step(10, svi.SVIConfig(batch_size=5, delay=0.0))
+    with pytest.raises(ValueError, match="delay"):
+        svi.make_mm_svi_step(
+            10, ["a"], [2], svi.SVIConfig(batch_size=5, delay=0.5)
+        )
+    with pytest.raises(ValueError, match="forgetting"):
+        svi.make_svi_step(10, svi.SVIConfig(batch_size=5, forgetting=0.5))
+    with pytest.raises(ValueError, match="forgetting"):
+        svi.make_svi_step(10, svi.SVIConfig(batch_size=5, forgetting=1.5))
+    with pytest.raises(ValueError, match="Newton"):
+        svi.make_svi_step(
+            10, svi.SVIConfig(batch_size=5, signature_newton_iters=0)
+        )
+
+
+def test_run_svi_eval_freq_validation_and_disable(fitted_state):
+    model = fitted_state
+    params, data = model._device_state()
+    step_fn = svi.make_svi_step(
+        int(model.adata.n_obs), svi.SVIConfig(batch_size=16)
+    )
+    state0 = svi.svi_init(params)
+    with pytest.raises(ValueError, match="eval_freq"):
+        svi.run_svi(step_fn, state0, data["X"], jax.random.PRNGKey(0),
+                    n_steps=10, eval_freq=-1)
+    with pytest.raises(ValueError, match="n_steps"):
+        svi.run_svi(step_fn, state0, data["X"], jax.random.PRNGKey(0),
+                    n_steps=0, eval_freq=5)
+    # eval_freq=0: steps run, no full-data ELBO is ever evaluated
+    state, history = svi.run_svi(
+        step_fn, state0, data["X"], jax.random.PRNGKey(0),
+        n_steps=25, eval_freq=0,
+    )
+    assert history.shape == (0,)
+    assert int(state.step) == 25
+
+
+def test_epoch_sampler_covers_every_sample(fitted_state):
+    """Minibatches are cut from a per-epoch permutation: one epoch of steps
+    refreshes the local parameters of EVERY sample exactly once."""
+    model = fitted_state
+    params, data = model._device_state()
+    n_samples = int(model.adata.n_obs)  # 60
+    batch = 12
+    step_fn = jax.jit(svi.make_svi_step(n_samples, svi.SVIConfig(
+        batch_size=batch)))
+    state = svi.svi_init(params)
+    before = np.asarray(params["sample_scalings"])
+    seen = []
+    for i in range(n_samples // batch):
+        state = step_fn(state, data["X"], jax.random.PRNGKey(100 + i))
+        seen.append(np.asarray(state.perm[i * batch:(i + 1) * batch]))
+    assert sorted(np.concatenate(seen).tolist()) == list(range(n_samples))
+    after = np.asarray(state.params["sample_scalings"])
+    assert np.all(after != before)  # every sample's local state refreshed
+    # running sum-of-squares statistic stayed exact through the epoch
+    np.testing.assert_allclose(
+        float(state.stat_usq),
+        float(np.sum(np.asarray(state.params["sample_embeddings"]) ** 2)),
+        rtol=1e-10,
+    )
+
+
+def test_fit_minibatch_clamps_default_batch_size():
+    """fit_minibatch() with defaults must work on cohorts smaller than the
+    default batch_size=128 (clamped to n_samples)."""
+    X = make_synthetic(seed=9)  # 60 samples < 128
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+    model.fit_minibatch(AnnData(X.copy()), n_steps=20, eval_freq=10,
+                        init_kwargs={"seed": 0})
+    assert model._is_fitted
+    assert len(model.history["objective_function"]) == 2
+
+
+def test_fit_minibatch_rejects_newton_cg_compat():
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       newton_cg_compat=True)
+    with pytest.raises(ValueError, match="newton_cg_compat"):
+        model.fit_minibatch(AnnData(make_synthetic(seed=2)))
+
+
+def test_plot_history_uses_minibatch_eval_spacing():
+    """The x-axis of plot_history must be spaced by eval_freq after
+    fit_minibatch (not conv_test_freq), and by conv_test_freq after fit."""
+    import matplotlib
+    matplotlib.use("Agg")
+    X = make_synthetic(seed=4)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+    model.fit_minibatch(AnnData(X.copy()), batch_size=20, n_steps=120,
+                        eval_freq=40, init_kwargs={"seed": 1})
+    ax = model.plot_history()
+    xdata = ax.lines[0].get_xdata()
+    np.testing.assert_array_equal(xdata, [40, 80, 120])
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+    refit = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=10, max_iterations=30, tol=0.0)
+    refit.fit(AnnData(X.copy()), init_kwargs={"seed": 1})
+    ax = refit.plot_history()
+    assert ax.lines[0].get_xdata()[0] == refit.conv_test_freq
+    plt.close("all")
+
+
+def test_minibatch_statistics_are_unbiased(fitted_state):
+    """The scaled minibatch sufficient statistics average to the full-batch
+    statistics: each sample's local refresh is a deterministic function of
+    its own data and the shared globals, so a uniformly drawn batch gives an
+    exactly unbiased estimator (checked by Monte Carlo over 512 batches)."""
+    model = fitted_state
+    params, data = model._device_state()
+    n_samples = int(model.adata.n_obs)
+
+    def one_step_stats(batch_size, key):
+        config = svi.SVIConfig(batch_size=batch_size, delay=1.0)
+        step_fn = svi.make_svi_step(n_samples, config)
+        state = step_fn(svi.svi_init(params), data["X"], key)
+        return state.stat_observed, state.stat_predicted, state.stat_counts
+
+    # full batch = the exact statistics (rho=1 writes them verbatim)
+    exact = one_step_stats(n_samples, jax.random.PRNGKey(0))
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 512)
+    sampled = jax.jit(
+        jax.vmap(lambda key: one_step_stats(12, key))
+    )(keys)
+
+    for estimate, truth, name in zip(
+        sampled, exact, ("observed", "predicted", "counts")
+    ):
+        mean = np.asarray(jnp.mean(estimate, axis=0))
+        np.testing.assert_allclose(
+            mean, np.asarray(truth), rtol=0.05, err_msg=name
+        )
+
+
 # --------------------------------------------------------------------- #
 # multimodal
 # --------------------------------------------------------------------- #
