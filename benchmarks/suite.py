@@ -205,6 +205,65 @@ def config3b_corrnmf_multistart():
     })
 
 
+def config3c_corrnmf_svi():
+    """Stochastic (minibatch) EM step throughput at D=200k vs full-batch
+    cycles on the same synthetic cohort (the fit_minibatch scaling story;
+    numbers recorded in BENCHMARKS.md)."""
+    import jax
+
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.ops import svi
+
+    X = datasets.synthetic_catalog(n_features=96, n_samples=200_000,
+                                   n_signatures=5, seed=0).T  # (D, V)
+    model = CorrNMFDet(n_signatures=5, dim_embeddings=2, dtype="float32")
+    adata = AnnData(X.astype(np.float32))
+    model._setup_adata(adata)
+    model._initialize(init_kwargs={"seed": 1})
+    model._setup_fitting_parameters(None)
+    params, data = model._device_state()
+
+    # full-batch EM cycles/s (fixed-iteration window)
+    update_fn, _ = model._build_step()
+    step = jax.jit(lambda p: update_fn(p, data))
+    p = step(params)
+    jax.block_until_ready(p["signatures"])
+    n_cycles = 50
+    start = time.perf_counter()
+    for _ in range(n_cycles):
+        p = step(p)
+    jax.block_until_ready(p["signatures"])
+    full_cycles_per_sec = n_cycles / (time.perf_counter() - start)
+
+    # minibatch steps/s at B=4096 (eval off: pure stepping)
+    batch = 4096
+    n_steps = 2000
+    step_fn = svi.make_svi_step(
+        200_000, svi.SVIConfig(batch_size=batch, delay=50.0)
+    )
+    state0 = svi.svi_init(params)
+    state, _ = svi.run_svi(step_fn, state0, data["X"],
+                           jax.random.PRNGKey(0), n_steps, 0)
+    jax.block_until_ready(state.params["signatures"])
+    start = time.perf_counter()
+    state, _ = svi.run_svi(step_fn, state0, data["X"],
+                           jax.random.PRNGKey(1), n_steps, 0)
+    jax.block_until_ready(state.params["signatures"])
+    steps_per_sec = n_steps / (time.perf_counter() - start)
+    emit({
+        "config": "3c_corrnmf_svi_96x200k",
+        "full_batch_em_cycles_per_sec": round(full_cycles_per_sec, 1),
+        "full_batch_sample_updates_per_sec": round(
+            full_cycles_per_sec * 200_000, -3
+        ),
+        "svi_steps_per_sec_B4096": round(steps_per_sec, 1),
+        "svi_sample_updates_per_sec": round(steps_per_sec * batch, -3),
+        "elbo_after_2k_svi_steps": round(
+            float(svi.full_elbo(state.params, data["X"])), 0
+        ),
+    })
+
+
 # --------------------------------------------------------------------- #
 # config 4: multimodal
 # --------------------------------------------------------------------- #
@@ -324,6 +383,7 @@ CONFIGS = {
     "2": config2_mvnmf,
     "3": config3_corrnmf,
     "3b": config3b_corrnmf_multistart,
+    "3c": config3c_corrnmf_svi,
     "4": config4_multimodal,
     "5": config5_rank_scan,
     "5b": config5b_rank_scan_padded,

@@ -17,7 +17,7 @@ from .. import tools as tl
 from ..initialization.initialize import initialize_corrnmf
 from ..ops import corrnmf as ops
 from ..ops import klnmf as klnmf_ops
-from ..utils import value_checker
+from ..utils import compute_exposures_numpy, value_checker
 from .signature_nmf import SignatureNMF
 
 
@@ -59,14 +59,14 @@ class CorrNMF(SignatureNMF):
         return "maximize"
 
     def compute_exposures(self) -> None:
-        """Refresh adata.obsm['exposures'] from scalings and embeddings."""
-        self.adata.obsm["exposures"] = np.asarray(
-            ops.compute_exposures(
-                np.asarray(self.asignatures.obs["scalings"]),
-                np.asarray(self.adata.obs["scalings"]),
-                self.asignatures.obsm["embeddings"],
-                self.adata.obsm["embeddings"],
-            )
+        """Refresh adata.obsm['exposures'] from scalings and embeddings
+        (host-side: all inputs are host arrays here, and an eager device
+        call would round-trip the remote tunnel on the TPU backend)."""
+        self.adata.obsm["exposures"] = compute_exposures_numpy(
+            self.asignatures.obs["scalings"],
+            self.adata.obs["scalings"],
+            self.asignatures.obsm["embeddings"],
+            self.adata.obsm["embeddings"],
         )
 
     def compute_reconstruction_errors(self) -> None:

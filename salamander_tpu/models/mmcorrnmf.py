@@ -30,7 +30,9 @@ from ..engine import FitConfig, make_fit_function
 from ..initialization.initialize import EPSILON, initialize_mmcorrnmf
 from ..ops import corrnmf as ops
 from ..ops import klnmf as klnmf_ops
-from ..utils import dict_checker, type_checker, value_checker
+from ..utils import (
+    compute_exposures_numpy, dict_checker, type_checker, value_checker,
+)
 from .corrnmf_det import SAMPLE_NEWTON_ITERS, SIGNATURE_NEWTON_ITERS
 from .signature_nmf import promote_objective, resolve_dtype
 
@@ -117,15 +119,15 @@ class MultimodalCorrNMF:
         }
 
     def compute_exposures(self) -> None:
+        # host-side: inputs are host arrays, and an eager device call would
+        # round-trip the remote tunnel on the TPU backend (see utils twin)
         for name in self.mod_names:
             adata, asigs = self.mdata[name], self.asignatures[name]
-            adata.obsm["exposures"] = np.asarray(
-                ops.compute_exposures(
-                    np.asarray(asigs.obs["scalings"]),
-                    np.asarray(adata.obs["scalings"]),
-                    asigs.obsm["embeddings"],
-                    self.mdata.obsm["embeddings"],
-                )
+            adata.obsm["exposures"] = compute_exposures_numpy(
+                asigs.obs["scalings"],
+                adata.obs["scalings"],
+                asigs.obsm["embeddings"],
+                self.mdata.obsm["embeddings"],
             )
 
     def compute_reconstruction(self) -> None:

@@ -67,6 +67,27 @@ def normalize_WH(W: np.ndarray, H: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return W / scale, H * scale[:, None]
 
 
+def compute_exposures_numpy(signature_scalings, sample_scalings,
+                            signature_embeddings, sample_embeddings
+                            ) -> np.ndarray:
+    """Exposure matrix exp(sigma_k + tau_d + <l_k, u_d>), (samples, sigs).
+
+    Host-side (numpy) twin of ops.corrnmf.compute_exposures (reference
+    _utils_corrnmf.py:11-25), for the eager container-refresh paths: all
+    inputs already live on the host there, and on the TPU backend a single
+    eager device call travels the remote-dispatch tunnel - at COSMIC scale
+    (D=200k) the exposures fetch alone was measured to dominate model
+    initialization by ~60s.
+    """
+    logits = (
+        np.asarray(signature_scalings, dtype=float)[:, None]
+        + np.asarray(sample_scalings, dtype=float)[None, :]
+        + np.asarray(signature_embeddings, dtype=float)
+        @ np.asarray(sample_embeddings, dtype=float).T
+    )
+    return np.exp(logits).T
+
+
 def _get_basis_obsm(adata, basis: str) -> np.ndarray:
     """Resolve adata.obsm[basis], falling back to the 'X_{basis}' convention."""
     if basis in adata.obsm:

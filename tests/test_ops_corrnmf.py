@@ -49,6 +49,24 @@ def exposures_of(state):
     )
 
 
+def test_host_exposures_twin_matches_device_op(state):
+    """utils.compute_exposures_numpy (the eager container-refresh path, used
+    to avoid a remote-tunnel round-trip at COSMIC scale) must equal the
+    device kernel."""
+    from salamander_tpu.utils import compute_exposures_numpy
+
+    np.testing.assert_allclose(
+        compute_exposures_numpy(
+            state["signature_scalings"],
+            state["sample_scalings"],
+            state["signature_embeddings"],
+            state["sample_embeddings"],
+        ),
+        exposures_of(state),
+        rtol=1e-12,
+    )
+
+
 def test_compute_aux(state):
     aux = corrnmf.compute_aux(state["X"], state["signatures"], exposures_of(state))
     assert np.allclose(aux, state["aux"])

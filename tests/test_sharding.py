@@ -79,6 +79,57 @@ def test_sample_sharded_corrnmf_updates_match(corr_state):
         )
 
 
+def test_sample_sharded_svi_steps_match(corr_state):
+    """Minibatch (SVI) steps with X and the sample-axis parameters sharded
+    over the mesh's sample axis must equal the unsharded run: the minibatch
+    gather/scatter and the epoch reshuffle compile to collectives without
+    changing numerics (the ops/svi.py mesh-compatibility claim)."""
+    from salamander_tpu.ops import svi
+
+    mesh = make_mesh(jax.devices()[:8], sample_ways=8)
+    shard_samples = NamedSharding(mesh, P("samples"))
+    replicated = NamedSharding(mesh, P())
+
+    D = corr_state["X"].shape[0]
+    params = {
+        "signatures": jnp.asarray(corr_state["S"]),
+        "signature_scalings": jnp.asarray(corr_state["sig_scal"]),
+        "sample_scalings": jnp.asarray(corr_state["smp_scal"]),
+        "signature_embeddings": jnp.asarray(corr_state["L"]),
+        "sample_embeddings": jnp.asarray(corr_state["U"]),
+        "variance": jnp.asarray(1.0),
+    }
+    X = jnp.asarray(corr_state["X"])
+    step_fn = svi.make_svi_step(D, svi.SVIConfig(batch_size=16))
+    key = jax.random.PRNGKey(7)
+
+    # 6 steps crosses an epoch boundary at B=16, D=64 (reshuffle on step 4)
+    baseline, base_hist = svi.run_svi(
+        step_fn, svi.svi_init(params), X, key, n_steps=6, eval_freq=3
+    )
+
+    sharded_params = dict(params)
+    for name in ("sample_scalings", "sample_embeddings"):
+        sharded_params[name] = jax.device_put(params[name], shard_samples)
+    for name in ("signatures", "signature_scalings",
+                 "signature_embeddings", "variance"):
+        sharded_params[name] = jax.device_put(params[name], replicated)
+    sharded, shard_hist = svi.run_svi(
+        step_fn, svi.svi_init(sharded_params),
+        jax.device_put(X, shard_samples), key, n_steps=6, eval_freq=3,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(base_hist), np.asarray(shard_hist), rtol=1e-12
+    )
+    for name in baseline.params:
+        np.testing.assert_allclose(
+            np.asarray(sharded.params[name]),
+            np.asarray(baseline.params[name]),
+            rtol=1e-9, err_msg=name,
+        )
+
+
 def test_fit_best_of_with_mesh_matches_unsharded(reference_data_path):
     import pandas as pd
 
