@@ -82,6 +82,86 @@ class KLNMF(StandardNMF):
         )
 
     # ------------------------------------------------------------------ #
+    # stochastic (minibatch) fitting: online NMF
+    # ------------------------------------------------------------------ #
+    def fit_minibatch(
+        self,
+        adata,
+        batch_size: int = 128,
+        n_steps: int = 2000,
+        eval_freq: int = 50,
+        forgetting: float = 0.51,
+        delay: float = 1.0,
+        seed: int = 0,
+        h_inner_iters: int = 1,
+        given_parameters: dict[str, Any] | None = None,
+        init_kwargs: dict[str, Any] | None = None,
+        fitting_kwargs: dict[str, Any] | None = None,
+        history: bool = True,
+    ) -> "KLNMF":
+        """Fit with online (minibatch) NMF instead of full-batch cycles -
+        for cohorts whose sample count makes full multiplicative-update
+        sweeps too slow: per-step compute is amortized O(batch_size) while
+        a full sweep is O(n_samples).
+
+        Each step refreshes the minibatch's exposure columns with
+        `h_inner_iters` exact multiplicative H updates and updates the
+        signatures from a Robbins-Monro running average of the D-scaled
+        expected signature counts (ops/svi.py make_klnmf_svi_step). With
+        batch_size >= n_samples (it is clamped), delay=1 and
+        h_inner_iters=1, the first step reduces exactly to one serial
+        Lee-Seung cycle (update_H then update_W). Supports the same
+        `fitting_kwargs` weights and given-signature freezing as fit().
+
+        Runs a fixed `n_steps` budget; the full-data objective is recorded
+        every `eval_freq` steps (eval_freq=0 disables the O(n_samples)
+        evaluations). The count matrix must still fit in device memory;
+        for beyond-HBM cohorts shard the sample axis (parallel/mesh.py).
+        On TPU, full-batch `fit` is faster and better-converging while its
+        O(n_samples) sweeps are acceptable (see BENCHMARKS.md).
+
+        The default forgetting=0.51 (the slowest Robbins-Monro-admissible
+        decay) is deliberate for KLNMF: multiplicative updates converge
+        slowly, so fast statistic decay (e.g. the CorrNMF default 0.7)
+        freezes the signatures far from the optimum - measured on PCAWG
+        SBS: +2% final KL vs full batch at forgetting=0.51 after 12k
+        steps, +30% at 0.7 (BENCHMARKS.md).
+        """
+        import jax
+
+        from ..ops import svi
+
+        self._setup_adata(adata)
+        self._initialize(given_parameters, init_kwargs)
+        self._setup_fitting_parameters(fitting_kwargs)
+
+        params, data = self._device_state()
+        config = svi.SVIConfig(
+            batch_size=min(int(batch_size), int(self.adata.n_obs)),
+            forgetting=forgetting,
+            delay=delay,
+        )
+        step_fn = svi.make_klnmf_svi_step(
+            n_samples=int(self.adata.n_obs),
+            config=config,
+            n_given_signatures=self._n_given_signatures(given_parameters),
+            h_inner_iters=h_inner_iters,
+        )
+        state0 = svi.klnmf_svi_init(params)
+        state, trace = svi.run_svi(
+            step_fn, state0, data, jax.random.PRNGKey(seed),
+            n_steps, eval_freq, elbo_fn=svi.klnmf_full_objective,
+        )
+        self._absorb_params(state.params)
+        if history:
+            self.history["objective_function"] = list(np.asarray(trace))
+            self.history["n_iterations"] = int(n_steps)
+            # plot_history x-axis spacing: evals are eval_freq steps apart
+            self.history["step_freq"] = int(eval_freq)
+        self._is_fitted = True
+        return self
+
+    # ------------------------------------------------------------------ #
     # fitting kwargs
     # ------------------------------------------------------------------ #
     def _check_weights(self, weights: np.ndarray, name: str = "weights") -> None:

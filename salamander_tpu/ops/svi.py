@@ -38,6 +38,10 @@ every eval_freq steps is an O(D V) pass (set eval_freq=0 to disable it);
 for cohorts beyond one device's memory, shard the sample axis across a mesh
 (parallel/mesh.py) - the minibatch gather/scatter pattern is compatible
 with that layout.
+
+The same scheme powers online NMF for the KLNMF family (make_klnmf_svi_step:
+sample-local multiplicative H updates + a running expected-signature-counts
+statistic whose column normalization IS the KL W update).
 """
 
 from __future__ import annotations
@@ -49,6 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from . import corrnmf as ops
+from . import klnmf as klops
 from .klnmf import EPSILON
 
 
@@ -366,6 +371,141 @@ def run_svi(step_fn, state0, X, key, n_steps: int, eval_freq: int,
         carry = advance(carry, remainder)
     state, _ = carry
     return state, history
+
+
+# --------------------------------------------------------------------- #
+# KLNMF: online NMF over the sample axis
+# --------------------------------------------------------------------- #
+
+
+class KLSVIState(NamedTuple):
+    params: Any       # {"W": (V, K), "H": (K, D)}
+    stat_counts: Any  # (V, K) running average of D-scaled expected counts
+    step: Any
+    perm: Any         # (D,) epoch sample order; reshuffled once per epoch
+    cursor: Any       # scalar int32 position in perm
+
+
+def klnmf_svi_init(params) -> KLSVIState:
+    """Fresh online-NMF state around a KLNMF parameter pytree
+    ({"W": (V, K), "H": (K, D)}; StandardNMF._device_state orientation)."""
+    W, H = params["W"], params["H"]
+    n_samples = H.shape[1]
+    return KLSVIState(
+        params={"W": W, "H": H},
+        stat_counts=jnp.zeros(W.shape, W.dtype),
+        step=jnp.zeros((), jnp.int32),
+        perm=jnp.arange(n_samples, dtype=jnp.int32),
+        cursor=jnp.asarray(n_samples, jnp.int32),
+    )
+
+
+def make_klnmf_svi_step(
+    n_samples: int,
+    config: SVIConfig,
+    n_given_signatures: int = 0,
+    h_inner_iters: int = 1,
+):
+    """Online NMF step for KLNMF: (KLSVIState, data, key) -> state.
+
+    data = {"X": (V, D)} plus optional "weights_kl"/"weights_lhalf" (D,)
+    entries, exactly as the engine's data pytree (klnmf.make_step_functions).
+    Each step refreshes the minibatch's exposure columns with
+    `h_inner_iters` exact multiplicative H updates under the current W (the
+    sample-local step), then updates W from the Robbins-Monro running
+    average of the D-scaled expected signature counts
+    C_hat = W * ((w . X/(W H)) @ H_b^T): column-normalizing the running
+    counts IS the KL multiplicative W update in sufficient-statistic form
+    (reference _utils_klnmf.py:164-217; online dictionary learning in the
+    style of Mairal et al. 2010, adapted to generalized KL).
+
+    Exactness anchor (pinned by tests/test_svi.py): batch_size = n_samples,
+    rho = 1, h_inner_iters = 1 reduces to update_H followed by update_W -
+    the serial Lee-Seung cycle (the full-batch engine's update_WH instead
+    shares one aux from the OLD W,H; both are valid majorize-minimize
+    cycles for the same objective).
+    """
+    batch_size = _validate_config(config, n_samples)
+    if h_inner_iters < 1:
+        raise ValueError(f"h_inner_iters={h_inner_iters} must be >= 1")
+    scale = n_samples / batch_size
+    K_given = int(n_given_signatures)
+
+    def step(state: KLSVIState, data, key) -> KLSVIState:
+        X = data["X"]
+        W = state.params["W"]
+        H = state.params["H"]
+        dtype = W.dtype
+
+        rho = (state.step.astype(dtype) + config.delay) ** (
+            -config.forgetting
+        )
+        # no incrementally-carried scalar statistic here; pass a dummy
+        zero = jnp.zeros((), dtype)
+        indices, perm, cursor, _ = _draw_epoch_batch(
+            key, state.perm, state.cursor, lambda: zero, zero, batch_size
+        )
+        X_batch = jnp.take(X, indices, axis=1)  # (V, B)
+        H_batch = jnp.take(H, indices, axis=1)  # (K, B)
+        weights_kl = data.get("weights_kl")
+        w_kl_batch = (
+            None if weights_kl is None else jnp.take(weights_kl, indices)
+        )
+        weights_lhalf = data.get("weights_lhalf")
+        w_lhalf_batch = (
+            None if weights_lhalf is None
+            else jnp.take(weights_lhalf, indices)
+        )
+
+        # sample-local step: exact multiplicative H updates on the batch
+        for _ in range(h_inner_iters):
+            aux = X_batch / (W @ H_batch)
+            H_batch = klops._update_H_from_aux(
+                H_batch, W, aux, w_kl_batch, w_lhalf_batch
+            )
+
+        # W statistic from the refreshed exposures (update_W semantics)
+        aux = X_batch / (W @ H_batch)
+        scaled_aux = aux if w_kl_batch is None else w_kl_batch * aux
+        counts_hat = W * (scaled_aux @ H_batch.T) * scale  # (V, K)
+        stat_counts = (1.0 - rho) * state.stat_counts + rho * counts_hat
+
+        n_signatures = W.shape[1]
+        if K_given == n_signatures:
+            W_new = W
+        else:
+            W_new = stat_counts / jnp.sum(stat_counts, axis=0)
+            clipped = jnp.maximum(W_new, EPSILON)
+            if K_given > 0:
+                given = jnp.arange(n_signatures) < K_given
+                W_new = jnp.where(given[None, :], W, clipped)
+            else:
+                W_new = clipped
+
+        H = H.at[:, indices].set(H_batch)
+        return KLSVIState(
+            params={"W": W_new, "H": H},
+            stat_counts=stat_counts,
+            step=state.step + 1,
+            perm=perm,
+            cursor=cursor,
+        )
+
+    return step
+
+
+def klnmf_full_objective(params, data):
+    """Full-data KLNMF objective (weighted KL + optional l1/2 penalty) at
+    the current online-NMF state - the run_svi eval hook for KLNMF. Note
+    this objective is MINIMIZED (the trace decreases), unlike the CorrNMF
+    ELBOs."""
+    return klops.klnmf_objective(
+        data["X"],
+        params["W"],
+        params["H"],
+        data.get("weights_kl"),
+        data.get("weights_lhalf"),
+    )
 
 
 # --------------------------------------------------------------------- #

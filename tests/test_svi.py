@@ -298,6 +298,130 @@ def test_minibatch_statistics_are_unbiased(fitted_state):
 
 
 # --------------------------------------------------------------------- #
+# KLNMF online NMF
+# --------------------------------------------------------------------- #
+
+
+from salamander_tpu.models import KLNMF  # noqa: E402
+from salamander_tpu.ops import klnmf as klops  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def kl_state():
+    """KLNMF device state on synthetic counts (kernel orientation)."""
+    X = make_synthetic(n_samples=60, n_features=24, seed=1)
+    model = KLNMF(n_signatures=3)
+    model._setup_adata(AnnData(X.copy()))
+    model._initialize(init_kwargs={"seed": 5})
+    model._setup_fitting_parameters()
+    return model
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_klnmf_full_batch_rho_one_equals_serial_cycle(kl_state, weighted):
+    """B=D, rho=1, h_inner_iters=1 == update_H followed by update_W (the
+    serial Lee-Seung cycle), including weighted KL."""
+    model = kl_state
+    params, data = model._device_state()
+    D = int(model.adata.n_obs)
+    if weighted:
+        data = dict(data)
+        data["weights_kl"] = jnp.asarray(
+            np.random.default_rng(0).uniform(0.5, 2.0, D)
+        )
+
+    H_new = klops.update_H(
+        data["X"], params["W"], params["H"], data.get("weights_kl")
+    )
+    W_new = klops.update_W(
+        data["X"], params["W"], H_new, data.get("weights_kl")
+    )
+
+    step_fn = svi.make_klnmf_svi_step(
+        D, svi.SVIConfig(batch_size=D, delay=1.0)
+    )
+    state = jax.jit(step_fn)(
+        svi.klnmf_svi_init(params), data, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.params["H"]), np.asarray(H_new),
+        rtol=1e-10, err_msg="H",
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.params["W"]), np.asarray(W_new),
+        rtol=1e-10, err_msg="W",
+    )
+
+
+def test_klnmf_minibatch_steps_reduce_objective(kl_state):
+    model = kl_state
+    params, data = model._device_state()
+    state0 = svi.klnmf_svi_init(params)
+    obj0 = float(svi.klnmf_full_objective(state0.params, data))
+
+    step_fn = svi.make_klnmf_svi_step(
+        int(model.adata.n_obs), svi.SVIConfig(batch_size=16, delay=20.0),
+        h_inner_iters=2,
+    )
+    state, trace = svi.run_svi(
+        step_fn, state0, data, jax.random.PRNGKey(0),
+        n_steps=800, eval_freq=100, elbo_fn=svi.klnmf_full_objective,
+    )
+    trace = np.asarray(trace)
+    assert trace.shape == (8,)
+    assert np.all(np.isfinite(trace))
+    obj_final = float(svi.klnmf_full_objective(state.params, data))
+    assert obj_final < obj0
+    assert trace[-1] < trace[0]  # KL objective decreases
+
+    # within 2% of a same-budget full-batch fit's objective
+    batch = KLNMF(n_signatures=3, min_iterations=10, max_iterations=100,
+                  tol=0.0)
+    batch.fit(AnnData(np.asarray(data["X"]).T.copy()),
+              init_kwargs={"seed": 5})
+    obj_batch = batch.history["objective_function"][-1]
+    assert obj_final < obj_batch + 0.02 * abs(obj_batch)
+
+
+def test_klnmf_fit_minibatch_model_api():
+    X = make_synthetic(n_samples=60, n_features=24, seed=8)
+    model = KLNMF(n_signatures=2)
+    model.fit_minibatch(
+        AnnData(X.copy()), batch_size=20, n_steps=120, eval_freq=30,
+        seed=1, init_kwargs={"seed": 2},
+        fitting_kwargs={"weights_kl": 1.5},
+    )
+    assert model._is_fitted
+    assert len(model.history["objective_function"]) == 4
+    assert model.history["step_freq"] == 30
+    # signatures sum to one over features (container orientation: K x V)
+    np.testing.assert_allclose(
+        model.asignatures.X.sum(axis=1), 1.0, rtol=1e-5
+    )
+    assert np.all(np.isfinite(model.adata.obsm["exposures"]))
+
+
+def test_klnmf_fit_minibatch_given_signatures_frozen():
+    X = make_synthetic(n_samples=40, n_features=24, seed=3)
+    donor = KLNMF(n_signatures=2)
+    donor_adata = AnnData(X.copy())
+    donor._setup_adata(donor_adata)
+    donor._initialize(init_kwargs={"seed": 7})
+    given_sigs = donor.asignatures[:1].copy()
+
+    model = KLNMF(n_signatures=3)
+    model.fit_minibatch(
+        AnnData(X.copy()), batch_size=16, n_steps=60, eval_freq=30,
+        seed=0, given_parameters={"asignatures": given_sigs},
+        init_kwargs={"seed": 4},
+    )
+    np.testing.assert_array_equal(
+        model.asignatures.X[0], given_sigs.X[0]
+    )
+    assert not np.array_equal(model.asignatures.X[1], given_sigs.X[0])
+
+
+# --------------------------------------------------------------------- #
 # multimodal
 # --------------------------------------------------------------------- #
 
