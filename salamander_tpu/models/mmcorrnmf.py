@@ -765,6 +765,51 @@ class MultimodalCorrNMF:
         self._is_fitted = True
         return self
 
+    def transform(self, mdata, **fit_kwargs):
+        """Infer sample-side parameters (scalings + shared embeddings) for a
+        NEW multimodal cohort under this model's frozen signature-side
+        parameters (per-modality signatures, signature scalings and
+        signature embeddings, plus the shared variance). Returns the fitted
+        projector model; neither `self` nor the input container is modified.
+
+        Mirrors StandardNMF.transform / CorrNMF.transform for the
+        multimodal family (the reference expresses this workflow via
+        nested given_parameters; this is the one-call convenience)."""
+        if not getattr(self, "_is_fitted", False):
+            raise ValueError("transform() requires a fitted model.")
+        if "given_parameters" in fit_kwargs:
+            raise ValueError(
+                "transform() freezes this model's signature-side parameters "
+                "itself; 'given_parameters' cannot be overridden here - use "
+                "fit() directly for custom given parameters."
+            )
+        projector = type(self)(
+            ns_signatures=list(self.ns_signatures),
+            dim_embeddings=self.dim_embeddings,
+            init_method=self.init_method,
+            min_iterations=self.min_iterations,
+            max_iterations=self.max_iterations,
+            conv_test_freq=self.conv_test_freq,
+            tol=self.tol,
+            dtype=self.dtype,
+        )
+        given: dict[str, Any] = {"variance": float(self.variance)}
+        for name in self.mod_names:
+            asigs = self.asignatures[name]
+            given[name] = {
+                "asignatures": asigs.copy(),
+                "signature_scalings": np.asarray(
+                    asigs.obs["scalings"], dtype=float
+                ),
+                "signature_embeddings": np.asarray(asigs.obsm["embeddings"]),
+            }
+        projector.fit(
+            mdata.copy() if hasattr(mdata, "copy") else mdata,
+            given_parameters=given,
+            **fit_kwargs,
+        )
+        return projector
+
     # ------------------------------------------------------------------ #
     # analysis + plotting
     # ------------------------------------------------------------------ #

@@ -236,6 +236,66 @@ class TestUpdates:
         assert np.allclose(model_init.variance, expected)
 
 
+def test_transform_projects_new_multimodal_cohort(counts):
+    mdata = MuData({name: AnnData(data.copy()) for name, data in counts.items()})
+    model = MultimodalCorrNMF(
+        ns_signatures=NS_SIGNATURES, dim_embeddings=2,
+        min_iterations=20, max_iterations=40,
+    )
+    np.random.seed(7)
+    model.fit(mdata)
+    frozen = {
+        name: {
+            "signatures": model.asignatures[name].X.copy(),
+            "scalings": np.asarray(
+                model.asignatures[name].obs["scalings"]
+            ).copy(),
+            "embeddings": model.asignatures[name].obsm["embeddings"].copy(),
+        }
+        for name in model.mod_names
+    }
+    variance = model.variance
+
+    n_new = 4
+    new_mdata = MuData(
+        {name: AnnData(data[:n_new].copy()) for name, data in counts.items()}
+    )
+    np.random.seed(8)
+    projected = model.transform(new_mdata)
+    assert np.isclose(projected.variance, variance)
+    for name in model.mod_names:
+        # signature side frozen exactly; sample side learned for new cohort
+        assert np.allclose(
+            projected.asignatures[name].X, frozen[name]["signatures"]
+        )
+        assert np.allclose(
+            np.asarray(projected.asignatures[name].obs["scalings"]),
+            frozen[name]["scalings"],
+        )
+        assert np.allclose(
+            projected.asignatures[name].obsm["embeddings"],
+            frozen[name]["embeddings"],
+        )
+        k = len(frozen[name]["scalings"])
+        assert projected.mdata[name].obsm["exposures"].shape == (n_new, k)
+    assert projected.mdata.obsm["embeddings"].shape == (n_new, 2)
+    # original untouched
+    for name in model.mod_names:
+        assert np.allclose(
+            model.asignatures[name].X, frozen[name]["signatures"]
+        )
+
+
+def test_transform_requires_fitted_and_rejects_given(counts):
+    model = MultimodalCorrNMF(ns_signatures=NS_SIGNATURES, dim_embeddings=2)
+    mdata = MuData({name: AnnData(data.copy()) for name, data in counts.items()})
+    with pytest.raises(ValueError, match="fitted"):
+        model.transform(mdata)
+    model._is_fitted = True
+    with pytest.raises(ValueError, match="given_parameters"):
+        model.transform(mdata, given_parameters={})
+
+
 def test_fit_elbo_increases(counts):
     mdata = MuData({name: AnnData(data.copy()) for name, data in counts.items()})
     model = MultimodalCorrNMF(
