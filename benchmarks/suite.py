@@ -258,8 +258,10 @@ def config3c_corrnmf_svi():
         ),
         "svi_steps_per_sec_B4096": round(steps_per_sec, 1),
         "svi_sample_updates_per_sec": round(steps_per_sec * batch, -3),
+        # jitted: the eager op-by-op path would round-trip the remote
+        # tunnel per op at this scale (CLAUDE.md gotcha)
         "elbo_after_2k_svi_steps": round(
-            float(svi.full_elbo(state.params, data["X"])), 0
+            float(jax.jit(svi.full_elbo)(state.params, data["X"])), 0
         ),
     })
 

@@ -117,14 +117,21 @@ class CorrNMF(SignatureNMF):
                 "itself; 'given_parameters' cannot be overridden here - use "
                 "fit() directly for custom given parameters."
             )
+        from ..io import _HYPERPARAM_KEYS
+
+        # walk the MRO so user subclasses keep working; this also carries
+        # dtype and newton_cg_compat into the projector
+        for klass in type(self).__mro__:
+            if klass.__name__ in _HYPERPARAM_KEYS:
+                hyperparameter_keys = _HYPERPARAM_KEYS[klass.__name__]
+                break
+        else:
+            raise TypeError(
+                f"transform() does not know the hyperparameters of "
+                f"{type(self).__name__}."
+            )
         projector = type(self)(
-            n_signatures=self.n_signatures,
-            init_method=self.init_method,
-            dim_embeddings=self.dim_embeddings,
-            min_iterations=self.min_iterations,
-            max_iterations=self.max_iterations,
-            conv_test_freq=self.conv_test_freq,
-            tol=self.tol,
+            **{key: getattr(self, key) for key in hyperparameter_keys}
         )
         given = {
             "asignatures": self.asignatures.copy(),

@@ -713,6 +713,14 @@ class MultimodalCorrNMF:
         evaluations)."""
         from ..ops import svi
 
+        if self.newton_cg_compat:
+            raise ValueError(
+                "fit_minibatch does not support newton_cg_compat=True: the "
+                "scipy-exact host path has no minibatch twin, so compat-mode "
+                "audit traces would silently get device-Newton numerics. "
+                "Use fit() for auditable traces."
+            )
+
         self._setup_mdata(mdata)
         self._initialize(given_parameters, init_kwargs)
 
@@ -783,15 +791,21 @@ class MultimodalCorrNMF:
                 "itself; 'given_parameters' cannot be overridden here - use "
                 "fit() directly for custom given parameters."
             )
+        from ..io import _HYPERPARAM_KEYS
+
+        # carries dtype and newton_cg_compat into the projector; walk the
+        # MRO so user subclasses keep working
+        for klass in type(self).__mro__:
+            if klass.__name__ in _HYPERPARAM_KEYS:
+                hyperparameter_keys = _HYPERPARAM_KEYS[klass.__name__]
+                break
+        else:
+            raise TypeError(
+                f"transform() does not know the hyperparameters of "
+                f"{type(self).__name__}."
+            )
         projector = type(self)(
-            ns_signatures=list(self.ns_signatures),
-            dim_embeddings=self.dim_embeddings,
-            init_method=self.init_method,
-            min_iterations=self.min_iterations,
-            max_iterations=self.max_iterations,
-            conv_test_freq=self.conv_test_freq,
-            tol=self.tol,
-            dtype=self.dtype,
+            **{key: getattr(self, key) for key in hyperparameter_keys}
         )
         given: dict[str, Any] = {"variance": float(self.variance)}
         for name in self.mod_names:
@@ -856,6 +870,12 @@ class MultimodalCorrNMF:
             raise ValueError(
                 "No history available, the model has to be fitted first. "
                 "Remember to set 'history' to 'True' when calling 'fit()'."
+            )
+        if len(self.history["objective_function"]) == 0:
+            raise ValueError(
+                "The objective trace is empty: fit_minibatch(eval_freq=0) "
+                "records no objective values. Refit with eval_freq >= 1 to "
+                "plot a history."
             )
         ax = pl.history(
             values=self.history["objective_function"],

@@ -414,6 +414,12 @@ class SignatureNMF(ABC):
             "No history available, the model has to be fitted first. "
             "Remember to set 'history' to 'True' when calling 'fit()'."
         )
+        if len(self.history["objective_function"]) == 0:
+            raise ValueError(
+                "The objective trace is empty: fit_minibatch(eval_freq=0) "
+                "records no objective values. Refit with eval_freq >= 1 to "
+                "plot a history."
+            )
         ax = pl.history(
             values=self.history["objective_function"],
             # fit_minibatch traces are spaced by eval_freq, not conv_test_freq

@@ -241,3 +241,18 @@ def test_transform_projects_new_samples(counts):
 def test_transform_requires_fitted(counts):
     with pytest.raises(ValueError):
         CorrNMFDet(n_signatures=2).transform(AnnData(counts))
+
+
+def test_transform_preserves_hyperparameters(counts):
+    """The projector must inherit dtype and newton_cg_compat: an audit-mode
+    model has to project with audit-mode (scipy-exact) numerics."""
+    np.random.seed(5)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=5, max_iterations=10,
+                       newton_cg_compat=True)
+    model.fit(AnnData(counts.copy()))
+    np.random.seed(6)
+    projected = model.transform(AnnData(counts[:4].copy()))
+    assert projected.newton_cg_compat is True
+    assert projected.dtype == model.dtype
+    assert projected.tol == model.tol

@@ -286,6 +286,27 @@ def test_transform_projects_new_multimodal_cohort(counts):
         )
 
 
+def test_transform_preserves_hyperparameters(counts):
+    """transform's projector must carry ALL constructor hyperparameters -
+    notably dtype and newton_cg_compat (an audit-mode model must project
+    with audit-mode numerics)."""
+    mdata = MuData({name: AnnData(data.copy()) for name, data in counts.items()})
+    model = MultimodalCorrNMF(
+        ns_signatures=NS_SIGNATURES, dim_embeddings=2,
+        min_iterations=5, max_iterations=10, newton_cg_compat=True,
+    )
+    np.random.seed(2)
+    model.fit(mdata)
+    new_mdata = MuData(
+        {name: AnnData(data[:3].copy()) for name, data in counts.items()}
+    )
+    np.random.seed(3)
+    projected = model.transform(new_mdata)
+    assert projected.newton_cg_compat is True
+    assert projected.dtype == model.dtype
+    assert projected.tol == model.tol
+
+
 def test_transform_requires_fitted_and_rejects_given(counts):
     model = MultimodalCorrNMF(ns_signatures=NS_SIGNATURES, dim_embeddings=2)
     mdata = MuData({name: AnnData(data.copy()) for name, data in counts.items()})

@@ -242,6 +242,27 @@ def test_fit_minibatch_rejects_newton_cg_compat():
         model.fit_minibatch(AnnData(make_synthetic(seed=2)))
 
 
+def test_mm_fit_minibatch_rejects_newton_cg_compat():
+    from salamander_tpu.models import MultimodalCorrNMF
+
+    _, mdata = make_mm_model(seed=1)
+    model = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
+                              newton_cg_compat=True)
+    with pytest.raises(ValueError, match="newton_cg_compat"):
+        model.fit_minibatch(mdata)
+
+
+def test_plot_history_raises_clearly_on_empty_trace():
+    """fit_minibatch(eval_freq=0) records no trace; plot_history must raise
+    a clear error instead of an IndexError from the plotting layer."""
+    X = make_synthetic(seed=6)
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+    model.fit_minibatch(AnnData(X.copy()), batch_size=16, n_steps=20,
+                        eval_freq=0, init_kwargs={"seed": 1})
+    with pytest.raises(ValueError, match="eval_freq"):
+        model.plot_history()
+
+
 def test_plot_history_uses_minibatch_eval_spacing():
     """The x-axis of plot_history must be spaced by eval_freq after
     fit_minibatch (not conv_test_freq), and by conv_test_freq after fit."""
