@@ -374,6 +374,53 @@ def test_klnmf_full_batch_rho_one_equals_serial_cycle(kl_state, weighted):
     )
 
 
+def test_klnmf_full_batch_anchor_with_lhalf_sparsity(kl_state):
+    """The exactness anchor also holds under the l1/2 sparsity closed form
+    (it only alters the local H update, which the online step reuses)."""
+    model = kl_state
+    params, data = model._device_state()
+    D = int(model.adata.n_obs)
+    data = dict(data)
+    data["weights_lhalf"] = jnp.asarray(
+        np.random.default_rng(2).uniform(0.1, 1.0, D)
+    )
+
+    H_new = klops.update_H(
+        data["X"], params["W"], params["H"],
+        weights_lhalf=data["weights_lhalf"],
+    )
+    W_new = klops.update_W(data["X"], params["W"], H_new)
+
+    step_fn = svi.make_klnmf_svi_step(
+        D, svi.SVIConfig(batch_size=D, delay=1.0)
+    )
+    state = jax.jit(step_fn)(
+        svi.klnmf_svi_init(params), data, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.params["H"]), np.asarray(H_new), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.params["W"]), np.asarray(W_new), rtol=1e-10
+    )
+
+
+def test_run_svi_remainder_steps(fitted_state):
+    """n_steps not divisible by eval_freq: the remainder steps still run
+    (step counter reaches n_steps; history has floor(n/freq) entries)."""
+    model = fitted_state
+    params, data = model._device_state()
+    step_fn = svi.make_svi_step(
+        int(model.adata.n_obs), svi.SVIConfig(batch_size=16)
+    )
+    state, history = svi.run_svi(
+        step_fn, svi.svi_init(params), data["X"], jax.random.PRNGKey(0),
+        n_steps=47, eval_freq=20,
+    )
+    assert history.shape == (2,)
+    assert int(state.step) == 47
+
+
 def test_klnmf_minibatch_steps_reduce_objective(kl_state):
     model = kl_state
     params, data = model._device_state()
