@@ -115,22 +115,27 @@ def bootstrap_stability(
     stochastic_init = clone.init_method in ("random", "separableNMF", "nndsvdar")
 
     params_per_replicate, data_per_replicate = [], []
-    for b in range(n_bootstraps):
-        indices = sample_indices[b]
-        adata_b = containers.AnnData(X[indices])
-        np.random.seed(seed + b)  # drives unseeded CorrNMF embedding draws
-        clone._setup_adata(adata_b)
-        init_kwargs = {"seed": seed + b} if stochastic_init else None
-        clone._initialize(None, init_kwargs)
-        clone._setup_fitting_parameters(None)
-        # per-sample loss weights follow their samples into the replicate
-        for attr in ("weights_kl", "weights_lhalf"):
-            weights = getattr(model, attr, None)
-            if weights is not None:
-                setattr(clone, attr, np.asarray(weights)[indices])
-        params_b, data_b = clone._device_state()
-        params_per_replicate.append(jax.tree.map(np.asarray, params_b))
-        data_per_replicate.append(jax.tree.map(np.asarray, data_b))
+    # pin the per-replicate _device_state arrays to the host CPU backend:
+    # on the remote-tunnel TPU platform, uploading then fetching every leaf
+    # (including each full X replicate!) per bootstrap costs seconds of
+    # pure round-trip latency; the stacked pytrees upload ONCE below
+    with jax.default_device(jax.devices("cpu")[0]):
+        for b in range(n_bootstraps):
+            indices = sample_indices[b]
+            adata_b = containers.AnnData(X[indices])
+            np.random.seed(seed + b)  # drives unseeded embedding draws
+            clone._setup_adata(adata_b)
+            init_kwargs = {"seed": seed + b} if stochastic_init else None
+            clone._initialize(None, init_kwargs)
+            clone._setup_fitting_parameters(None)
+            # per-sample loss weights follow their samples into the replicate
+            for attr in ("weights_kl", "weights_lhalf"):
+                weights = getattr(model, attr, None)
+                if weights is not None:
+                    setattr(clone, attr, np.asarray(weights)[indices])
+            params_b, data_b = clone._device_state()
+            params_per_replicate.append(jax.tree.map(np.asarray, params_b))
+            data_per_replicate.append(jax.tree.map(np.asarray, data_b))
 
     params0 = _stack(params_per_replicate)
     data = _stack(data_per_replicate)
@@ -184,18 +189,22 @@ def _bootstrap_multimodal(model, n_bootstraps: int, seed: int,
     sample_indices = rng.integers(0, n_samples, size=(n_bootstraps, n_samples))
 
     params_per_replicate, data_per_replicate = [], []
-    for b in range(n_bootstraps):
-        indices = sample_indices[b]
-        mdata_b = containers.MuData({
-            name: containers.AnnData(X[name][indices]) for name in mod_names
-        })
-        np.random.seed(seed + b)  # drives unseeded embedding draws
-        clone._setup_mdata(mdata_b)
-        init_kwargs = {"seed": seed + b} if stochastic_init else None
-        clone._initialize(None, init_kwargs)
-        params_b, data_b = clone._device_state()
-        params_per_replicate.append(jax.tree.map(np.asarray, params_b))
-        data_per_replicate.append(jax.tree.map(np.asarray, data_b))
+    # CPU-pinned for the same tunnel round-trip reason as the
+    # single-modality loop above
+    with jax.default_device(jax.devices("cpu")[0]):
+        for b in range(n_bootstraps):
+            indices = sample_indices[b]
+            mdata_b = containers.MuData({
+                name: containers.AnnData(X[name][indices])
+                for name in mod_names
+            })
+            np.random.seed(seed + b)  # drives unseeded embedding draws
+            clone._setup_mdata(mdata_b)
+            init_kwargs = {"seed": seed + b} if stochastic_init else None
+            clone._initialize(None, init_kwargs)
+            params_b, data_b = clone._device_state()
+            params_per_replicate.append(jax.tree.map(np.asarray, params_b))
+            data_per_replicate.append(jax.tree.map(np.asarray, data_b))
 
     params0 = _stack(params_per_replicate)
     data = _stack(data_per_replicate)
