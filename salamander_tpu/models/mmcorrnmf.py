@@ -470,63 +470,97 @@ class MultimodalCorrNMF:
             for name in self.mod_names
         }
 
+    def update_sample_scalings_mod(
+        self, mod_name: str, given_parameters_mod: dict[str, Any]
+    ) -> None:
+        """One modality's sample-scaling M-step (reference-named eager
+        surface, mmcorrnmf.py:249-261)."""
+        if "sample_scalings" in given_parameters_mod:
+            return
+        adata, asigs = self.mdata[mod_name], self.asignatures[mod_name]
+        adata.obs["scalings"] = np.asarray(
+            ops.update_sample_scalings(
+                adata.X,
+                np.asarray(asigs.obs["scalings"]),
+                asigs.obsm["embeddings"],
+                self.mdata.obsm["embeddings"],
+            )
+        )
+
     def update_sample_scalings(self, given_parameters=None) -> None:
         given = given_parameters or {}
         for name in self.mod_names:
-            if "sample_scalings" in given.get(name, {}):
-                continue
-            adata, asigs = self.mdata[name], self.asignatures[name]
-            adata.obs["scalings"] = np.asarray(
-                ops.update_sample_scalings(
-                    adata.X,
-                    np.asarray(asigs.obs["scalings"]),
-                    asigs.obsm["embeddings"],
-                    self.mdata.obsm["embeddings"],
-                )
+            self.update_sample_scalings_mod(name, given.get(name, {}))
+
+    def update_signature_scalings_mod(
+        self, mod_name: str, aux, given_parameters_mod: dict[str, Any]
+    ) -> None:
+        """One modality's signature-scaling M-step (reference
+        mmcorrnmf.py:276-287)."""
+        if "signature_scalings" in given_parameters_mod:
+            return
+        adata, asigs = self.mdata[mod_name], self.asignatures[mod_name]
+        asigs.obs["scalings"] = np.asarray(
+            ops.update_signature_scalings(
+                aux,
+                np.asarray(adata.obs["scalings"]),
+                asigs.obsm["embeddings"],
+                self.mdata.obsm["embeddings"],
             )
+        )
 
     def update_signature_scalings(self, auxs, given_parameters=None) -> None:
         given = given_parameters or {}
         for name in self.mod_names:
-            if "signature_scalings" in given.get(name, {}):
-                continue
-            adata, asigs = self.mdata[name], self.asignatures[name]
-            asigs.obs["scalings"] = np.asarray(
-                ops.update_signature_scalings(
-                    auxs[name],
-                    np.asarray(adata.obs["scalings"]),
-                    asigs.obsm["embeddings"],
-                    self.mdata.obsm["embeddings"],
-                )
+            self.update_signature_scalings_mod(
+                name, auxs[name], given.get(name, {})
             )
+
+    def update_signature_embeddings_mod(
+        self,
+        mod_name: str,
+        aux,
+        outer_prods_sample_embeddings=None,
+        given_parameters_mod: dict[str, Any] | None = None,
+    ) -> None:
+        """One modality's signature-embedding M-step (reference
+        mmcorrnmf.py:347-366). `outer_prods_sample_embeddings` is accepted
+        for signature parity but unused: the reference precomputes the
+        scipy Hessian's outer products, while the batched device Newton
+        (and the compat scipy path) derive everything they need from the
+        other arguments."""
+        del outer_prods_sample_embeddings
+        if "signature_embeddings" in (given_parameters_mod or {}):
+            return
+        adata, asigs = self.mdata[mod_name], self.asignatures[mod_name]
+        if self.newton_cg_compat:
+            asigs.obsm["embeddings"] = ops.update_embeddings_newton_cg(
+                asigs.obsm["embeddings"],
+                self.mdata.obsm["embeddings"],
+                np.asarray(asigs.obs["scalings"]),
+                np.asarray(adata.obs["scalings"]),
+                self.variance,
+                aux,
+                max_iter=None,
+            )
+            return
+        asigs.obsm["embeddings"] = np.asarray(
+            ops.update_embeddings(
+                asigs.obsm["embeddings"],
+                self.mdata.obsm["embeddings"],
+                np.asarray(asigs.obs["scalings"]),
+                np.asarray(adata.obs["scalings"]),
+                self.variance,
+                aux,
+                max_iter=SIGNATURE_NEWTON_ITERS,
+            )
+        )
 
     def update_signature_embeddings(self, auxs, given_parameters=None) -> None:
         given = given_parameters or {}
         for name in self.mod_names:
-            if "signature_embeddings" in given.get(name, {}):
-                continue
-            adata, asigs = self.mdata[name], self.asignatures[name]
-            if self.newton_cg_compat:
-                asigs.obsm["embeddings"] = ops.update_embeddings_newton_cg(
-                    asigs.obsm["embeddings"],
-                    self.mdata.obsm["embeddings"],
-                    np.asarray(asigs.obs["scalings"]),
-                    np.asarray(adata.obs["scalings"]),
-                    self.variance,
-                    auxs[name],
-                    max_iter=None,
-                )
-                continue
-            asigs.obsm["embeddings"] = np.asarray(
-                ops.update_embeddings(
-                    asigs.obsm["embeddings"],
-                    self.mdata.obsm["embeddings"],
-                    np.asarray(asigs.obs["scalings"]),
-                    np.asarray(adata.obs["scalings"]),
-                    self.variance,
-                    auxs[name],
-                    max_iter=SIGNATURE_NEWTON_ITERS,
-                )
+            self.update_signature_embeddings_mod(
+                name, auxs[name], None, given.get(name, {})
             )
 
     def update_sample_embeddings(self, auxs) -> None:
@@ -586,21 +620,29 @@ class MultimodalCorrNMF:
                 ops.update_variance(sig_embs, self.mdata.obsm["embeddings"])
             )
 
+    def update_signatures_mod(
+        self, mod_name: str, given_parameters_mod: dict[str, Any]
+    ) -> None:
+        """One modality's KL signature update (reference
+        mmcorrnmf.py:319-334)."""
+        n_given = (
+            given_parameters_mod["asignatures"].n_obs
+            if "asignatures" in given_parameters_mod
+            else 0
+        )
+        adata, asigs = self.mdata[mod_name], self.asignatures[mod_name]
+        W = klnmf_ops.update_W(
+            adata.X.T,
+            asigs.X.T,
+            adata.obsm["exposures"].T,
+            n_given_signatures=n_given,
+        )
+        asigs.X = np.asarray(W).T
+
     def update_signatures(self, given_parameters=None) -> None:
         given = given_parameters or {}
         for name in self.mod_names:
-            given_mod = given.get(name, {})
-            n_given = (
-                given_mod["asignatures"].n_obs if "asignatures" in given_mod else 0
-            )
-            adata, asigs = self.mdata[name], self.asignatures[name]
-            W = klnmf_ops.update_W(
-                adata.X.T,
-                asigs.X.T,
-                adata.obsm["exposures"].T,
-                n_given_signatures=n_given,
-            )
-            asigs.X = np.asarray(W).T
+            self.update_signatures_mod(name, given.get(name, {}))
 
     # ------------------------------------------------------------------ #
     # fit

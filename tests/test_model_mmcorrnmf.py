@@ -286,6 +286,62 @@ def test_transform_projects_new_multimodal_cohort(counts):
         )
 
 
+def test_per_modality_update_methods_match_aggregates(model_init, auxs):
+    """The reference-named update_*_mod methods (one modality at a time)
+    compose to the aggregate updates (reference mmcorrnmf.py:249-345)."""
+    import copy
+
+    model_a = model_init
+    model_b = copy.deepcopy(model_init)
+
+    model_a.update_sample_scalings()
+    for name in model_b.mod_names:
+        model_b.update_sample_scalings_mod(name, {})
+    for name in model_a.mod_names:
+        np.testing.assert_array_equal(
+            np.asarray(model_a.mdata[name].obs["scalings"], float),
+            np.asarray(model_b.mdata[name].obs["scalings"], float),
+        )
+
+    model_a.update_signature_scalings(auxs)
+    for name in model_b.mod_names:
+        model_b.update_signature_scalings_mod(name, auxs[name], {})
+    for name in model_a.mod_names:
+        np.testing.assert_array_equal(
+            np.asarray(model_a.asignatures[name].obs["scalings"], float),
+            np.asarray(model_b.asignatures[name].obs["scalings"], float),
+        )
+
+    model_a.update_signature_embeddings(auxs)
+    for name in model_b.mod_names:
+        model_b.update_signature_embeddings_mod(name, auxs[name])
+    for name in model_a.mod_names:
+        np.testing.assert_array_equal(
+            model_a.asignatures[name].obsm["embeddings"],
+            model_b.asignatures[name].obsm["embeddings"],
+        )
+
+    model_a.update_signatures()
+    for name in model_b.mod_names:
+        model_b.update_signatures_mod(name, {})
+    for name in model_a.mod_names:
+        np.testing.assert_array_equal(
+            model_a.asignatures[name].X, model_b.asignatures[name].X
+        )
+
+    # frozen flag short-circuits the single-modality method
+    before = np.asarray(model_b.mdata[model_b.mod_names[0]].obs["scalings"],
+                        float).copy()
+    model_b.update_sample_scalings_mod(
+        model_b.mod_names[0], {"sample_scalings": before}
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model_b.mdata[model_b.mod_names[0]].obs["scalings"],
+                   float),
+        before,
+    )
+
+
 def test_transform_preserves_hyperparameters(counts):
     """transform's projector must carry ALL constructor hyperparameters -
     notably dtype and newton_cg_compat (an audit-mode model must project
