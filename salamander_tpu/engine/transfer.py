@@ -1,0 +1,86 @@
+"""Batched device->host transfer: fetch a whole pytree in ONE round-trip.
+
+On the remote-dispatch TPU platform every device->host copy pays ~100 ms of
+tunnel latency REGARDLESS of size (measured: ten (96,192) f32 fetches cost
+1.0 s; one fetch of the same bytes costs 55 ms). A fit result pytree has
+~10 leaves (params, history buffer, counters), so fetching it leaf by leaf
+taxes every fit() with ~1 s of pure latency.
+
+fetch_pytree() removes that: on non-CPU backends it bitcasts every leaf to
+bytes on device, concatenates them into one uint8 buffer, fetches that
+buffer once, and reinterprets the bytes on the host - bit-exact by
+construction (no dtype conversion is involved; bools ride as uint8). On
+the CPU backend (tests, host-pinned init loops) it falls back to plain
+per-leaf conversion, which is free there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _leaf_meta(leaf):
+    dtype = np.dtype(leaf.dtype)
+    return tuple(leaf.shape), dtype
+
+
+@functools.lru_cache(maxsize=128)
+def _packer(metas):
+    """One compiled packer per leaf-structure signature."""
+
+    def pack(leaves):
+        parts = []
+        for leaf in leaves:
+            if leaf.dtype == jnp.bool_:
+                leaf = leaf.astype(jnp.uint8)
+            if leaf.dtype != jnp.uint8:
+                leaf = jax.lax.bitcast_convert_type(leaf, jnp.uint8)
+            parts.append(leaf.reshape(-1))
+        return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint8)
+
+    del metas  # only used as the cache key
+    return jax.jit(pack)
+
+
+def _fetch_packed(leaves):
+    """Pack + single-fetch + host unpack for a list of device arrays."""
+    metas = tuple(_leaf_meta(leaf) for leaf in leaves)
+    flat = np.asarray(_packer(metas)(leaves))  # ONE device->host transfer
+    out = []
+    offset = 0
+    for shape, dtype in metas:
+        count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        itemsize = 1 if dtype == np.bool_ else dtype.itemsize
+        nbytes = count * itemsize
+        chunk = flat[offset:offset + nbytes]
+        offset += nbytes
+        if dtype == np.bool_:
+            arr = chunk.astype(np.bool_)
+        else:
+            arr = np.frombuffer(chunk.tobytes(), dtype=dtype)
+        out.append(arr.reshape(shape))
+    return out
+
+
+def fetch_pytree(tree):
+    """Fetch a pytree of device arrays to host numpy arrays, using one
+    device->host transfer on non-CPU backends (bit-exact; see module
+    docstring). Returns a pytree of np.ndarray with the same structure."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    array_like = [
+        leaf for leaf in leaves if isinstance(leaf, jax.Array)
+    ]
+    on_cpu = all(
+        next(iter(leaf.devices())).platform == "cpu" for leaf in array_like
+    ) if array_like else True
+    if on_cpu:
+        host = [np.asarray(leaf) for leaf in leaves]
+    else:
+        host = _fetch_packed([jnp.asarray(leaf) for leaf in leaves])
+    return jax.tree_util.tree_unflatten(treedef, host)

@@ -250,12 +250,16 @@ class CorrNMFDet(CorrNMF):
             n_steps, eval_freq,
         )
         final = dict(state.params)
-        final["exposures"] = ops.compute_exposures(
+        final["exposures"] = jax.jit(ops.compute_exposures)(
             final["signature_scalings"],
             final["sample_scalings"],
             final["signature_embeddings"],
             final["sample_embeddings"],
         )
+        from ..engine.transfer import fetch_pytree
+
+        # one batched device->host transfer for params + trace
+        final, elbo_trace = fetch_pytree((final, elbo_trace))
         self._absorb_params(final)
         if history:
             self.history["objective_function"] = list(np.asarray(elbo_trace))

@@ -152,7 +152,11 @@ class KLNMF(StandardNMF):
             step_fn, state0, data, jax.random.PRNGKey(seed),
             n_steps, eval_freq, elbo_fn=svi.klnmf_full_objective,
         )
-        self._absorb_params(state.params)
+        from ..engine.transfer import fetch_pytree
+
+        # one batched device->host transfer for params + trace
+        params_host, trace = fetch_pytree((state.params, trace))
+        self._absorb_params(params_host)
         if history:
             self.history["objective_function"] = list(np.asarray(trace))
             self.history["n_iterations"] = int(n_steps)

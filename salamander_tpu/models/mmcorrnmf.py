@@ -711,6 +711,10 @@ class MultimodalCorrNMF:
             unroll=False,  # per-modality EM with nested Newton solves
         )
         result = run(params0, data)
+        from ..engine.transfer import fetch_pytree
+
+        # one batched device->host transfer for the whole result
+        result = fetch_pytree(result)
         self._absorb_params(result.params)
 
         if verbose and not live_verbose:
@@ -796,13 +800,18 @@ class MultimodalCorrNMF:
             "sample_embeddings": state.params["sample_embeddings"],
             "variance": state.params["variance"],
         }
+        exposures_fn = jax.jit(ops.compute_exposures)
         for name in self.mod_names:
             mod = dict(state.params["mods"][name])
-            mod["exposures"] = ops.compute_exposures(
+            mod["exposures"] = exposures_fn(
                 mod["signature_scalings"], mod["sample_scalings"],
                 mod["signature_embeddings"], final["sample_embeddings"],
             )
             final["mods"][name] = mod
+        from ..engine.transfer import fetch_pytree
+
+        # one batched device->host transfer for params + trace
+        final, elbo_trace = fetch_pytree((final, elbo_trace))
         self._absorb_params(final)
         if history:
             self.history["objective_function"] = list(

@@ -307,6 +307,11 @@ class SignatureNMF(ABC):
             unroll=self._unroll_blocks,
         )
         result = run(params0, data)
+        from ..engine.transfer import fetch_pytree
+
+        # one batched device->host transfer for the whole result (per-leaf
+        # fetches cost ~100ms of tunnel latency EACH on the TPU platform)
+        result = fetch_pytree(result)
         self._absorb_params(result.params)
 
         if verbose and not live_verbose:

@@ -150,9 +150,15 @@ def bootstrap_stability(
         unroll=getattr(clone, "_unroll_blocks", False),
     )
     result = run(params0, data)
-    losses = np.asarray(
-        jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(result.params, data)
+    losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(
+        result.params, data
     )
+    from ..engine.transfer import fetch_pytree
+
+    # one batched device->host transfer (per-leaf fetches are ~100ms each
+    # of tunnel latency on the TPU platform)
+    result, losses = fetch_pytree((result, losses_device))
+    losses = np.asarray(losses)
     if "W" in result.params:  # KLNMF/MvNMF kernel orientation (B, V, K)
         W_boot = np.transpose(np.asarray(result.params["W"]), (0, 2, 1))
     else:  # CorrNMFDet carries (B, K, V) signatures directly
@@ -217,9 +223,13 @@ def _bootstrap_multimodal(model, n_bootstraps: int, seed: int,
         unroll=False,
     )
     result = run(params0, data)
-    losses = np.asarray(
-        jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(result.params, data)
+    losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(
+        result.params, data
     )
+    from ..engine.transfer import fetch_pytree
+
+    result, losses = fetch_pytree((result, losses_device))
+    losses = np.asarray(losses)
 
     matched_by_mod = {}
     similarity_frames = []

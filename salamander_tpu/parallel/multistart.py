@@ -189,9 +189,14 @@ def fit_best_of(
                             unroll=getattr(model, "_unroll_blocks", False))
     result = run(params0, data)
 
-    final_losses = np.asarray(
-        jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))(result.params, data)
+    losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))(
+        result.params, data
     )
+    from ..engine.transfer import fetch_pytree
+
+    # one batched device->host transfer for result + losses (per-leaf
+    # fetches cost ~100ms of tunnel latency each on the TPU platform)
+    result, final_losses = fetch_pytree((result, losses_device))
     direction = getattr(model, "objective", "minimize")
     best = int(np.argmax(final_losses)) if direction == "maximize" else int(
         np.argmin(final_losses)

@@ -129,3 +129,38 @@ def test_print_history_trace(capsys):
         "iteration: 20; objective: 90.00",
         "iteration: 40; objective: 70.00",
     ]
+
+
+def test_fetch_pytree_packed_is_bit_exact():
+    """The batched device->host fetch (one transfer for a whole pytree)
+    must reproduce per-leaf np.asarray bit for bit across dtypes, shapes
+    and scalars (engine/transfer.py packs via uint8 bitcasts)."""
+    import jax.numpy as jnp
+
+    from salamander_tpu.engine import transfer
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "f64": jnp.asarray(rng.standard_normal((7, 5))),
+        "f32": jnp.asarray(rng.standard_normal((3, 128)).astype(np.float32)),
+        "i32": jnp.asarray(rng.integers(-1000, 1000, 11), jnp.int32),
+        "bool": jnp.asarray([True, False, True]),
+        "scalar": jnp.asarray(3.5, jnp.float32),
+        "nested": [jnp.arange(6, dtype=jnp.int32).reshape(2, 3)],
+    }
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    unpacked = jax.tree_util.tree_unflatten(
+        treedef, transfer._fetch_packed(leaves)
+    )
+    for path_a, path_b in zip(
+        jax.tree_util.tree_leaves_with_path(tree),
+        jax.tree_util.tree_leaves_with_path(unpacked),
+    ):
+        expected = np.asarray(path_a[1])
+        got = path_b[1]
+        assert got.dtype == expected.dtype, path_a[0]
+        np.testing.assert_array_equal(got, expected, err_msg=str(path_a[0]))
+
+    # the public API short-circuits on CPU but must be structurally equal
+    host = transfer.fetch_pytree(tree)
+    np.testing.assert_array_equal(host["f64"], np.asarray(tree["f64"]))
