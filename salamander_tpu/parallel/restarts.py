@@ -174,12 +174,14 @@ def fit_klnmf_restarts(
         data["X"] = jax.device_put(data["X"], shardings["X"])
 
     params, losses, n_iterations = runner({"W": W0, "H": H0}, data)
-    losses_host = np.asarray(losses)
+    from ..engine.transfer import fetch_pytree
+
+    losses_host, n_iterations = fetch_pytree((losses, n_iterations))
     best = int(np.argmin(losses_host))
     return RestartResult(
         W=params["W"],
         H=params["H"],
-        losses=losses_host,
+        losses=np.asarray(losses_host),
         n_iterations=np.asarray(n_iterations),
         best_index=best,
     )
@@ -359,10 +361,11 @@ def rank_scan_klnmf(
                 }
 
             params, losses, n_iterations = runner(params0, data)
-            losses = np.asarray(losses)
-            n_iterations = np.asarray(n_iterations)
-            W = np.asarray(params["W"])
-            H = np.asarray(params["H"])
+            from ..engine.transfer import fetch_pytree
+
+            losses, n_iterations, W, H = fetch_pytree(
+                (losses, n_iterations, params["W"], params["H"])
+            )
             for i, (offset, k) in enumerate(group):
                 lanes = slice(i * n_restarts, (i + 1) * n_restarts)
                 losses_k = losses[lanes]
