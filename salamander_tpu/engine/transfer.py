@@ -66,10 +66,22 @@ def _fetch_packed(leaves):
     return out
 
 
+# dtypes safe to bitcast to bytes on every backend; float64 and friends
+# stay out: on the TPU platform f64 is software-emulated and its on-device
+# representation is not guaranteed to bitcast to IEEE bytes
+_PACKABLE = frozenset(
+    np.dtype(name)
+    for name in ("bool", "uint8", "int8", "uint16", "int16", "float16",
+                 "uint32", "int32", "float32")
+) | frozenset([np.dtype(jnp.bfloat16)])
+
+
 def fetch_pytree(tree):
     """Fetch a pytree of device arrays to host numpy arrays, using one
     device->host transfer on non-CPU backends (bit-exact; see module
-    docstring). Returns a pytree of np.ndarray with the same structure."""
+    docstring). Leaves whose dtype cannot be safely bitcast on the device
+    (e.g. emulated float64) fall back to per-leaf fetches. Returns a
+    pytree of np.ndarray with the same structure."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves:
         return tree
@@ -82,5 +94,17 @@ def fetch_pytree(tree):
     if on_cpu:
         host = [np.asarray(leaf) for leaf in leaves]
     else:
-        host = _fetch_packed([jnp.asarray(leaf) for leaf in leaves])
+        device_leaves = [jnp.asarray(leaf) for leaf in leaves]
+        packable = [
+            i for i, leaf in enumerate(device_leaves)
+            if np.dtype(leaf.dtype) in _PACKABLE
+        ]
+        host = [None] * len(device_leaves)
+        if packable:
+            packed = _fetch_packed([device_leaves[i] for i in packable])
+            for i, arr in zip(packable, packed):
+                host[i] = arr
+        for i, leaf in enumerate(device_leaves):
+            if host[i] is None:
+                host[i] = np.asarray(leaf)
     return jax.tree_util.tree_unflatten(treedef, host)

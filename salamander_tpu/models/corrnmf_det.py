@@ -25,12 +25,18 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
+from ..engine.transfer import fetch_pytree
 from ..ops import corrnmf as ops
 from ..ops import klnmf as klnmf_ops
 from .corrnmf import CorrNMF
 
 SIGNATURE_NEWTON_ITERS = 100  # effectively to-convergence (quadratic)
 SAMPLE_NEWTON_ITERS = 3       # the reference's scipy options={"maxiter": 3}
+
+# module-level so repeated fit_minibatch calls reuse one trace cache
+import jax  # noqa: E402
+
+_exposures_jit = jax.jit(ops.compute_exposures)
 
 
 class CorrNMFDet(CorrNMF):
@@ -250,14 +256,12 @@ class CorrNMFDet(CorrNMF):
             n_steps, eval_freq,
         )
         final = dict(state.params)
-        final["exposures"] = jax.jit(ops.compute_exposures)(
+        final["exposures"] = _exposures_jit(
             final["signature_scalings"],
             final["sample_scalings"],
             final["signature_embeddings"],
             final["sample_embeddings"],
         )
-        from ..engine.transfer import fetch_pytree
-
         # one batched device->host transfer for params + trace
         final, elbo_trace = fetch_pytree((final, elbo_trace))
         self._absorb_params(final)

@@ -14,6 +14,7 @@ from typing import Any, Literal
 import jax.numpy as jnp
 import numpy as np
 
+from ..engine.transfer import fetch_pytree
 from ..ops import klnmf as ops
 from ..utils import shape_checker, type_checker
 from .standard_nmf import StandardNMF
@@ -152,8 +153,6 @@ class KLNMF(StandardNMF):
             step_fn, state0, data, jax.random.PRNGKey(seed),
             n_steps, eval_freq, elbo_fn=svi.klnmf_full_objective,
         )
-        from ..engine.transfer import fetch_pytree
-
         # one batched device->host transfer for params + trace
         params_host, trace = fetch_pytree((state.params, trace))
         self._absorb_params(params_host)

@@ -27,6 +27,7 @@ import pandas as pd
 
 from .. import containers, tools as tl
 from ..engine import FitConfig, make_fit_function
+from ..engine.transfer import fetch_pytree
 from ..initialization.initialize import EPSILON, initialize_mmcorrnmf
 from ..ops import corrnmf as ops
 from ..ops import klnmf as klnmf_ops
@@ -711,8 +712,6 @@ class MultimodalCorrNMF:
             unroll=False,  # per-modality EM with nested Newton solves
         )
         result = run(params0, data)
-        from ..engine.transfer import fetch_pytree
-
         # one batched device->host transfer for the whole result
         result = fetch_pytree(result)
         self._absorb_params(result.params)
@@ -800,7 +799,8 @@ class MultimodalCorrNMF:
             "sample_embeddings": state.params["sample_embeddings"],
             "variance": state.params["variance"],
         }
-        exposures_fn = jax.jit(ops.compute_exposures)
+        from .corrnmf_det import _exposures_jit as exposures_fn
+
         for name in self.mod_names:
             mod = dict(state.params["mods"][name])
             mod["exposures"] = exposures_fn(
@@ -808,8 +808,6 @@ class MultimodalCorrNMF:
                 mod["signature_embeddings"], final["sample_embeddings"],
             )
             final["mods"][name] = mod
-        from ..engine.transfer import fetch_pytree
-
         # one batched device->host transfer for params + trace
         final, elbo_trace = fetch_pytree((final, elbo_trace))
         self._absorb_params(final)

@@ -25,6 +25,7 @@ import pandas as pd
 
 from .. import containers, tools as tl
 from ..engine import FitConfig, make_fit_function
+from ..engine.transfer import fetch_pytree
 from ..initialization.methods import INIT_METHODS
 from ..utils import match_signatures_pair, type_checker, value_checker
 
@@ -307,8 +308,6 @@ class SignatureNMF(ABC):
             unroll=self._unroll_blocks,
         )
         result = run(params0, data)
-        from ..engine.transfer import fetch_pytree
-
         # one batched device->host transfer for the whole result (per-leaf
         # fetches cost ~100ms of tunnel latency EACH on the TPU platform)
         result = fetch_pytree(result)

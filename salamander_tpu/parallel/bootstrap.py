@@ -24,6 +24,7 @@ import pandas as pd
 
 from .. import containers
 from ..engine import FitConfig, make_fit_function
+from ..engine.transfer import fetch_pytree
 from ..utils import match_signatures_pair
 
 _SUPPORTED = ("KLNMF", "MvNMF", "CorrNMFDet", "MultimodalCorrNMF")
@@ -153,8 +154,6 @@ def bootstrap_stability(
     losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(
         result.params, data
     )
-    from ..engine.transfer import fetch_pytree
-
     # one batched device->host transfer (per-leaf fetches are ~100ms each
     # of tunnel latency on the TPU platform)
     result, losses = fetch_pytree((result, losses_device))
@@ -226,8 +225,6 @@ def _bootstrap_multimodal(model, n_bootstraps: int, seed: int,
     losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, 0)))(
         result.params, data
     )
-    from ..engine.transfer import fetch_pytree
-
     result, losses = fetch_pytree((result, losses_device))
     losses = np.asarray(losses)
 

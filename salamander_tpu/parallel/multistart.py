@@ -16,6 +16,8 @@ from typing import Any, NamedTuple
 import jax
 import numpy as np
 
+from ..engine.transfer import fetch_pytree
+
 from ..engine import make_fit_function
 
 
@@ -192,8 +194,6 @@ def fit_best_of(
     losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))(
         result.params, data
     )
-    from ..engine.transfer import fetch_pytree
-
     # one batched device->host transfer for result + losses (per-leaf
     # fetches cost ~100ms of tunnel latency each on the TPU platform)
     result, final_losses = fetch_pytree((result, losses_device))

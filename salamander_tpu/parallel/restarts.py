@@ -19,13 +19,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import FitConfig, fit_loop_lockstep
+from ..engine.transfer import fetch_pytree
 from ..initialization.methods import random_init_batch
 from ..ops import klnmf as ops
 from .mesh import restart_sharding
 
 
 class RestartResult(NamedTuple):
-    """Outcome of a batched multi-start fit."""
+    """Outcome of a batched multi-start fit.
+
+    W and H stay DEVICE-resident (fetching all restarts' exposures can be
+    hundreds of MB at COSMIC scale); losses/n_iterations are host arrays.
+    best_W/best_H extract the winning lane with a jitted index and fetch it
+    in one batched transfer."""
 
     W: Any            # (R, V, K) signatures per restart
     H: Any            # (R, K, D) exposures per restart
@@ -37,13 +43,23 @@ class RestartResult(NamedTuple):
     def best_loss(self) -> float:
         return float(self.losses[self.best_index])
 
+    def _best_lane(self, leaf):
+        if isinstance(leaf, np.ndarray):
+            return leaf[self.best_index]
+        return fetch_pytree(_extract_lane(leaf, self.best_index))
+
     @property
     def best_W(self):
-        return self.W[self.best_index]
+        return self._best_lane(self.W)
 
     @property
     def best_H(self):
-        return self.H[self.best_index]
+        return self._best_lane(self.H)
+
+
+@jax.jit
+def _extract_lane(stacked, index):
+    return stacked[index]
 
 
 def _lockstep_run(update_fn, objective_fn, config: FitConfig):
@@ -174,8 +190,6 @@ def fit_klnmf_restarts(
         data["X"] = jax.device_put(data["X"], shardings["X"])
 
     params, losses, n_iterations = runner({"W": W0, "H": H0}, data)
-    from ..engine.transfer import fetch_pytree
-
     losses_host, n_iterations = fetch_pytree((losses, n_iterations))
     best = int(np.argmin(losses_host))
     return RestartResult(
@@ -361,8 +375,6 @@ def rank_scan_klnmf(
                 }
 
             params, losses, n_iterations = runner(params0, data)
-            from ..engine.transfer import fetch_pytree
-
             losses, n_iterations, W, H = fetch_pytree(
                 (losses, n_iterations, params["W"], params["H"])
             )
