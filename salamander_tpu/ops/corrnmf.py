@@ -357,3 +357,153 @@ def update_embeddings(embeddings0, embeddings_other, scalings, scalings_other,
     )
     result = solve(embeddings0, offsets, linear_terms)
     return _clamp_away_from_zero(result)
+
+
+# --------------------------------------------------------------------- #
+# rank-masked twins: several CorrNMF problems of different rank k share
+# ONE compiled program of padded rank Kp (the K-padded rank-scan
+# mechanism, mirroring klnmf.make_masked_step_functions)
+# --------------------------------------------------------------------- #
+
+# Padded signature scalings sit at this value: exp(NEG_PAD_SCALING + x)
+# underflows to EXACTLY 0.0 in both float32 and float64, which makes the
+# padded signatures' exposures, aux rows and rate terms exact zeros - so
+# the sample-scaling, exposure, aux and BOTH embedding updates need no
+# masking of their own (padded embedding rows start at 0 and their Newton
+# gradient is identically 0 there).
+NEG_PAD_SCALING = -1e30
+
+
+def update_variance_masked(signature_embeddings, sample_embeddings, mask):
+    """update_variance counting only the active signatures' embeddings
+    (padded rows are exact zeros, so only the DENOMINATOR needs the mask)."""
+    total = jnp.sum(signature_embeddings**2) + jnp.sum(sample_embeddings**2)
+    dim = signature_embeddings.shape[1]
+    count = (jnp.sum(mask) + sample_embeddings.shape[0]) * dim
+    return jnp.maximum(total / count, EPSILON)
+
+
+def elbo_corrnmf_masked(data_mat, signatures_mat, exposures_mat,
+                        signature_embeddings, sample_embeddings, variance,
+                        mask):
+    """elbo_corrnmf with the Gaussian normalization counting only active
+    signatures; all data terms are exact because padded exposure columns
+    are exact zeros."""
+    dim_embeddings = signature_embeddings.shape[1]
+    n_samples = sample_embeddings.shape[0]
+    n_active = jnp.sum(mask)
+    log_norm = jnp.log(2.0 * jnp.pi * variance)
+    elbo = poisson_llh(data_mat.T, signatures_mat.T, exposures_mat.T)
+    elbo -= 0.5 * dim_embeddings * n_active * log_norm
+    elbo -= jnp.sum(signature_embeddings**2) / (2.0 * variance)
+    elbo -= 0.5 * dim_embeddings * n_samples * log_norm
+    elbo -= jnp.sum(sample_embeddings**2) / (2.0 * variance)
+    return elbo
+
+
+def pad_rank_corrnmf(params, n_padded: int):
+    """Pad a rank-k CorrNMF parameter pytree (CorrNMFDet._device_state
+    layout) to rank n_padded: uniform dummy signature rows, NEG_PAD_SCALING
+    scalings, zero embedding rows, zero exposure columns; adds the (Kp,)
+    activity mask."""
+    signatures = params["signatures"]                    # (k, V)
+    k, n_features = signatures.shape
+    if n_padded < k:
+        raise ValueError(f"n_padded={n_padded} below rank {k}")
+    extra = n_padded - k
+    dtype = signatures.dtype
+    dim = params["signature_embeddings"].shape[1]
+    n_samples = params["sample_embeddings"].shape[0]
+    padded = dict(params)
+    padded["signatures"] = jnp.concatenate(
+        [signatures, jnp.full((extra, n_features), 1.0 / n_features, dtype)]
+    )
+    padded["signature_scalings"] = jnp.concatenate(
+        [params["signature_scalings"],
+         jnp.full((extra,), NEG_PAD_SCALING, dtype)]
+    )
+    padded["signature_embeddings"] = jnp.concatenate(
+        [params["signature_embeddings"], jnp.zeros((extra, dim), dtype)]
+    )
+    padded["exposures"] = jnp.concatenate(
+        [params["exposures"], jnp.zeros((n_samples, extra), dtype)], axis=1
+    )
+    padded["mask"] = jnp.arange(n_padded) < k
+    return padded
+
+
+def make_masked_corrnmf_step(signature_newton_iters: int = 100,
+                             sample_newton_iters: int = 3):
+    """Rank-masked CorrNMFDet EM cycle + ELBO for K-padded rank scans.
+
+    params carry the CorrNMFDet._device_state pytree padded by
+    pad_rank_corrnmf (plus 'mask'); each active lane computes the rank-k
+    update with the order of CorrNMFDet._build_step (reference
+    corrnmf_det.py:157-169). Padded exposures/aux/rates are EXACT zeros
+    (see NEG_PAD_SCALING), so the equations are the rank-k ones - but XLA
+    selects different fma/reduction kernels for different contraction
+    widths, so padded and unpadded trajectories agree to ~1e-9 per cycle
+    rather than bitwise, and the branchy Newton amplifies that over long
+    horizons. Convergence-level equivalence (final ELBO) is pinned by
+    tests/test_rank_padding.py.
+    """
+
+    def update_fn(params, data):
+        X = data["X"]
+        signatures = params["signatures"]
+        sig_scal = params["signature_scalings"]
+        sig_emb = params["signature_embeddings"]
+        smp_emb = params["sample_embeddings"]
+        variance = params["variance"]
+        mask = params["mask"]
+
+        smp_scal = update_sample_scalings(X, sig_scal, sig_emb, smp_emb)
+        exposures = compute_exposures(sig_scal, smp_scal, sig_emb, smp_emb)
+        aux = compute_aux(X, signatures, exposures)
+        sig_scal = jnp.where(
+            mask,
+            update_signature_scalings(aux, smp_scal, sig_emb, smp_emb),
+            NEG_PAD_SCALING,
+        )
+        sig_emb = update_embeddings(
+            sig_emb, smp_emb, sig_scal, smp_scal, variance, aux,
+            max_iter=signature_newton_iters,
+        )
+        smp_emb = update_embeddings(
+            smp_emb, sig_emb, smp_scal, sig_scal, variance, aux.T,
+            max_iter=sample_newton_iters,
+        )
+        variance = update_variance_masked(sig_emb, smp_emb, mask)
+
+        # KL signature update with zero-exposure padded columns guarded
+        # (klnmf.update_W semantics; padded columns pass through unchanged)
+        W, H = signatures.T, exposures.T
+        aux_w = X.T / (W @ H)
+        W_new = W * (aux_w @ H.T)
+        W_new = W_new / jnp.where(mask, jnp.sum(W_new, axis=0), 1.0)
+        W_new = jnp.maximum(W_new, EPSILON)
+        signatures = jnp.where(mask[:, None], W_new.T, signatures)
+
+        return {
+            "signatures": signatures,
+            "signature_scalings": sig_scal,
+            "sample_scalings": smp_scal,
+            "signature_embeddings": sig_emb,
+            "sample_embeddings": smp_emb,
+            "variance": variance,
+            "exposures": exposures,
+            "mask": mask,
+        }
+
+    def objective_fn(params, data):
+        return elbo_corrnmf_masked(
+            data["X"],
+            params["signatures"],
+            params["exposures"],
+            params["signature_embeddings"],
+            params["sample_embeddings"],
+            params["variance"],
+            params["mask"],
+        )
+
+    return update_fn, objective_fn

@@ -119,3 +119,85 @@ def test_padded_rank_scan_under_mesh():
     for k in (2, 3):
         assert np.all(np.isfinite(results[k].losses))
         assert np.asarray(results[k].W).shape == (4, 8, k)
+
+
+# --------------------------------------------------------------------- #
+# CorrNMF K-padding
+# --------------------------------------------------------------------- #
+
+
+def test_masked_corrnmf_cycles_equal_unpadded():
+    """A rank-k CorrNMF lane padded to Kp runs the rank-k EM cycles up to
+    dot-product rounding: padded exposures are exact zeros
+    (NEG_PAD_SCALING underflow), but XLA picks different fma/reduction
+    kernels for different contraction widths, so trajectories agree to
+    ~1e-9 over short horizons (the branchy Newton amplifies ulps over long
+    ones - convergence-level equivalence is pinned separately below)."""
+    import jax
+
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.ops import corrnmf
+
+    rng = np.random.default_rng(3)
+    V, D, k = 18, 30, 2
+    S = rng.dirichlet(np.ones(V), size=k)
+    E = rng.gamma(2.0, 40.0, size=(D, k))
+    X = np.clip(rng.poisson(E @ S).astype(float), 1.0, None)
+
+    model = CorrNMFDet(n_signatures=k, dim_embeddings=2)
+    model._setup_adata(AnnData(X.copy()))
+    model._initialize(init_kwargs={"seed": 4})
+    model._setup_fitting_parameters()
+    params, data = model._device_state()
+
+    plain_update, plain_obj = model._build_step()
+    masked_update, masked_obj = corrnmf.make_masked_corrnmf_step()
+    padded = corrnmf.pad_rank_corrnmf(params, 6)
+    assert padded["signatures"].shape == (6, V)
+    assert bool(np.all(np.asarray(padded["mask"])[:k]))
+    assert not np.any(np.asarray(padded["mask"])[k:])
+
+    p_plain, p_masked = params, padded
+    plain_update = jax.jit(plain_update)
+    masked_update = jax.jit(masked_update)
+    for cycle in range(2):
+        p_plain = plain_update(p_plain, data)
+        p_masked = masked_update(p_masked, data)
+        np.testing.assert_allclose(
+            float(masked_obj(p_masked, data)),
+            float(plain_obj(p_plain, data)),
+            rtol=1e-9, err_msg=f"ELBO cycle {cycle}",
+        )
+    for name in ("signatures", "signature_scalings", "signature_embeddings",
+                 "exposures"):
+        active = np.asarray(p_masked[name])
+        active = active[:k] if name != "exposures" else active[:, :k]
+        np.testing.assert_allclose(
+            active, np.asarray(p_plain[name]), rtol=1e-8, atol=1e-10,
+            err_msg=name,
+        )
+    for name in ("sample_scalings", "sample_embeddings", "variance"):
+        np.testing.assert_allclose(
+            np.asarray(p_masked[name]), np.asarray(p_plain[name]),
+            rtol=1e-8, atol=1e-10, err_msg=name,
+        )
+    # padded lanes stayed inert
+    np.testing.assert_array_equal(
+        np.asarray(p_masked["signature_embeddings"])[k:], 0.0
+    )
+    assert np.all(np.asarray(p_masked["exposures"])[:, k:] == 0.0)
+
+    # convergence-level equivalence: run both programs to (near) fixed
+    # point - final ELBOs agree far inside model-selection resolution
+    def run_many(update, obj, p, n=150):
+        update_j = jax.jit(
+            lambda q: jax.lax.fori_loop(0, n, lambda _, r: update(r, data), q)
+        )
+        p = update_j(p)
+        return float(obj(p, data)), p
+
+    elbo_plain, _ = run_many(plain_update, plain_obj, p_plain)
+    elbo_masked, p_final = run_many(masked_update, masked_obj, p_masked)
+    np.testing.assert_allclose(elbo_masked, elbo_plain, rtol=1e-8)
+    assert np.all(np.asarray(p_final["exposures"])[:, k:] == 0.0)
