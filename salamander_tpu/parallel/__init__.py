@@ -11,6 +11,7 @@ objectives.
 """
 
 from .bootstrap import BootstrapResult, bootstrap_stability  # noqa: F401
+from .corrnmf_scan import CorrScanResult, rank_scan_corrnmf  # noqa: F401
 from .mesh import (  # noqa: F401
     hybrid_mesh_shape,
     init_distributed,

@@ -201,3 +201,42 @@ def test_masked_corrnmf_cycles_equal_unpadded():
     elbo_masked, p_final = run_many(masked_update, masked_obj, p_masked)
     np.testing.assert_allclose(elbo_masked, elbo_plain, rtol=1e-8)
     assert np.all(np.asarray(p_final["exposures"])[:, k:] == 0.0)
+
+
+def test_rank_scan_corrnmf_padded_matches_unpadded():
+    """The K-padded CorrNMF rank scan gives the same per-rank losses and
+    best parameters as the one-program-per-rank path (same seeds)."""
+    from salamander_tpu.engine import FitConfig
+    from salamander_tpu.parallel import rank_scan_corrnmf
+
+    rng = np.random.default_rng(0)
+    V, D = 16, 24
+    S = rng.dirichlet(np.ones(V), size=3)
+    E = rng.gamma(2.0, 40.0, size=(D, 3))
+    X = np.clip(rng.poisson(E @ S).astype(float), 1.0, None)
+
+    config = FitConfig(min_iterations=20, max_iterations=40,
+                       conv_test_freq=10, tol=0.0)
+    padded = rank_scan_corrnmf(
+        X, range(2, 5), dim_embeddings=2, n_restarts=2, base_seed=0,
+        config=config, pad_ranks=True, rank_bucket=4,
+    )
+    plain = rank_scan_corrnmf(
+        X, range(2, 5), dim_embeddings=2, n_restarts=2, base_seed=0,
+        config=config, pad_ranks=False,
+    )
+    assert set(padded) == {2, 3, 4}
+    for k in padded:
+        np.testing.assert_allclose(
+            padded[k].losses, plain[k].losses, rtol=1e-6,
+            err_msg=f"k={k} losses",
+        )
+        assert padded[k].best_index == plain[k].best_index
+        bp, pp = padded[k].best_params, plain[k].best_params
+        assert bp["signatures"].shape == (k, V)
+        assert bp["signature_embeddings"].shape == (k, 2)
+        assert bp["exposures"].shape == (D, k)
+        np.testing.assert_allclose(
+            bp["signatures"], pp["signatures"], rtol=1e-5, atol=1e-8,
+            err_msg=f"k={k} signatures",
+        )
