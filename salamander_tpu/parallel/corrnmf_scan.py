@@ -24,6 +24,7 @@ to how many ranks the scan covers - the same mechanism measured at
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -32,6 +33,35 @@ import numpy as np
 from ..engine import FitConfig, make_fit_function
 from ..engine.transfer import fetch_pytree
 from ..ops import corrnmf as corr_ops
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_masked_run(config: FitConfig, x64: bool):
+    """One engine program + final-losses evaluator per FitConfig: repeated
+    scans (and every bucket of one scan) share a single jit cache instead
+    of re-tracing per call (the klnmf twin's _cached_masked_runner
+    pattern). x64 is part of the key because promote_objective's wrapping
+    depends on it."""
+    from ..models.signature_nmf import promote_objective
+
+    update_fn, objective_fn = corr_ops.make_masked_corrnmf_step()
+    import jax.numpy as jnp
+
+    objective = promote_objective(
+        objective_fn, {"probe": jnp.zeros((), jnp.float32)}
+    )
+    run = make_fit_function(
+        update_fn, objective, config, batched=True, unroll=False,
+    )
+    losses_fn = jax.jit(jax.vmap(objective, in_axes=(0, None)))
+    return run, losses_fn
+
+
+# the batched aux/ratio intermediates cost ~3 (D, V) + 2 (D, Kp) buffers
+# per lane; cap lanes per program call so big cohorts don't OOM (every
+# call of a bucket still shares the SAME compiled program: per-rank calls
+# all carry n_restarts lanes of identical shape)
+_LANE_BUDGET_BYTES = 4 * 1024**3
 
 _PARAM_KEYS = (
     "signatures", "signature_scalings", "sample_scalings",
@@ -75,11 +105,13 @@ def rank_scan_corrnmf(
     """
     from ..containers import AnnData
     from ..models import CorrNMFDet
-    from ..models.signature_nmf import promote_objective
 
     config = config or FitConfig()
     ranks = [int(k) for k in n_signatures_range]
     X = np.asarray(X, dtype=float)
+    # one container for the whole scan (every lane shares the same counts;
+    # _setup_adata's EPSILON clip is idempotent)
+    adata = AnnData(X.copy())
 
     # host-pinned per-lane init: _device_state under the CPU backend so
     # nothing round-trips the accelerator tunnel (see parallel/multistart.py)
@@ -88,12 +120,12 @@ def rank_scan_corrnmf(
             n_signatures=k, dim_embeddings=dim_embeddings,
             init_method=init_method,
         )
-        model._setup_adata(AnnData(X.copy()))
+        model._setup_adata(adata)
         np.random.seed(seed)
         model._initialize(init_kwargs={"seed": seed})
         model._setup_fitting_parameters()
-        params, data = model._device_state()
-        return jax.tree.map(np.asarray, params), data
+        params, lane_data = model._device_state()
+        return jax.tree.map(np.asarray, params), lane_data
 
     # group ranks into shared-padded-K buckets
     buckets: dict[int, list[tuple[int, int]]] = {}
@@ -104,55 +136,70 @@ def rank_scan_corrnmf(
         )
         buckets.setdefault(padded, []).append((offset, k))
 
-    update_fn, objective_fn = corr_ops.make_masked_corrnmf_step()
+    run, losses_fn = _cached_masked_run(
+        config, bool(jax.config.jax_enable_x64)
+    )
     rng_state = np.random.get_state()
     results: dict[int, CorrScanResult] = {}
     cpu = jax.devices("cpu")[0]
+
+    def run_group(padded_k, group):
+        """One program call for `group` (list of (offset, k)): returns the
+        fetched (result, final_losses)."""
+        lanes = []
+        data = None
+        with jax.default_device(cpu):
+            for offset, k in group:
+                for restart in range(n_restarts):
+                    seed = base_seed + 1000 * offset + restart
+                    params, data = init_lane(k, seed)
+                    padded = corr_ops.pad_rank_corrnmf(params, padded_k)
+                    lanes.append(jax.tree.map(np.asarray, padded))
+        params0 = jax.tree.map(lambda *leaves: np.stack(leaves), *lanes)
+        result = run(params0, data)
+        final_losses = losses_fn(result.params, data)
+        # one batched device->host transfer for everything
+        return fetch_pytree((result, final_losses))
+
+    def absorb(result, final_losses, group):
+        for i, (offset, k) in enumerate(group):
+            sl = slice(i * n_restarts, (i + 1) * n_restarts)
+            losses = np.asarray(final_losses[sl])
+            best = int(np.argmax(losses))  # ELBO: maximize
+            lane = sl.start + best
+            best_params = {}
+            for key in _PARAM_KEYS:
+                value = np.asarray(result.params[key][lane])
+                if key in ("signatures", "signature_scalings",
+                           "signature_embeddings"):
+                    value = value[:k]
+                elif key == "exposures":
+                    value = value[:, :k]
+                best_params[key] = value
+            results[k] = CorrScanResult(
+                losses=losses,
+                n_iterations=np.asarray(result.n_iterations[sl]),
+                best_index=best,
+                best_params=best_params,
+            )
+
+    n_samples, n_features = X.shape
     try:
         for padded_k, group in sorted(buckets.items()):
-            lanes = []
-            data = None
-            with jax.default_device(cpu):
-                for offset, k in group:
-                    for restart in range(n_restarts):
-                        seed = base_seed + 1000 * offset + restart
-                        params, data = init_lane(k, seed)
-                        padded = corr_ops.pad_rank_corrnmf(params, padded_k)
-                        lanes.append(jax.tree.map(np.asarray, padded))
-            params0 = jax.tree.map(lambda *leaves: np.stack(leaves), *lanes)
-            objective = promote_objective(
-                objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
-            )
-            run = make_fit_function(
-                update_fn, objective, config, batched=True, unroll=False,
-            )
-            result = run(params0, data)
-            final_losses = jax.jit(jax.vmap(objective, in_axes=(0, None)))(
-                result.params, data
-            )
-            # one batched device->host transfer for everything
-            result, final_losses = fetch_pytree((result, final_losses))
-
-            for i, (offset, k) in enumerate(group):
-                sl = slice(i * n_restarts, (i + 1) * n_restarts)
-                losses = np.asarray(final_losses[sl])
-                best = int(np.argmax(losses))  # ELBO: maximize
-                lane = sl.start + best
-                best_params = {}
-                for key in _PARAM_KEYS:
-                    value = np.asarray(result.params[key][lane])
-                    if key in ("signatures", "signature_scalings",
-                               "signature_embeddings"):
-                        value = value[:k]
-                    elif key == "exposures":
-                        value = value[:, :k]
-                    best_params[key] = value
-                results[k] = CorrScanResult(
-                    losses=losses,
-                    n_iterations=np.asarray(result.n_iterations[sl]),
-                    best_index=best,
-                    best_params=best_params,
-                )
+            per_lane = (
+                3 * n_samples * n_features + 2 * n_samples * padded_k
+            ) * 8
+            lanes_cap = max(n_restarts, _LANE_BUDGET_BYTES // per_lane)
+            if len(group) * n_restarts <= lanes_cap:
+                chunks = [group]
+            else:
+                # one rank per call: every call still has n_restarts lanes
+                # of identical shape, so the bucket keeps ONE compiled
+                # program (the klnmf twin's HBM guard)
+                chunks = [[entry] for entry in group]
+            for chunk in chunks:
+                result, final_losses = run_group(padded_k, chunk)
+                absorb(result, final_losses, chunk)
     finally:
         np.random.set_state(rng_state)
     return results
