@@ -194,6 +194,29 @@ def check_pallas_on_hardware(X) -> None:
         np.testing.assert_allclose(np.asarray(W_pl), W_ref, rtol=2e-4)
         log(f"bench: pallas {label} MU block == XLA on hardware (rtol 2e-4)")
 
+    # D-tiled streaming kernel (the 96x10k rank-scan kernel): d_tile=128 on
+    # D=192 forces BOTH mask padding (192 % 128 != 0) and the revisited
+    # W-numerator accumulator block (2 d-tiles) - exactly the Mosaic
+    # behaviors interpret-mode tests cannot catch (alignment, revisiting).
+    from salamander_tpu.ops.pallas_klnmf import fused_mu_iteration_dtiled
+
+    @jax.jit
+    def dtiled_block(W, H):
+        def one(_, carry):
+            return fused_mu_iteration_dtiled(
+                Xj, carry[0], carry[1], chunk=2, d_tile=128
+            )
+        return jax.lax.fori_loop(0, steps, one, (W, H))
+
+    refs = [xla_block(W[r], H[r], None) for r in range(R)]
+    W_ref = np.stack([np.asarray(w) for w, _ in refs])
+    H_ref = np.stack([np.asarray(h) for _, h in refs])
+    W_dt, H_dt = dtiled_block(W, H)
+    np.testing.assert_allclose(np.asarray(W_dt), W_ref, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(H_dt), H_ref, rtol=2e-4)
+    log("bench: pallas D-tiled MU iteration == XLA on hardware "
+        "(d_tile=128, masked tail, rtol 2e-4)")
+
 
 def main():
     X = load_counts()

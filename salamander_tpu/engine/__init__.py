@@ -3,6 +3,7 @@
 from .fit import (  # noqa: F401
     FitConfig,
     FitResult,
+    effective_tolerance,
     fit_loop,
     fit_loop_lockstep,
     make_fit_function,

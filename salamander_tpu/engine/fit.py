@@ -57,7 +57,8 @@ def tolerance_floor(dtype) -> float:
     return 0.0
 
 
-def _effective_tol(config: "FitConfig", objective_dtype, params0) -> float:
+def _effective_tol(config: "FitConfig", objective_dtype, params0,
+                   warn: bool = True) -> float:
     """The enforceable tolerance: the user's tol floored at the resolution
     of BOTH the objective dtype and the parameter dtypes.
 
@@ -74,14 +75,22 @@ def _effective_tol(config: "FitConfig", objective_dtype, params0) -> float:
         if jnp.issubdtype(dtype, jnp.floating):
             floor = max(floor, tolerance_floor(dtype))
     if tol < floor:
-        warnings.warn(
-            f"tol={tol:g} is below the convergence resolution of this fit's "
-            f"dtype; using {floor:g} instead. Fit with dtype='float64' "
-            "(requires jax x64) for tighter tolerances.",
-            UserWarning,
-        )
+        if warn:
+            warnings.warn(
+                f"tol={tol:g} is below the convergence resolution of this "
+                f"fit's dtype; using {floor:g} instead. Fit with "
+                "dtype='float64' (requires jax x64) for tighter tolerances.",
+                UserWarning,
+            )
         return floor
     return tol
+
+
+def effective_tolerance(config: "FitConfig", objective_dtype, params0) -> float:
+    """Public twin of the engine's internal tolerance flooring, for callers
+    that record the enforced tolerance (model.history['tol_effective'])
+    without re-triggering the engine's warning."""
+    return _effective_tol(config, objective_dtype, params0, warn=False)
 
 
 class FitResult(NamedTuple):

@@ -76,35 +76,44 @@ _PACKABLE = frozenset(
 ) | frozenset([np.dtype(jnp.bfloat16)])
 
 
+def _on_accelerator(leaf) -> bool:
+    """Whether a leaf is a jax.Array actually resident on a non-CPU device.
+
+    Host numpy arrays and CPU-backed jax Arrays in MIXED pytrees must NOT
+    enter the packer: jnp.asarray would upload them through the remote
+    tunnel just to fetch them back - the exact latency this module exists
+    to avoid."""
+    if not isinstance(leaf, jax.Array):
+        return False
+    return any(device.platform != "cpu" for device in leaf.devices())
+
+
 def fetch_pytree(tree):
     """Fetch a pytree of device arrays to host numpy arrays, using one
-    device->host transfer on non-CPU backends (bit-exact; see module
-    docstring). Leaves whose dtype cannot be safely bitcast on the device
-    (e.g. emulated float64) fall back to per-leaf fetches. Returns a
-    pytree of np.ndarray with the same structure."""
+    device->host transfer for the accelerator-resident leaves (bit-exact;
+    see module docstring). Leaves already on the host (numpy arrays,
+    CPU-backed jax Arrays) convert directly with np.asarray; accelerator
+    leaves whose dtype cannot be safely bitcast on device (e.g. emulated
+    float64) fall back to per-leaf fetches. Returns a pytree of np.ndarray
+    with the same structure."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves:
         return tree
-    array_like = [
-        leaf for leaf in leaves if isinstance(leaf, jax.Array)
+    host = [None] * len(leaves)
+    accelerator = []
+    for i, leaf in enumerate(leaves):
+        if _on_accelerator(leaf):
+            accelerator.append(i)
+        else:
+            host[i] = np.asarray(leaf)
+    packable = [
+        i for i in accelerator if np.dtype(leaves[i].dtype) in _PACKABLE
     ]
-    on_cpu = all(
-        next(iter(leaf.devices())).platform == "cpu" for leaf in array_like
-    ) if array_like else True
-    if on_cpu:
-        host = [np.asarray(leaf) for leaf in leaves]
-    else:
-        device_leaves = [jnp.asarray(leaf) for leaf in leaves]
-        packable = [
-            i for i, leaf in enumerate(device_leaves)
-            if np.dtype(leaf.dtype) in _PACKABLE
-        ]
-        host = [None] * len(device_leaves)
-        if packable:
-            packed = _fetch_packed([device_leaves[i] for i in packable])
-            for i, arr in zip(packable, packed):
-                host[i] = arr
-        for i, leaf in enumerate(device_leaves):
-            if host[i] is None:
-                host[i] = np.asarray(leaf)
+    if packable:
+        packed = _fetch_packed([leaves[i] for i in packable])
+        for i, arr in zip(packable, packed):
+            host[i] = arr
+    for i in accelerator:
+        if host[i] is None:
+            host[i] = np.asarray(leaves[i])
     return jax.tree_util.tree_unflatten(treedef, host)

@@ -298,6 +298,18 @@ class SignatureNMF(ABC):
             config = config._replace(stop_on_nonfinite=True)
         from ..engine.fit import backend_supports_callbacks, print_history_trace
 
+        import jax
+
+        # the tolerance the engine will actually enforce (floored at the
+        # objective/parameter dtype resolution) - recorded so the
+        # convergence contract is auditable post-fit, not warning-only
+        from ..engine import effective_tolerance
+
+        objective_dtype = jax.eval_shape(objective_fn, params0, data).dtype
+        self.history["tol_effective"] = effective_tolerance(
+            config, objective_dtype, params0
+        )
+
         live_verbose = bool(verbose) and backend_supports_callbacks()
         run = make_fit_function(
             update_fn,
@@ -335,6 +347,8 @@ class SignatureNMF(ABC):
         """Reference-verbatim host fit loop (used by compatibility modes
         whose per-iteration updates run host-side, e.g. CorrNMF's
         newton_cg_compat). Semantics: reference signature_nmf.py:315-385."""
+        # host loops run float64 numpy throughout: the user's tol is enforced
+        self.history["tol_effective"] = float(self.tol)
         of_values = [self.objective_function()]
         n_iteration = 0
         converged = False

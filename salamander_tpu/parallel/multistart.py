@@ -186,7 +186,15 @@ def fit_best_of(
     from ..models.signature_nmf import promote_objective
 
     objective_fn = promote_objective(objective_fn, _index_pytree(params0, 0))
-    run = make_fit_function(update_fn, objective_fn, model._fit_config(),
+    config = model._fit_config()
+    from ..engine import effective_tolerance
+
+    params0_one = _index_pytree(params0, 0)
+    objective_dtype = jax.eval_shape(objective_fn, params0_one, data).dtype
+    model.history["tol_effective"] = effective_tolerance(
+        config, objective_dtype, params0_one
+    )
+    run = make_fit_function(update_fn, objective_fn, config,
                             batched=True,
                             unroll=getattr(model, "_unroll_blocks", False))
     result = run(params0, data)

@@ -164,3 +164,53 @@ def test_fetch_pytree_packed_is_bit_exact():
     # the public API short-circuits on CPU but must be structurally equal
     host = transfer.fetch_pytree(tree)
     np.testing.assert_array_equal(host["f64"], np.asarray(tree["f64"]))
+
+
+def test_fetch_pytree_mixed_host_leaves_pass_through():
+    """Mixed pytrees (host numpy + device arrays) must not upload the host
+    leaves just to fetch them back: every leaf comes back as numpy with
+    identical values, and numpy leaves are returned without copying through
+    the packer."""
+    from salamander_tpu.engine.transfer import fetch_pytree
+
+    host_leaf = np.arange(12, dtype=np.float32).reshape(3, 4)
+    tree = {
+        "host": host_leaf,
+        "device": jnp.asarray([1.0, 2.0], jnp.float32),
+        "python_scalar": 2.5,
+    }
+    out = fetch_pytree(tree)
+    np.testing.assert_array_equal(out["host"], host_leaf)
+    np.testing.assert_array_equal(out["device"], [1.0, 2.0])
+    assert float(out["python_scalar"]) == 2.5
+    assert all(isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(out))
+
+
+def test_effective_tolerance_floor_and_recording():
+    """float32 parameters floor the enforceable tolerance at 10*eps(f32)
+    even under a float64 objective; float64 keeps the user's tol. The model
+    layer records the enforced value in history['tol_effective']."""
+    from salamander_tpu.engine import FitConfig, effective_tolerance
+
+    config = FitConfig(tol=1e-7)
+    floor32 = 10.0 * float(np.finfo(np.float32).eps)
+    params32 = {"W": jnp.zeros((2, 2), jnp.float32)}
+    assert effective_tolerance(config, np.float64, params32) == floor32
+    params64 = {"W": jnp.zeros((2, 2), jnp.float64)}
+    assert effective_tolerance(config, np.float64, params64) == 1e-7
+
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import KLNMF
+
+    rng = np.random.default_rng(0)
+    adata = AnnData(rng.poisson(5.0, (12, 8)).astype(float))
+    with pytest.warns(UserWarning, match="convergence resolution"):
+        model = KLNMF(n_signatures=2, dtype="float32", min_iterations=10,
+                      max_iterations=50, init_method="random")
+        model.fit(adata, init_kwargs={"seed": 0})
+    assert model.history["tol_effective"] == pytest.approx(floor32)
+
+    model64 = KLNMF(n_signatures=2, min_iterations=10, max_iterations=50,
+                    init_method="random")
+    model64.fit(adata, init_kwargs={"seed": 0})
+    assert model64.history["tol_effective"] == pytest.approx(1e-7)
