@@ -54,6 +54,13 @@ class CorrNMFDet(CorrNMF):
     def _device_state(self):
         dtype = self._device_dtype
         data = {"X": jnp.asarray(self.adata.X, dtype)}  # (D, V), samples as rows
+        return self._device_params(), data
+
+    def _device_params(self, include_exposures: bool = True):
+        """The parameter pytree alone - no count-matrix upload. The
+        streaming fit path needs this: uploading X is exactly what a
+        beyond-HBM cohort cannot do."""
+        dtype = self._device_dtype
         params = {
             "signatures": jnp.asarray(self.asignatures.X, dtype),  # (K, V)
             "signature_scalings": jnp.asarray(
@@ -67,9 +74,12 @@ class CorrNMFDet(CorrNMF):
             ),
             "sample_embeddings": jnp.asarray(self.adata.obsm["embeddings"], dtype),
             "variance": jnp.asarray(float(self.variance), dtype),
-            "exposures": jnp.asarray(self.adata.obsm["exposures"], dtype),
         }
-        return params, data
+        if include_exposures:
+            params["exposures"] = jnp.asarray(
+                self.adata.obsm["exposures"], dtype
+            )
+        return params
 
     def _absorb_params(self, params) -> None:
         self.asignatures.X = np.asarray(params["signatures"])
@@ -184,14 +194,26 @@ class CorrNMFDet(CorrNMF):
         given_parameters: dict[str, Any] | None = None,
         init_kwargs: dict[str, Any] | None = None,
         history: bool = True,
+        streaming: bool = False,
+        eval_chunk: int = 8192,
     ) -> "CorrNMFDet":
         """Fit with stochastic (minibatch) variational EM instead of
         full-batch cycles - for cohorts whose sample count makes full EM
         cycles too slow: per-step compute is amortized O(batch_size) while
-        a full-batch cycle is O(n_samples). The count matrix must still fit
-        in device memory (for beyond-HBM cohorts, shard the sample axis
-        across a mesh - parallel/mesh.py); pass eval_freq=0 to skip the
-        O(n_samples) full-data ELBO evaluations too.
+        a full-batch cycle is O(n_samples).
+
+        streaming=False (default) keeps the count matrix device-resident.
+        streaming=True keeps X HOST-resident and uploads each minibatch
+        (and, for the ELBO trace, eval_chunk-row evaluation chunks) on the
+        fly - the single-chip beyond-HBM path: only the O(n_samples)
+        per-sample parameters live in device memory, so cohorts whose
+        counts exceed HBM fit end-to-end. Given the same seed, the two
+        placements draw identical minibatch sequences and produce
+        bitwise-identical parameters (ops/svi.py run_svi_streaming).
+        Integer-dtype count matrices are kept compact on the host in
+        streaming mode (adata.X is NOT clipped in place; the EPSILON clip
+        is applied to each uploaded batch instead). Pass eval_freq=0 to
+        skip the O(n_samples) full-data ELBO evaluations.
 
         Each step refreshes `batch_size` samples' local parameters with the
         exact batch M-steps and updates the global parameters from
@@ -224,22 +246,25 @@ class CorrNMFDet(CorrNMF):
                 "Use fit() for auditable traces."
             )
 
-        self._setup_adata(adata)
+        if streaming:
+            self._setup_adata_streaming(adata)
+        else:
+            self._setup_adata(adata)
         self._initialize(given_parameters, init_kwargs)
         self._setup_fitting_parameters(None)
 
         flags = self._given_flags(given_parameters)
 
-        params, data = self._device_state()
+        n_samples = int(self.adata.n_obs)
         config = svi.SVIConfig(
-            batch_size=min(int(batch_size), int(self.adata.n_obs)),
+            batch_size=min(int(batch_size), n_samples),
             forgetting=forgetting,
             delay=delay,
             signature_newton_iters=signature_newton_iters,
             sample_newton_iters=SAMPLE_NEWTON_ITERS,
         )
-        step_fn = svi.make_svi_step(
-            n_samples=int(self.adata.n_obs),
+        step_kwargs = dict(
+            n_samples=n_samples,
             config=config,
             n_given_signatures=flags["n_given"],
             fix_signature_scalings=flags["fix_signature_scalings"],
@@ -250,11 +275,38 @@ class CorrNMFDet(CorrNMF):
         )
         import jax
 
-        state0 = svi.svi_init(params)
-        state, elbo_trace = svi.run_svi(
-            step_fn, state0, data["X"], jax.random.PRNGKey(seed),
-            n_steps, eval_freq,
-        )
+        if streaming:
+            params = self._device_params(include_exposures=False)
+            dtype = np.dtype(params["signatures"].dtype)
+            X_host = self.adata.X
+
+            def get_batch(indices):
+                return np.asarray(X_host[indices], dtype).clip(
+                    np.finfo(np.float32).eps
+                )
+
+            objective_fn = None
+            if eval_freq:
+                objective_fn = svi.make_streamed_objective(
+                    svi.corrnmf_elbo_stream_chunk,
+                    svi.corrnmf_elbo_stream_rest,
+                    get_batch, n_samples, chunk_size=eval_chunk,
+                )
+            state0 = svi.svi_init(params, streaming=True)
+            state, elbo_trace = svi.run_svi_streaming(
+                svi.make_svi_batch_step(**step_kwargs), state0, get_batch,
+                n_samples, config.batch_size, jax.random.PRNGKey(seed),
+                n_steps, eval_freq, objective_fn,
+                refresh_fn=svi.refresh_sample_usq,
+            )
+        else:
+            params, data = self._device_state()
+            step_fn = svi.make_svi_step(**step_kwargs)
+            state0 = svi.svi_init(params)
+            state, elbo_trace = svi.run_svi(
+                step_fn, state0, data["X"], jax.random.PRNGKey(seed),
+                n_steps, eval_freq,
+            )
         final = dict(state.params)
         final["exposures"] = _exposures_jit(
             final["signature_scalings"],

@@ -99,6 +99,8 @@ class KLNMF(StandardNMF):
         init_kwargs: dict[str, Any] | None = None,
         fitting_kwargs: dict[str, Any] | None = None,
         history: bool = True,
+        streaming: bool = False,
+        eval_chunk: int = 8192,
     ) -> "KLNMF":
         """Fit with online (minibatch) NMF instead of full-batch cycles -
         for cohorts whose sample count makes full multiplicative-update
@@ -116,10 +118,18 @@ class KLNMF(StandardNMF):
 
         Runs a fixed `n_steps` budget; the full-data objective is recorded
         every `eval_freq` steps (eval_freq=0 disables the O(n_samples)
-        evaluations). The count matrix must still fit in device memory;
-        for beyond-HBM cohorts shard the sample axis (parallel/mesh.py).
+        evaluations).
         On TPU, full-batch `fit` is faster and better-converging while its
         O(n_samples) sweeps are acceptable (see BENCHMARKS.md).
+
+        streaming=False keeps the count matrix device-resident.
+        streaming=True keeps X HOST-resident and uploads minibatches (and
+        eval_chunk-column objective-evaluation chunks) on the fly - the
+        single-chip beyond-HBM path: only W, H and O(batch) buffers live
+        in device memory. Same seed => bitwise-identical parameters across
+        the two placements (ops/svi.py run_svi_streaming); integer count
+        matrices stay compact on the host (clipped per uploaded batch, not
+        in place).
 
         The default forgetting=0.51 (the slowest Robbins-Monro-admissible
         decay) is deliberate for KLNMF: multiplicative updates converge
@@ -132,27 +142,65 @@ class KLNMF(StandardNMF):
 
         from ..ops import svi
 
-        self._setup_adata(adata)
+        if streaming:
+            self._setup_adata_streaming(adata)
+        else:
+            self._setup_adata(adata)
         self._initialize(given_parameters, init_kwargs)
         self._setup_fitting_parameters(fitting_kwargs)
 
-        params, data = self._device_state()
+        n_samples = int(self.adata.n_obs)
         config = svi.SVIConfig(
-            batch_size=min(int(batch_size), int(self.adata.n_obs)),
+            batch_size=min(int(batch_size), n_samples),
             forgetting=forgetting,
             delay=delay,
         )
-        step_fn = svi.make_klnmf_svi_step(
-            n_samples=int(self.adata.n_obs),
+        step_kwargs = dict(
+            n_samples=n_samples,
             config=config,
             n_given_signatures=self._n_given_signatures(given_parameters),
             h_inner_iters=h_inner_iters,
         )
-        state0 = svi.klnmf_svi_init(params)
-        state, trace = svi.run_svi(
-            step_fn, state0, data, jax.random.PRNGKey(seed),
-            n_steps, eval_freq, elbo_fn=svi.klnmf_full_objective,
-        )
+        if streaming:
+            params = self._device_params()
+            dtype = np.dtype(params["W"].dtype)
+            X_host = self.adata.X  # (D, V); kernel orientation is (V, B)
+            w_kl, w_lhalf = self.weights_kl, self.weights_lhalf
+
+            def get_batch(indices):
+                rows = np.asarray(X_host[indices], dtype).clip(
+                    np.finfo(np.float32).eps
+                )
+                batch = {"X": np.ascontiguousarray(rows.T)}
+                if w_kl is not None:
+                    batch["weights_kl"] = np.asarray(w_kl[indices], dtype)
+                if w_lhalf is not None:
+                    batch["weights_lhalf"] = np.asarray(
+                        w_lhalf[indices], dtype
+                    )
+                return batch
+
+            objective_fn = None
+            if eval_freq:
+                objective_fn = svi.make_streamed_objective(
+                    svi.klnmf_objective_stream_chunk,
+                    svi.klnmf_objective_stream_rest,
+                    get_batch, n_samples, chunk_size=eval_chunk,
+                )
+            state0 = svi.klnmf_svi_init(params, streaming=True)
+            state, trace = svi.run_svi_streaming(
+                svi.make_klnmf_svi_batch_step(**step_kwargs), state0,
+                get_batch, n_samples, config.batch_size,
+                jax.random.PRNGKey(seed), n_steps, eval_freq, objective_fn,
+            )
+        else:
+            params, data = self._device_state()
+            step_fn = svi.make_klnmf_svi_step(**step_kwargs)
+            state0 = svi.klnmf_svi_init(params)
+            state, trace = svi.run_svi(
+                step_fn, state0, data, jax.random.PRNGKey(seed),
+                n_steps, eval_freq, elbo_fn=svi.klnmf_full_objective,
+            )
         # one batched device->host transfer for params + trace
         params_host, trace = fetch_pytree((state.params, trace))
         self._absorb_params(params_host)

@@ -230,6 +230,29 @@ class MultimodalCorrNMF:
             adata.X = adata.X.clip(EPSILON)
         self.mdata = mdata
 
+    def _setup_mdata_streaming(self, mdata) -> None:
+        """_setup_mdata for the host-streaming fit: integer-dtype modality
+        count matrices stay UNCLIPPED in place (clipping would promote
+        compact integer storage to float64 at beyond-HBM scale; the clip is
+        applied per uploaded batch instead - see
+        SignatureNMF._setup_adata_streaming)."""
+        if not hasattr(mdata, "mod"):
+            type_checker("mdata", mdata, containers.MuData)
+        if mdata.n_mod != len(self.ns_signatures):
+            raise ValueError(
+                f"The data has to have {len(self.ns_signatures)} many modalities."
+            )
+        expected = list(list(mdata.mod.values())[0].obs_names)
+        for adata in mdata.mod.values():
+            if list(adata.obs_names) != expected:
+                raise ValueError(
+                    "The sample names of the different modalities are not identical."
+                )
+        for adata in mdata.mod.values():
+            if not np.issubdtype(np.asarray(adata.X).dtype, np.integer):
+                adata.X = adata.X.clip(EPSILON)
+        self.mdata = mdata
+
     def _initialize(self, given_parameters=None, init_kwargs=None) -> None:
         init_kwargs = {} if init_kwargs is None else init_kwargs.copy()
         self.asignatures, self.variance = initialize_mmcorrnmf(
@@ -253,6 +276,12 @@ class MultimodalCorrNMF:
                 for name in self.mod_names
             }
         }
+        return self._device_params(), data
+
+    def _device_params(self, include_exposures: bool = True):
+        """The parameter pytree alone - no count-matrix uploads (the
+        streaming fit path's entry; see fit_minibatch)."""
+        dtype = resolve_dtype(self.dtype)
         mods = {}
         for name in self.mod_names:
             adata, asigs = self.mdata[name], self.asignatures[name]
@@ -267,14 +296,16 @@ class MultimodalCorrNMF:
                 "signature_embeddings": jnp.asarray(
                     asigs.obsm["embeddings"], dtype
                 ),
-                "exposures": jnp.asarray(adata.obsm["exposures"], dtype),
             }
-        params = {
+            if include_exposures:
+                mods[name]["exposures"] = jnp.asarray(
+                    adata.obsm["exposures"], dtype
+                )
+        return {
             "mods": mods,
             "sample_embeddings": jnp.asarray(self.mdata.obsm["embeddings"], dtype),
             "variance": jnp.asarray(float(self.variance), dtype),
         }
-        return params, data
 
     def _absorb_params(self, params) -> None:
         for name in self.mod_names:
@@ -745,6 +776,8 @@ class MultimodalCorrNMF:
         given_parameters: dict[str, Any] | None = None,
         init_kwargs: dict[str, Any] | None = None,
         history: bool = True,
+        streaming: bool = False,
+        eval_chunk: int = 8192,
     ) -> "MultimodalCorrNMF":
         """Stochastic (minibatch) variational EM for the multimodal model:
         one shared minibatch of samples drives all modalities per step, with
@@ -755,7 +788,11 @@ class MultimodalCorrNMF:
         cycle; see CorrNMFDet.fit_minibatch for cost semantics and practical
         guidance (full-batch `fit` is preferred while its O(n_samples)
         cycles are acceptable; eval_freq=0 skips the full-data ELBO
-        evaluations)."""
+        evaluations). streaming=True keeps every modality's count matrix
+        HOST-resident with per-step minibatch uploads - the single-chip
+        beyond-HBM path, bitwise-equal to the resident path at the same
+        seed (see CorrNMFDet.fit_minibatch / ops/svi.py
+        run_svi_streaming)."""
         from ..ops import svi
 
         if self.newton_cg_compat:
@@ -766,20 +803,23 @@ class MultimodalCorrNMF:
                 "Use fit() for auditable traces."
             )
 
-        self._setup_mdata(mdata)
+        if streaming:
+            self._setup_mdata_streaming(mdata)
+        else:
+            self._setup_mdata(mdata)
         self._initialize(given_parameters, init_kwargs)
 
         given = given_parameters or {}
 
-        params, data = self._device_state()
+        n_samples = int(self.mdata.n_obs)
         config = svi.SVIConfig(
-            batch_size=min(int(batch_size), int(self.mdata.n_obs)),
+            batch_size=min(int(batch_size), n_samples),
             forgetting=forgetting, delay=delay,
             signature_newton_iters=signature_newton_iters,
             sample_newton_iters=SAMPLE_NEWTON_ITERS,
         )
-        step_fn = svi.make_mm_svi_step(
-            n_samples=int(self.mdata.n_obs),
+        step_kwargs = dict(
+            n_samples=n_samples,
             mod_names=self.mod_names,
             ns_signatures=self.ns_signatures,
             config=config,
@@ -789,11 +829,39 @@ class MultimodalCorrNMF:
         )
         import jax
 
-        state0 = svi.mm_svi_init(params)
-        state, elbo_trace = svi.run_svi(
-            step_fn, state0, data["X"], jax.random.PRNGKey(seed),
-            n_steps, eval_freq, elbo_fn=svi.mm_full_elbo,
-        )
+        if streaming:
+            params = self._device_params(include_exposures=False)
+            dtype = np.dtype(params["sample_embeddings"].dtype)
+            X_host = {name: self.mdata[name].X for name in self.mod_names}
+            eps32 = np.finfo(np.float32).eps
+
+            def get_batch(indices):
+                return {
+                    name: np.asarray(X_host[name][indices], dtype).clip(eps32)
+                    for name in self.mod_names
+                }
+
+            objective_fn = None
+            if eval_freq:
+                objective_fn = svi.make_streamed_objective(
+                    svi.mm_elbo_stream_chunk, svi.mm_elbo_stream_rest,
+                    get_batch, n_samples, chunk_size=eval_chunk,
+                )
+            state0 = svi.mm_svi_init(params, streaming=True)
+            state, elbo_trace = svi.run_svi_streaming(
+                svi.make_mm_svi_batch_step(**step_kwargs), state0, get_batch,
+                n_samples, config.batch_size, jax.random.PRNGKey(seed),
+                n_steps, eval_freq, objective_fn,
+                refresh_fn=svi.refresh_sample_usq,
+            )
+        else:
+            params, data = self._device_state()
+            step_fn = svi.make_mm_svi_step(**step_kwargs)
+            state0 = svi.mm_svi_init(params)
+            state, elbo_trace = svi.run_svi(
+                step_fn, state0, data["X"], jax.random.PRNGKey(seed),
+                n_steps, eval_freq, elbo_fn=svi.mm_full_elbo,
+            )
         final = {
             "mods": {},
             "sample_embeddings": state.params["sample_embeddings"],

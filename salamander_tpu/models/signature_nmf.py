@@ -247,6 +247,23 @@ class SignatureNMF(ABC):
         self.adata = adata
         self.adata.X = self.adata.X.clip(EPSILON)
 
+    def _setup_adata_streaming(self, adata) -> None:
+        """Container setup for the host-streaming fit path.
+
+        Float count matrices get the normal in-place EPSILON clip (so the
+        streaming fit is bitwise-equal to the resident one). Integer count
+        matrices are left UNTOUCHED - clipping would silently promote a
+        compact uint16/int32 cohort to float64, multiplying host memory by
+        4-8x at exactly the beyond-HBM scale this path exists for; the clip
+        is applied per uploaded batch instead (identical values: integer
+        counts cast exactly to the fit dtype and EPSILON only lifts
+        zeros)."""
+        if not hasattr(adata, "obsm") or not hasattr(adata, "X"):
+            type_checker("adata", adata, containers.AnnData)
+        self.adata = adata
+        if not np.issubdtype(np.asarray(adata.X).dtype, np.integer):
+            self.adata.X = self.adata.X.clip(EPSILON)
+
     def _update_parameters(self, given_parameters=None) -> None:
         """Apply one update cycle eagerly (test/inspection path)."""
         params, data = self._device_state()

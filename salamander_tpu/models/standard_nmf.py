@@ -41,11 +41,16 @@ class StandardNMF(SignatureNMF):
         # kernel orientation: X (V, D), W (V, K), H (K, D)
         dtype = self._device_dtype
         data = {"X": jnp.asarray(self.adata.X.T, dtype)}
-        params = {
+        return self._device_params(), data
+
+    def _device_params(self):
+        """The (W, H) parameter pytree alone - no count-matrix upload
+        (the streaming fit path's entry; see KLNMF.fit_minibatch)."""
+        dtype = self._device_dtype
+        return {
             "W": jnp.asarray(self.asignatures.X.T, dtype),
             "H": jnp.asarray(self.adata.obsm["exposures"].T, dtype),
         }
-        return params, data
 
     def _absorb_params(self, params) -> None:
         self.asignatures.X = np.asarray(params["W"]).T

@@ -30,7 +30,9 @@ a strict generalization of CorrNMFDet's update.
 Cost model (everything jittable with static batch size): per-step compute is
 amortized O(batch_size) - minibatches are cut from a per-epoch shuffled
 permutation (reshuffled once per epoch, O(D log D) amortized over D/B
-steps), the sample-embedding sum-of-squares behind the variance M-step is
+steps; when B does not divide D the epoch's tail partial batch is dropped -
+see _draw_epoch_batch), the sample-embedding sum-of-squares behind the
+variance M-step is
 carried as a running statistic (refreshed exactly at each epoch boundary),
 and gather/scatter touch only the batch rows. The full (D, V) count matrix
 does stay resident on device, and the optional full-data ELBO evaluation
@@ -111,16 +113,25 @@ class SVIState(NamedTuple):
     stat_usq: Any        # scalar running sum(sample_embeddings**2)
 
 
-def svi_init(params) -> SVIState:
+def svi_init(params, streaming: bool = False) -> SVIState:
     """Fresh SVI state around a CorrNMFDet parameter pytree (the running
     statistics start at zero; rho_0 = 1 with the default delay overwrites
     them with the first minibatch estimate). cursor starts past the end of
-    perm so the first step reshuffles with its own PRNG key."""
+    perm so the first step reshuffles with its own PRNG key.
+
+    streaming=True builds the state for the host-resident-X driver
+    (run_svi_streaming), whose epoch permutation lives on the HOST: the
+    device-side perm collapses to shape (0,) so huge cohorts don't carry a
+    dead (D,) index array in HBM."""
     signatures = params["signatures"]
     n_signatures, n_features = signatures.shape
     dtype = signatures.dtype
     sample_embeddings = params["sample_embeddings"]
     n_samples = sample_embeddings.shape[0]
+    perm = (
+        jnp.zeros((0,), jnp.int32) if streaming
+        else jnp.arange(n_samples, dtype=jnp.int32)
+    )
     return SVIState(
         params={key: value for key, value in params.items()
                 if key != "exposures"},
@@ -128,9 +139,21 @@ def svi_init(params) -> SVIState:
         stat_predicted=jnp.zeros((n_signatures,), dtype),
         stat_counts=jnp.zeros((n_features, n_signatures), dtype),
         step=jnp.zeros((), jnp.int32),
-        perm=jnp.arange(n_samples, dtype=jnp.int32),
+        perm=perm,
         cursor=jnp.asarray(n_samples, jnp.int32),
         stat_usq=jnp.sum(sample_embeddings**2),
+    )
+
+
+def refresh_sample_usq(state):
+    """Exact-refresh the running sum(sample_embeddings**2) statistic (the
+    epoch-boundary drift guard). Works for SVIState and MMSVIState - both
+    carry params['sample_embeddings'] and a stat_usq field. The streaming
+    driver calls this at exactly the step positions where the resident
+    step's on-device _draw_epoch_batch would refresh, preserving bitwise
+    equality between the two paths."""
+    return state._replace(
+        stat_usq=jnp.sum(state.params["sample_embeddings"] ** 2)
     )
 
 
@@ -138,7 +161,15 @@ def _draw_epoch_batch(key, perm, cursor, usq_exact_fn, stat_usq, batch_size):
     """Cut the next minibatch from the epoch permutation, reshuffling (and
     exactly refreshing the running sum-of-squares statistic, so its O(B)
     incremental updates can't drift) when the epoch is exhausted. Amortized
-    O(batch_size) per step."""
+    O(batch_size) per step.
+
+    Drop-last semantics: reshuffling triggers whenever fewer than batch_size
+    samples remain, so when batch_size does not divide n_samples the tail
+    partial batch of each epoch is NOT visited that epoch (it lands in the
+    next epoch's fresh permutation with uniform probability). 'One epoch
+    refreshes every sample exactly once' therefore holds only for divisible
+    batch sizes; otherwise each "epoch" covers floor(D/B)*B uniformly-drawn
+    samples."""
     n_samples = perm.shape[0]
 
     def reshuffle(args):
@@ -158,7 +189,8 @@ def _draw_epoch_batch(key, perm, cursor, usq_exact_fn, stat_usq, batch_size):
     return indices, perm, start + batch_size, stat_usq
 
 
-def make_svi_step(
+@functools.lru_cache(maxsize=64)
+def make_svi_batch_step(
     n_samples: int,
     config: SVIConfig,
     n_given_signatures: int = 0,
@@ -168,21 +200,28 @@ def make_svi_step(
     fix_sample_embeddings: bool = False,
     fix_variance: bool = False,
 ):
-    """Build the jittable minibatch step (state, X, key) -> state.
+    """Build the jittable minibatch CORE (state, X_batch, indices) -> state.
 
-    X is the full (D, V) count matrix resident on device; each step gathers
-    its minibatch rows. The update order inside a step mirrors the
-    deterministic EM cycle exactly (sample scalings -> exposures/aux ->
-    signature scalings -> signature embeddings -> sample embeddings ->
-    variance -> signatures), which is what makes the full-batch/rho=1 case
-    collapse to CorrNMFDet's update.
+    The caller supplies the minibatch: X_batch is the (B, V) count rows and
+    indices the (B,) sample positions they came from. This is the shared
+    engine of both data placements:
+      - make_svi_step wraps it with the on-device epoch sampler and a
+        jnp.take gather from the device-resident full X;
+      - run_svi_streaming drives it directly with host-sliced, device_put
+        batches (X host-resident - the beyond-HBM path), feeding the SAME
+        index sequence, so the two paths produce bitwise-identical params.
+
+    state.perm/state.cursor pass through untouched (the wrapper or host
+    driver owns them); state.stat_usq must already be epoch-refreshed when
+    needed (refresh_sample_usq) - the core only applies the incremental
+    update.
     """
     batch_size = _validate_config(config, n_samples)
     scale = n_samples / batch_size
     fix_signatures = False
     K_given = int(n_given_signatures)
 
-    def step(state: SVIState, X, key) -> SVIState:
+    def batch_step(state: SVIState, X_batch, indices) -> SVIState:
         params = dict(state.params)
         signatures = params["signatures"]          # (K, V)
         sig_scal = params["signature_scalings"]    # (K,)
@@ -196,11 +235,7 @@ def make_svi_step(
             -config.forgetting
         )
 
-        indices, perm, cursor, stat_usq = _draw_epoch_batch(
-            key, state.perm, state.cursor,
-            lambda: jnp.sum(smp_emb**2), state.stat_usq, batch_size,
-        )
-        X_batch = jnp.take(X, indices, axis=0)          # (B, V)
+        perm, cursor, stat_usq = state.perm, state.cursor, state.stat_usq
         tau_batch = jnp.take(smp_scal, indices, axis=0)  # (B,)
         u_batch = jnp.take(smp_emb, indices, axis=0)     # (B, m)
         usq_batch_old = jnp.sum(u_batch**2)
@@ -298,6 +333,52 @@ def make_svi_step(
             stat_usq=stat_usq,
         )
 
+    return batch_step
+
+
+@functools.lru_cache(maxsize=64)
+def make_svi_step(
+    n_samples: int,
+    config: SVIConfig,
+    n_given_signatures: int = 0,
+    fix_signature_scalings: bool = False,
+    fix_sample_scalings: bool = False,
+    fix_signature_embeddings: bool = False,
+    fix_sample_embeddings: bool = False,
+    fix_variance: bool = False,
+):
+    """Build the jittable minibatch step (state, X, key) -> state.
+
+    lru_cached on its (hashable) arguments: repeated fit_minibatch calls
+    with identical shapes/config receive the SAME step function object, so
+    run_svi's jit (step_fn is a static argument) reuses one compiled
+    program instead of re-tracing per call - minutes per avoided compile
+    on the remote-compile TPU platform.
+
+    X is the full (D, V) count matrix resident on device; each step gathers
+    its minibatch rows and hands them to the shared make_svi_batch_step
+    core. The update order inside a step mirrors the deterministic EM cycle
+    exactly (sample scalings -> exposures/aux -> signature scalings ->
+    signature embeddings -> sample embeddings -> variance -> signatures),
+    which is what makes the full-batch/rho=1 case collapse to CorrNMFDet's
+    update.
+    """
+    batch_size = _validate_config(config, n_samples)
+    batch_step = make_svi_batch_step(
+        n_samples, config, n_given_signatures,
+        fix_signature_scalings, fix_sample_scalings,
+        fix_signature_embeddings, fix_sample_embeddings, fix_variance,
+    )
+
+    def step(state: SVIState, X, key) -> SVIState:
+        indices, perm, cursor, stat_usq = _draw_epoch_batch(
+            key, state.perm, state.cursor,
+            lambda: jnp.sum(state.params["sample_embeddings"] ** 2),
+            state.stat_usq, batch_size,
+        )
+        state = state._replace(perm=perm, cursor=cursor, stat_usq=stat_usq)
+        return batch_step(state, jnp.take(X, indices, axis=0), indices)
+
     return step
 
 
@@ -386,53 +467,47 @@ class KLSVIState(NamedTuple):
     cursor: Any       # scalar int32 position in perm
 
 
-def klnmf_svi_init(params) -> KLSVIState:
+def klnmf_svi_init(params, streaming: bool = False) -> KLSVIState:
     """Fresh online-NMF state around a KLNMF parameter pytree
-    ({"W": (V, K), "H": (K, D)}; StandardNMF._device_state orientation)."""
+    ({"W": (V, K), "H": (K, D)}; StandardNMF._device_state orientation).
+    streaming=True collapses the device-side perm to (0,) for the
+    host-resident-X driver (see svi_init)."""
     W, H = params["W"], params["H"]
     n_samples = H.shape[1]
+    perm = (
+        jnp.zeros((0,), jnp.int32) if streaming
+        else jnp.arange(n_samples, dtype=jnp.int32)
+    )
     return KLSVIState(
         params={"W": W, "H": H},
         stat_counts=jnp.zeros(W.shape, W.dtype),
         step=jnp.zeros((), jnp.int32),
-        perm=jnp.arange(n_samples, dtype=jnp.int32),
+        perm=perm,
         cursor=jnp.asarray(n_samples, jnp.int32),
     )
 
 
-def make_klnmf_svi_step(
+@functools.lru_cache(maxsize=64)
+def make_klnmf_svi_batch_step(
     n_samples: int,
     config: SVIConfig,
     n_given_signatures: int = 0,
     h_inner_iters: int = 1,
 ):
-    """Online NMF step for KLNMF: (KLSVIState, data, key) -> state.
-
-    data = {"X": (V, D)} plus optional "weights_kl"/"weights_lhalf" (D,)
-    entries, exactly as the engine's data pytree (klnmf.make_step_functions).
-    Each step refreshes the minibatch's exposure columns with
-    `h_inner_iters` exact multiplicative H updates under the current W (the
-    sample-local step), then updates W from the Robbins-Monro running
-    average of the D-scaled expected signature counts
-    C_hat = W * ((w . X/(W H)) @ H_b^T): column-normalizing the running
-    counts IS the KL multiplicative W update in sufficient-statistic form
-    (reference _utils_klnmf.py:164-217; online dictionary learning in the
-    style of Mairal et al. 2010, adapted to generalized KL).
-
-    Exactness anchor (pinned by tests/test_svi.py): batch_size = n_samples,
-    rho = 1, h_inner_iters = 1 reduces to update_H followed by update_W -
-    the serial Lee-Seung cycle (the full-batch engine's update_WH instead
-    shares one aux from the OLD W,H; both are valid majorize-minimize
-    cycles for the same objective).
-    """
+    """Online-NMF minibatch CORE for KLNMF:
+    (KLSVIState, batch, indices) -> state, with batch = {"X": (V, B)} plus
+    optional 'weights_kl'/'weights_lhalf' (B,) entries supplied by the
+    caller (make_klnmf_svi_step gathers them from device-resident data;
+    run_svi_streaming device_puts host slices - the beyond-HBM path). The
+    two placements feed the same index sequence and produce bitwise-equal
+    params. state.perm/cursor pass through untouched."""
     batch_size = _validate_config(config, n_samples)
     if h_inner_iters < 1:
         raise ValueError(f"h_inner_iters={h_inner_iters} must be >= 1")
     scale = n_samples / batch_size
     K_given = int(n_given_signatures)
 
-    def step(state: KLSVIState, data, key) -> KLSVIState:
-        X = data["X"]
+    def batch_step(state: KLSVIState, batch, indices) -> KLSVIState:
         W = state.params["W"]
         H = state.params["H"]
         dtype = W.dtype
@@ -440,22 +515,10 @@ def make_klnmf_svi_step(
         rho = (state.step.astype(dtype) + config.delay) ** (
             -config.forgetting
         )
-        # no incrementally-carried scalar statistic here; pass a dummy
-        zero = jnp.zeros((), dtype)
-        indices, perm, cursor, _ = _draw_epoch_batch(
-            key, state.perm, state.cursor, lambda: zero, zero, batch_size
-        )
-        X_batch = jnp.take(X, indices, axis=1)  # (V, B)
-        H_batch = jnp.take(H, indices, axis=1)  # (K, B)
-        weights_kl = data.get("weights_kl")
-        w_kl_batch = (
-            None if weights_kl is None else jnp.take(weights_kl, indices)
-        )
-        weights_lhalf = data.get("weights_lhalf")
-        w_lhalf_batch = (
-            None if weights_lhalf is None
-            else jnp.take(weights_lhalf, indices)
-        )
+        X_batch = batch["X"]                       # (V, B)
+        H_batch = jnp.take(H, indices, axis=1)     # (K, B)
+        w_kl_batch = batch.get("weights_kl")
+        w_lhalf_batch = batch.get("weights_lhalf")
 
         # sample-local step: exact multiplicative H updates on the batch
         for _ in range(h_inner_iters):
@@ -487,9 +550,58 @@ def make_klnmf_svi_step(
             params={"W": W_new, "H": H},
             stat_counts=stat_counts,
             step=state.step + 1,
-            perm=perm,
-            cursor=cursor,
+            perm=state.perm,
+            cursor=state.cursor,
         )
+
+    return batch_step
+
+
+@functools.lru_cache(maxsize=64)
+def make_klnmf_svi_step(
+    n_samples: int,
+    config: SVIConfig,
+    n_given_signatures: int = 0,
+    h_inner_iters: int = 1,
+):
+    """Online NMF step for KLNMF: (KLSVIState, data, key) -> state.
+    lru_cached (see make_svi_step): repeated calls share one compiled
+    run_svi program.
+
+    data = {"X": (V, D)} plus optional "weights_kl"/"weights_lhalf" (D,)
+    entries, exactly as the engine's data pytree (klnmf.make_step_functions).
+    Each step refreshes the minibatch's exposure columns with
+    `h_inner_iters` exact multiplicative H updates under the current W (the
+    sample-local step), then updates W from the Robbins-Monro running
+    average of the D-scaled expected signature counts
+    C_hat = W * ((w . X/(W H)) @ H_b^T): column-normalizing the running
+    counts IS the KL multiplicative W update in sufficient-statistic form
+    (reference _utils_klnmf.py:164-217; online dictionary learning in the
+    style of Mairal et al. 2010, adapted to generalized KL).
+
+    Exactness anchor (pinned by tests/test_svi.py): batch_size = n_samples,
+    rho = 1, h_inner_iters = 1 reduces to update_H followed by update_W -
+    the serial Lee-Seung cycle (the full-batch engine's update_WH instead
+    shares one aux from the OLD W,H; both are valid majorize-minimize
+    cycles for the same objective).
+    """
+    batch_size = _validate_config(config, n_samples)
+    batch_step = make_klnmf_svi_batch_step(
+        n_samples, config, n_given_signatures, h_inner_iters
+    )
+
+    def step(state: KLSVIState, data, key) -> KLSVIState:
+        # no incrementally-carried scalar statistic here; pass a dummy
+        zero = jnp.zeros((), state.params["W"].dtype)
+        indices, perm, cursor, _ = _draw_epoch_batch(
+            key, state.perm, state.cursor, lambda: zero, zero, batch_size
+        )
+        state = state._replace(perm=perm, cursor=cursor)
+        batch = {"X": jnp.take(data["X"], indices, axis=1)}
+        for name in ("weights_kl", "weights_lhalf"):
+            if data.get(name) is not None:
+                batch[name] = jnp.take(data[name], indices)
+        return batch_step(state, batch, indices)
 
     return step
 
@@ -524,9 +636,11 @@ class MMSVIState(NamedTuple):
     stat_usq: Any  # scalar running sum(sample_embeddings**2)
 
 
-def mm_svi_init(params) -> MMSVIState:
+def mm_svi_init(params, streaming: bool = False) -> MMSVIState:
     """Fresh multimodal SVI state around a MultimodalCorrNMF parameter
-    pytree (models/mmcorrnmf.py _device_state)."""
+    pytree (models/mmcorrnmf.py _device_state). streaming=True collapses
+    the device-side perm to (0,) for the host-resident-X driver (see
+    svi_init)."""
     mods = {}
     stats = {}
     for name, mod in params["mods"].items():
@@ -541,6 +655,10 @@ def mm_svi_init(params) -> MMSVIState:
         }
     sample_embeddings = params["sample_embeddings"]
     n_samples = sample_embeddings.shape[0]
+    perm = (
+        jnp.zeros((0,), jnp.int32) if streaming
+        else jnp.arange(n_samples, dtype=jnp.int32)
+    )
     return MMSVIState(
         params={
             "mods": mods,
@@ -549,7 +667,7 @@ def mm_svi_init(params) -> MMSVIState:
         },
         stats=stats,
         step=jnp.zeros((), jnp.int32),
-        perm=jnp.arange(n_samples, dtype=jnp.int32),
+        perm=perm,
         cursor=jnp.asarray(n_samples, jnp.int32),
         stat_usq=jnp.sum(sample_embeddings**2),
     )
@@ -593,7 +711,92 @@ def make_mm_svi_step(
     as the full-batch step does (models/mmcorrnmf.py _build_step step 5b).
     mod_flags[name] may carry 'n_given', 'fix_signatures',
     'fix_sig_scalings', 'fix_smp_scalings', 'fix_sig_embeddings' (all
-    defaulting to free)."""
+    defaulting to free).
+
+    lru_cached (see make_svi_step) after normalizing the list/dict
+    arguments to hashable tuples: repeated fit_minibatch calls share one
+    compiled run_svi program."""
+    return _make_mm_svi_step_cached(
+        int(n_samples), tuple(mod_names), tuple(int(n) for n in ns_signatures),
+        config, _freeze_mod_flags(mod_names, mod_flags),
+        bool(fix_sample_embeddings), bool(fix_variance),
+    )
+
+
+def _freeze_mod_flags(mod_names, mod_flags):
+    if mod_flags is None:
+        return None
+    return tuple(
+        (name, tuple(sorted((mod_flags.get(name) or {}).items())))
+        for name in mod_names
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _make_mm_svi_step_cached(
+    n_samples: int,
+    mod_names: tuple,
+    ns_signatures: tuple,
+    config: SVIConfig,
+    frozen_flags,
+    fix_sample_embeddings: bool,
+    fix_variance: bool,
+):
+    batch_size = _validate_config(config, n_samples)
+    batch_step = _make_mm_svi_batch_step_cached(
+        n_samples, mod_names, ns_signatures, config, frozen_flags,
+        fix_sample_embeddings, fix_variance,
+    )
+
+    def step(state: MMSVIState, X, key) -> MMSVIState:
+        indices, perm, cursor, stat_usq = _draw_epoch_batch(
+            key, state.perm, state.cursor,
+            lambda: jnp.sum(state.params["sample_embeddings"] ** 2),
+            state.stat_usq, batch_size,
+        )
+        state = state._replace(perm=perm, cursor=cursor, stat_usq=stat_usq)
+        X_batch = {
+            name: jnp.take(X[name], indices, axis=0) for name in mod_names
+        }
+        return batch_step(state, X_batch, indices)
+
+    return step
+
+
+def make_mm_svi_batch_step(
+    n_samples: int,
+    mod_names: list,
+    ns_signatures: list,
+    config: SVIConfig,
+    mod_flags: dict | None = None,
+    fix_sample_embeddings: bool = False,
+    fix_variance: bool = False,
+):
+    """Multimodal minibatch CORE: (MMSVIState, X_batch, indices) -> state,
+    with X_batch = {mod: (B, V_i) count rows} supplied by the caller - the
+    shared engine of the device-resident (make_mm_svi_step) and
+    host-streaming (run_svi_streaming) placements; see make_svi_batch_step.
+    """
+    return _make_mm_svi_batch_step_cached(
+        int(n_samples), tuple(mod_names), tuple(int(n) for n in ns_signatures),
+        config, _freeze_mod_flags(mod_names, mod_flags),
+        bool(fix_sample_embeddings), bool(fix_variance),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _make_mm_svi_batch_step_cached(
+    n_samples: int,
+    mod_names: tuple,
+    ns_signatures: tuple,
+    config: SVIConfig,
+    frozen_flags,
+    fix_sample_embeddings: bool,
+    fix_variance: bool,
+):
+    mod_flags = None if frozen_flags is None else {
+        name: dict(items) for name, items in frozen_flags
+    }
     batch_size = _validate_config(config, n_samples)
     scale = n_samples / batch_size
     mod_names = list(mod_names)
@@ -606,7 +809,7 @@ def make_mm_svi_step(
         for name in mod_names
     }
 
-    def step(state: MMSVIState, X, key) -> MMSVIState:
+    def batch_step(state: MMSVIState, X_batch_all, indices) -> MMSVIState:
         mods = {
             name: dict(state.params["mods"][name]) for name in mod_names
         }
@@ -620,10 +823,7 @@ def make_mm_svi_step(
         )
         log_scale = jnp.log(jnp.asarray(scale, dtype))
 
-        indices, perm, cursor, stat_usq = _draw_epoch_batch(
-            key, state.perm, state.cursor,
-            lambda: jnp.sum(U**2), state.stat_usq, batch_size,
-        )
+        perm, cursor, stat_usq = state.perm, state.cursor, state.stat_usq
         U_batch = jnp.take(U, indices, axis=0)  # (B, m)
         usq_batch_old = jnp.sum(U_batch**2)
 
@@ -631,7 +831,7 @@ def make_mm_svi_step(
         batch = {}
         for name in mod_names:
             m, f = mods[name], flags[name]
-            X_batch = jnp.take(X[name], indices, axis=0)   # (B, V_i)
+            X_batch = X_batch_all[name]                    # (B, V_i)
             tau_batch = jnp.take(m["sample_scalings"], indices, axis=0)
             if not f["fix_smp_scalings"]:
                 tau_batch = ops.update_sample_scalings(
@@ -760,4 +960,270 @@ def make_mm_svi_step(
             stat_usq=stat_usq,
         )
 
-    return step
+    return batch_step
+
+
+# --------------------------------------------------------------------- #
+# beyond-HBM streaming: X host-resident, minibatches device_put per step
+# --------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted(fn):
+    """One stable jit wrapper per (cached) step/chunk function object, so
+    repeated run_svi_streaming calls reuse compiled programs."""
+    return jax.jit(fn)
+
+
+def _host_cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def run_svi_streaming(
+    batch_step_fn,
+    state0,
+    get_batch,
+    n_samples: int,
+    batch_size: int,
+    key,
+    n_steps: int,
+    eval_freq: int = 0,
+    objective_fn=None,
+    refresh_fn=None,
+    prefetch: int = 2,
+    device=None,
+):
+    """Drive minibatch steps with the count data HOST-resident: the epoch
+    permutation lives on the host, each step's rows are sliced from host
+    memory and device_put while the device is still computing earlier steps
+    (JAX's async dispatch provides the double buffering; `prefetch` bounds
+    how far the host may run ahead so in-flight batch buffers can't
+    accumulate in HBM).
+
+    This is the single-chip beyond-HBM path: only the O(D) per-sample state
+    (scalings/embeddings or H) and O(B) batches live on device, so cohorts
+    whose count matrix exceeds HBM fit end-to-end. The reference loads all
+    of X up front (signature_nmf.py:269-281) and cannot.
+
+    batch_step_fn: a make_*_svi_batch_step core (state, batch, indices) ->
+    state. get_batch(indices) -> host batch pytree for those samples (the
+    family's layout: (B, V) rows for CorrNMF, {"X": (V, B), weights...} for
+    KLNMF, {mod: (B, V_i)} for multimodal).
+
+    The index sequence REPLICATES the resident path's on-device epoch
+    sampler exactly (same jax.random key splits, same reshuffle positions,
+    same drop-last semantics - jax.random is platform-deterministic), so
+    streaming and resident fits from the same seed produce bitwise-equal
+    parameters; refresh_fn (refresh_sample_usq where the family carries a
+    running sum-of-squares) is applied at exactly the resident refresh
+    positions.
+
+    objective_fn(params) -> device scalar (e.g. from make_streamed_objective)
+    is evaluated after every `eval_freq` steps, matching run_svi's recording
+    positions. Returns (final_state, history list of floats). The final
+    state's perm/cursor fields are NOT meaningful (the host owns them).
+    """
+    import collections
+
+    import numpy as np
+
+    if n_steps < 1:
+        raise ValueError(f"n_steps={n_steps} must be >= 1")
+    if eval_freq < 0:
+        raise ValueError(f"eval_freq={eval_freq} must be >= 0")
+    if not 1 <= batch_size <= n_samples:
+        raise ValueError(
+            f"batch_size={batch_size} must be in [1, n_samples={n_samples}]"
+        )
+    cpu = _host_cpu_device()
+    if device is None:
+        device = jax.devices()[0]
+    step = _jitted(batch_step_fn)
+    refresh = _jitted(refresh_fn) if refresh_fn is not None else None
+
+    key = jax.device_put(key, cpu)
+    perm = None
+    cursor = n_samples  # svi_init semantics: first step reshuffles
+    state = state0
+    inflight = collections.deque()
+    history = []
+    for t in range(n_steps):
+        with jax.default_device(cpu):
+            key, subkey = jax.random.split(key)
+            if cursor + batch_size > n_samples:
+                # mirror of _draw_epoch_batch's reshuffle branch (including
+                # drop-last): permutation drawn with the STEP's subkey
+                perm = np.asarray(
+                    jax.random.permutation(subkey, n_samples)
+                ).astype(np.int32)
+                cursor = 0
+                if refresh is not None:
+                    state = refresh(state)
+        indices = perm[cursor:cursor + batch_size]
+        cursor += batch_size
+        batch_dev = jax.device_put(get_batch(indices), device)
+        idx_dev = jax.device_put(indices, device)
+        state = step(state, batch_dev, idx_dev)
+        inflight.append(state.step)
+        if len(inflight) > prefetch:
+            jax.block_until_ready(inflight.popleft())
+        if eval_freq and objective_fn is not None and (t + 1) % eval_freq == 0:
+            history.append(objective_fn(state.params))
+    jax.block_until_ready(state.step)
+    if history:
+        from ..engine.transfer import fetch_pytree
+
+        history = [float(v) for v in fetch_pytree(tuple(history))]
+    return state, history
+
+
+def make_streamed_objective(
+    chunk_fn,
+    rest_fn,
+    get_chunk,
+    n_samples: int,
+    chunk_size: int = 8192,
+    device=None,
+):
+    """Build params -> device-scalar full-data objective that streams the
+    host-resident counts through the device in fixed-shape chunks.
+
+    chunk_fn(carry, params, chunk, indices, valid) accumulates the chunk's
+    decomposable contribution into the scalar carry (jitted once per shape;
+    the last chunk is index-padded with `valid` masking the padding);
+    rest_fn(params) adds the sample-independent terms (Gaussian penalties).
+    get_chunk(indices) -> host pytree of those samples' counts. The
+    accumulation stays ON DEVICE - one scalar comes back per evaluation,
+    not per chunk (each small fetch costs ~100 ms of tunnel latency)."""
+    import numpy as np
+
+    if device is None:
+        device = jax.devices()[0]
+    chunk_size = int(min(chunk_size, n_samples))
+    chunk_jit = _jitted(chunk_fn)
+    rest_jit = _jitted(rest_fn)
+
+    def evaluate(params):
+        carry = None
+        for start in range(0, n_samples, chunk_size):
+            stop = min(start + chunk_size, n_samples)
+            indices = np.arange(start, stop, dtype=np.int32)
+            n_valid = stop - start
+            if n_valid < chunk_size:
+                indices = np.concatenate(
+                    [indices, np.zeros(chunk_size - n_valid, np.int32)]
+                )
+            valid = np.arange(chunk_size) < n_valid
+            chunk_dev, idx_dev, valid_dev = jax.device_put(
+                (get_chunk(indices), indices, valid), device
+            )
+            if carry is None:
+                dtype = jnp.asarray(
+                    jax.tree_util.tree_leaves(params)[0]
+                ).dtype
+                carry = jnp.zeros((), dtype)
+            carry = chunk_jit(carry, params, chunk_dev, idx_dev, valid_dev)
+        return carry + rest_jit(params)
+
+    return evaluate
+
+
+def corrnmf_elbo_stream_chunk(carry, params, X_chunk, indices, valid):
+    """Per-chunk Poisson log-likelihood contribution to the CorrNMF ELBO
+    (the sample-decomposable part of ops.corrnmf.elbo_corrnmf; X_chunk is
+    (C, V) count rows)."""
+    from jax.scipy.special import gammaln
+
+    tau = jnp.take(params["sample_scalings"], indices)
+    u = jnp.take(params["sample_embeddings"], indices, axis=0)
+    exposures = ops.compute_exposures(
+        params["signature_scalings"], tau, params["signature_embeddings"], u
+    )                                           # (C, K)
+    WH = exposures @ params["signatures"]       # (C, V)
+    nonzero = WH != 0
+    log_wh = jnp.log(jnp.where(nonzero, WH, 1.0))
+    per_sample = jnp.sum(
+        jnp.where(nonzero, X_chunk * log_wh, 0.0) - WH, axis=1
+    )
+    per_sample -= jnp.sum(gammaln(1.0 + X_chunk), axis=1)
+    return carry + jnp.sum(jnp.where(valid, per_sample, 0.0))
+
+
+def corrnmf_elbo_stream_rest(params):
+    """Sample-count-independent ELBO terms: both Gaussian embedding
+    penalties (the full sample-embedding matrix is device-resident)."""
+    sig_emb = params["signature_embeddings"]
+    smp_emb = params["sample_embeddings"]
+    variance = params["variance"]
+    n_signatures, dim = sig_emb.shape
+    n_samples = smp_emb.shape[0]
+    log_norm = jnp.log(2.0 * jnp.pi * variance)
+    rest = -0.5 * dim * n_signatures * log_norm
+    rest -= jnp.sum(sig_emb**2) / (2.0 * variance)
+    rest -= 0.5 * dim * n_samples * log_norm
+    rest -= jnp.sum(smp_emb**2) / (2.0 * variance)
+    return rest
+
+
+def klnmf_objective_stream_chunk(carry, params, chunk, indices, valid):
+    """Per-chunk weighted-KL (+ l1/2) contribution to the KLNMF objective
+    (sample-decomposable; chunk = {"X": (V, C)} plus optional weights)."""
+    X = chunk["X"]
+    W = params["W"]
+    H_cols = jnp.take(params["H"], indices, axis=1)   # (K, C)
+    WH = W @ H_cols
+    nonzero = X != 0
+    safe_ratio = jnp.where(nonzero, X / jnp.where(nonzero, WH, 1.0), 1.0)
+    summands = jnp.where(nonzero, X * jnp.log(safe_ratio) - X, 0.0) + WH
+    per_sample = jnp.sum(summands, axis=0)            # (C,)
+    weights_kl = chunk.get("weights_kl")
+    if weights_kl is not None:
+        per_sample = per_sample * weights_kl
+    weights_lhalf = chunk.get("weights_lhalf")
+    if weights_lhalf is not None:
+        per_sample = per_sample + weights_lhalf * jnp.sum(
+            jnp.sqrt(H_cols), axis=0
+        )
+    return carry + jnp.sum(jnp.where(valid, per_sample, 0.0))
+
+
+def klnmf_objective_stream_rest(params):
+    """KLNMF has no sample-independent objective terms."""
+    return jnp.zeros((), params["W"].dtype)
+
+
+def mm_elbo_stream_chunk(carry, params, X_chunk, indices, valid):
+    """Per-chunk multimodal ELBO contribution: each modality's Poisson
+    log-likelihood over the chunk's samples (X_chunk = {mod: (C, V_i)})."""
+    U = params["sample_embeddings"]
+    for name, mod in params["mods"].items():
+        sub = {
+            "sample_scalings": mod["sample_scalings"],
+            "sample_embeddings": U,
+            "signature_scalings": mod["signature_scalings"],
+            "signature_embeddings": mod["signature_embeddings"],
+            "signatures": mod["signatures"],
+        }
+        carry = corrnmf_elbo_stream_chunk(
+            carry, sub, X_chunk[name], indices, valid
+        )
+    return carry
+
+
+def mm_elbo_stream_rest(params):
+    """Multimodal sample-independent terms: per-modality signature
+    penalties plus the shared sample penalty exactly once (mm_full_elbo
+    semantics)."""
+    U = params["sample_embeddings"]
+    variance = params["variance"]
+    log_norm = jnp.log(2.0 * jnp.pi * variance)
+    rest = jnp.zeros((), U.dtype)
+    for mod in params["mods"].values():
+        sig_emb = mod["signature_embeddings"]
+        n_signatures, dim = sig_emb.shape
+        rest -= 0.5 * dim * n_signatures * log_norm
+        rest -= jnp.sum(sig_emb**2) / (2.0 * variance)
+    n_samples, dim = U.shape
+    rest -= 0.5 * dim * n_samples * log_norm
+    rest -= jnp.sum(U**2) / (2.0 * variance)
+    return rest

@@ -586,3 +586,47 @@ def test_mm_fit_minibatch_given_parameters_frozen():
         np.asarray(model.asignatures["indel"].obs["scalings"], float),
         sig_scalings,
     )
+
+
+def test_step_builders_are_cached_no_retrace():
+    """Repeated fit_minibatch calls with identical shapes/config must reuse
+    ONE compiled run_svi program: the step builders are lru_cached so the
+    jit's static step_fn argument is the same object across calls (a fresh
+    closure per call would retrace - minutes per call on the remote-compile
+    TPU platform)."""
+    from salamander_tpu.ops import svi
+
+    config = svi.SVIConfig(batch_size=16, forgetting=0.6, delay=2.0)
+    assert svi.make_svi_step(100, config) is svi.make_svi_step(100, config)
+    assert svi.make_klnmf_svi_step(100, config) is svi.make_klnmf_svi_step(
+        100, config
+    )
+    assert svi.make_mm_svi_step(
+        100, ["a", "b"], [2, 3], config,
+        mod_flags={"a": {"n_given": 1}},
+    ) is svi.make_mm_svi_step(
+        100, ["a", "b"], [2, 3], config,
+        mod_flags={"a": {"n_given": 1}},
+    )
+    # different flags must NOT collide
+    assert svi.make_svi_step(100, config) is not svi.make_svi_step(
+        100, config, fix_variance=True
+    )
+
+    # end to end: the second identical fit_minibatch adds no jit cache entry
+    X = make_synthetic(seed=13)
+    def run_once():
+        model = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+        model.fit_minibatch(
+            AnnData(X.copy()), batch_size=20, n_steps=12, eval_freq=6,
+            seed=1, init_kwargs={"seed": 2},
+        )
+        return model
+
+    first = run_once()
+    size_after_first = svi.run_svi._cache_size()
+    second = run_once()
+    assert svi.run_svi._cache_size() == size_after_first
+    np.testing.assert_array_equal(
+        first.adata.obsm["exposures"], second.adata.obsm["exposures"]
+    )
