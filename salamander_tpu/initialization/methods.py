@@ -255,3 +255,65 @@ def corrnmf_init_batch(key, data_mat, n_signatures: int, dim_embeddings: int,
         "variance": jnp.ones((n_restarts,), dtype),
         "exposures": exposures,
     }
+
+
+def mm_corrnmf_init_batch(key, data_mats, mod_names, ns_signatures,
+                          dim_embeddings: int, n_restarts: int, dtype=None):
+    """Initialize a batch of MultimodalCorrNMF parameter pytrees on device.
+
+    The multimodal twin of corrnmf_init_batch: per-modality Dirichlet
+    signatures, zero scalings and standard-normal signature embeddings, ONE
+    shared standard-normal sample-embedding matrix across modalities, unit
+    variance; exposures derived per modality. data_mats is {mod: (D, V_i)}
+    (model orientation). Returns the MultimodalCorrNMF._device_state params
+    pytree with a leading restart axis - used by fit_best_of's device-side
+    multi-start init so multimodal restarts need no host init loop (and no
+    np.random.seed mutation).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.corrnmf import compute_exposures
+
+    mod_names = list(mod_names)
+    first = data_mats[mod_names[0]]
+    if dtype is None:
+        dtype = first.dtype
+    n_samples = first.shape[0]
+    key_shared, key_mods = jax.random.split(key)
+    sample_embeddings = jax.random.normal(
+        key_shared, (n_restarts, n_samples, dim_embeddings), dtype
+    )
+    sample_scalings = jnp.zeros((n_restarts, n_samples), dtype)
+    mods = {}
+    for index, (name, n_signatures) in enumerate(
+        zip(mod_names, ns_signatures)
+    ):
+        key_mod = jax.random.fold_in(key_mods, index)
+        key_sig, key_emb = jax.random.split(key_mod)
+        n_features = data_mats[name].shape[1]
+        draws = jax.random.exponential(
+            key_sig, (n_restarts, n_signatures, n_features), dtype
+        )
+        signatures = draws / jnp.sum(draws, axis=-1, keepdims=True)
+        signatures = jnp.maximum(signatures, EPSILON)
+        signature_embeddings = jax.random.normal(
+            key_emb, (n_restarts, n_signatures, dim_embeddings), dtype
+        )
+        signature_scalings = jnp.zeros((n_restarts, n_signatures), dtype)
+        exposures = jax.vmap(compute_exposures)(
+            signature_scalings, sample_scalings,
+            signature_embeddings, sample_embeddings,
+        )
+        mods[name] = {
+            "signatures": signatures,
+            "signature_scalings": signature_scalings,
+            "sample_scalings": sample_scalings,
+            "signature_embeddings": signature_embeddings,
+            "exposures": exposures,
+        }
+    return {
+        "mods": mods,
+        "sample_embeddings": sample_embeddings,
+        "variance": jnp.ones((n_restarts,), dtype),
+    }

@@ -38,7 +38,9 @@ def _index_pytree(tree, index: int):
 
 
 # families with a device-side batched 'random' initializer
-_DEVICE_INIT_FAMILIES = ("KLNMF", "MvNMF", "CorrNMFDet")
+_DEVICE_INIT_FAMILIES = (
+    "KLNMF", "MvNMF", "CorrNMFDet", "MultimodalCorrNMF",
+)
 
 
 def _device_init_batch(model, data, n_restarts: int, base_seed: int):
@@ -46,7 +48,11 @@ def _device_init_batch(model, data, n_restarts: int, base_seed: int):
     (no host loop, no global numpy RNG)."""
     import jax.numpy as jnp
 
-    from ..initialization.methods import corrnmf_init_batch, random_init_batch
+    from ..initialization.methods import (
+        corrnmf_init_batch,
+        mm_corrnmf_init_batch,
+        random_init_batch,
+    )
 
     key = jax.random.PRNGKey(base_seed)
     name = type(model).__name__
@@ -58,6 +64,11 @@ def _device_init_batch(model, data, n_restarts: int, base_seed: int):
         if name == "MvNMF":
             params["gamma"] = jnp.ones((n_restarts,), X.dtype)
         return params
+    if name == "MultimodalCorrNMF":
+        return mm_corrnmf_init_batch(
+            key, data["X"], model.mod_names, model.ns_signatures,
+            model.dim_embeddings, n_restarts,
+        )
     return corrnmf_init_batch(
         key, data["X"], model.n_signatures, model.dim_embeddings, n_restarts
     )
@@ -101,8 +112,7 @@ def fit_best_of(
 
     init_kwargs = {} if init_kwargs is None else dict(init_kwargs)
     device_init_supported = (
-        not is_multimodal
-        and not given_parameters
+        not given_parameters
         and model.init_method == "random"
         and type(model).__name__ in _DEVICE_INIT_FAMILIES
     )
@@ -141,7 +151,8 @@ def fit_best_of(
             model._initialize(given_parameters, kwargs)
         finally:
             np.random.set_state(rng_state)
-        model._setup_fitting_parameters(fitting_kwargs)
+        if not is_multimodal:
+            model._setup_fitting_parameters(fitting_kwargs)
         _, data = model._device_state()
         params0 = _device_init_batch(model, data, n_restarts, base_seed)
     else:

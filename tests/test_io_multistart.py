@@ -340,3 +340,27 @@ def test_bootstrap_requires_fitted_multimodal():
         bootstrap_stability(
             MultimodalCorrNMF(ns_signatures=[2, 2]), n_bootstraps=2
         )
+
+
+def test_fit_best_of_device_init_multimodal(counts, counts2):
+    """Multimodal multi-start inits on device too (shared sample
+    embeddings across modalities, per-modality signature draws, no host
+    loop, no np.random.seed mutation)."""
+    mdata = MuData({"a": AnnData(counts.copy()), "b": AnnData(counts2.copy())})
+    model = MultimodalCorrNMF(ns_signatures=[2, 3], dim_embeddings=2,
+                              init_method="random",
+                              min_iterations=5, max_iterations=10)
+    np.random.seed(999)
+    state_before = np.random.get_state()
+    summary = fit_best_of(model, mdata, n_restarts=4, base_seed=1,
+                          batched_init=True)
+    state_after = np.random.get_state()
+    assert np.array_equal(state_before[1], state_after[1])
+    assert summary.losses.shape == (4,)
+    assert np.all(np.isfinite(summary.losses))
+    assert len(set(np.round(summary.losses, 4))) > 1
+    assert summary.best_index == int(np.argmax(summary.losses))
+    assert model._is_fitted
+    assert model.mdata["a"].obsm["exposures"].shape == (counts.shape[0], 2)
+    assert model.mdata["b"].obsm["exposures"].shape == (counts.shape[0], 3)
+    assert model.mdata.obsm["embeddings"].shape == (counts.shape[0], 2)
