@@ -75,3 +75,68 @@ def test_init_distributed_is_importable_and_idempotent_guard():
 
     assert callable(init_distributed)
     assert not jax.distributed.is_initialized()
+
+
+class _SliceDevice:
+    """A real CPU device wearing a fake slice_index - the duck-typing
+    slice_groups already supports. Lets the multi-slice branch of
+    make_hybrid_mesh (mesh.py create_hybrid_device_mesh call) EXECUTE
+    without multi-slice hardware."""
+
+    def __init__(self, device, slice_index):
+        object.__setattr__(self, "_device", device)
+        object.__setattr__(self, "slice_index", slice_index)
+
+    def __getattr__(self, name):
+        return getattr(self._device, name)
+
+    def __repr__(self):
+        return f"_SliceDevice({self._device!r}, slice={self.slice_index})"
+
+    def __hash__(self):
+        return hash((self._device, self.slice_index))
+
+    def __eq__(self, other):
+        return (
+            getattr(other, "_device", None) == self._device
+            and getattr(other, "slice_index", None) == self.slice_index
+        )
+
+
+def test_make_hybrid_mesh_multislice_branch_executes():
+    """Two fake slices of 4 CPU devices drive the create_hybrid_device_mesh
+    path for real: the produced (restarts, samples) grid must keep every
+    sample-axis row INSIDE one slice (ICI) with only the restart axis
+    crossing slices (DCN)."""
+    devices = [
+        _SliceDevice(d, i // 4) for i, d in enumerate(jax.devices("cpu")[:8])
+    ]
+    mesh = make_hybrid_mesh(devices)
+    assert mesh.axis_names == (RESTART_AXIS, SAMPLE_AXIS)
+    grid = mesh.devices
+    assert grid.shape == (2, 4)
+    for row in range(grid.shape[0]):
+        slices = {d.slice_index for d in grid[row]}
+        assert len(slices) == 1, (
+            f"sample axis of restart row {row} crosses slices: {slices}"
+        )
+    # all 8 devices used exactly once
+    assert len({d.id for d in grid.ravel()}) == 8
+
+
+def test_make_hybrid_mesh_multislice_restarts_span_ici_and_dcn():
+    """With sample_ways=2, each slice contributes 2 restart rows (ICI
+    leftover) and the DCN axis stacks the slices: 4 restart rows total,
+    each intra-slice on the sample axis, slice changing every 2 rows."""
+    devices = [
+        _SliceDevice(d, i // 4) for i, d in enumerate(jax.devices("cpu")[:8])
+    ]
+    mesh = make_hybrid_mesh(devices, sample_ways=2)
+    grid = mesh.devices
+    assert grid.shape == (4, 2)
+    row_slices = []
+    for row in range(4):
+        slices = {d.slice_index for d in grid[row]}
+        assert len(slices) == 1
+        row_slices.append(slices.pop())
+    assert sorted(row_slices) == [0, 0, 1, 1]
