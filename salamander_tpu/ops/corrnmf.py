@@ -32,6 +32,19 @@ from .klnmf import EPSILON, poisson_llh
 # scipy.optimize's Newton-CG 'avextol' default; threshold is dim * XTOL.
 XTOL = 1e-5
 
+# Newton-step products run at full f32 precision. TPU matmuls default to
+# bf16 passes (relative error ~4e-3); the embedding Hessian is
+# sum_k rates_k o_k o_k^T + I/var with rates ~1e4-1e5, so bf16 roundoff
+# (~40 absolute) swamps the I/var term whenever the rates outer-product sum
+# is rank-deficient over the active dims - the computed Hessian then goes
+# INDEFINITE and every Cholesky-based solve NaNs through sqrt. Observed
+# 2026-08-17 on real v5e in the m-padded (k=2, m=3) scan lane: hess came
+# back visibly asymmetric (|H - H^T| ~ 4e-3 relative) with min eigenvalue
+# pushed below zero, while the identical program was clean on CPU. These
+# are (M, m) x (m,) sized products with m = dim_embeddings <= ~10 - full
+# precision costs nothing measurable.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 
 def compute_exposures(signature_scalings, sample_scalings,
                       signature_embeddings, sample_embeddings):
@@ -141,14 +154,58 @@ def embedding_hessian(embedding, embeddings_other, scaling, scalings_other,
     )
 
 
+def _cholesky_solve_unrolled(hess, grad):
+    """SPD solve by a fully UNROLLED scalar Cholesky + two substitutions.
+
+    No linalg custom call: batched tiny factorizations serialize on TPU
+    (the same pathology as the 2x2 LU, see _solve_spd_small), and any
+    Cholesky of a not-quite-SPD matrix NaNs through sqrt. The static dim
+    is tiny (dim_embeddings, <= ~10), so the unrolled scalar arithmetic is
+    branch-free VPU work that vmaps cleanly.
+
+    Pivots are floored at EPSILON * hess[i, i] (the diagonal is strictly
+    positive, >= 1/variance): a Hessian that is SPD in exact arithmetic
+    can reach this solve indefinite after finite-precision products (the
+    m-padded Newton systems are rank-k + I/var with condition ~1e4-1e5,
+    where rank deficiency puts roundoff on the same scale as the smallest
+    eigenvalue). A floored pivot yields an inexact but FINITE descent-ish
+    direction that the Armijo backtracking then vets - exactly how the
+    dim<=3 Cramer solves already degrade."""
+    n = grad.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = hess[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, EPSILON * hess[i, i]))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = grad[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _solve_spd_small(hess, grad):
     """Solve hess @ x = grad for the tiny SPD Newton systems.
 
     jnp.linalg.solve lowers batched 2x2 systems to an LU custom call that
     serializes on TPU (measured: the sample-side Newton under restart
     batching spent ~97% of its time here); closed-form Cramer solves for
-    dim <= 3 are branch-free vectorized arithmetic, and larger dims use a
-    Cholesky solve (the Hessian is SPD by construction).
+    dim <= 3 are branch-free vectorized arithmetic, and larger dims use an
+    unrolled custom-call-free Cholesky (the Hessian is SPD by
+    construction).
     """
     dim = grad.shape[0]
     if dim == 1:
@@ -178,7 +235,7 @@ def _solve_spd_small(hess, grad):
              hess[0, 0] * hess[1, 1] - hess[0, 1] * hess[1, 0]],
         ])
         return (adjugate @ grad) / det
-    return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(hess), grad)
+    return _cholesky_solve_unrolled(hess, grad)
 
 
 # Armijo halvings until the serial backtracking's step floor: the reference
@@ -215,10 +272,19 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
 
     def step(carry):
         b, done, iteration = carry
-        rates = jnp.exp(offsets + embeddings_other @ b)  # (M,)
-        grad = (-linear_term + embeddings_other.T @ rates + b / variance)
-        hess = ((embeddings_other * rates[:, None]).T @ embeddings_other
-                + eye / variance)
+        rates = jnp.exp(
+            offsets + jnp.matmul(embeddings_other, b, precision=_HIGHEST)
+        )  # (M,)
+        grad = (
+            -linear_term
+            + jnp.matmul(embeddings_other.T, rates, precision=_HIGHEST)
+            + b / variance
+        )
+        hess = (
+            jnp.matmul((embeddings_other * rates[:, None]).T,
+                       embeddings_other, precision=_HIGHEST)
+            + eye / variance
+        )
         direction = -_solve_spd_small(hess, grad)
         f0 = (-jnp.dot(linear_term, b) + jnp.sum(rates)
               + jnp.dot(b, b) / (2.0 * variance))
@@ -226,8 +292,9 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
 
         candidates = b[None, :] + ts[:, None] * direction[None, :]  # (41, m)
         f_cand = (
-            -(candidates @ linear_term)
-            + jnp.sum(jnp.exp(candidates @ embeddings_other.T
+            -jnp.matmul(candidates, linear_term, precision=_HIGHEST)
+            + jnp.sum(jnp.exp(jnp.matmul(candidates, embeddings_other.T,
+                                         precision=_HIGHEST)
                               + offsets[None, :]), axis=1)
             + jnp.sum(candidates * candidates, axis=1) / (2.0 * variance)
         )
@@ -330,7 +397,8 @@ def _clamp_away_from_zero(embeddings):
 
 
 def update_embeddings(embeddings0, embeddings_other, scalings, scalings_other,
-                      variance, aux_mat, max_iter: int = 100):
+                      variance, aux_mat, max_iter: int = 100,
+                      xtol_total=None):
     """Batched Newton update of N embeddings at once.
 
     embeddings0:      (N, m) initial values (rows optimized independently)
@@ -341,10 +409,19 @@ def update_embeddings(embeddings0, embeddings_other, scalings, scalings_other,
     aux_mat:          (N, M) rows/columns of the sufficient statistic
     max_iter:         Newton-step cap; 3 mirrors the reference's sample-side
                       scipy options {"maxiter": 3}.
+    xtol_total:       scipy-style stopping threshold (sum|update| below it
+                      stops); defaults to m * XTOL. The m-padded rank scan
+                      passes the ACTIVE dimension's threshold as a traced
+                      scalar so a padded lane stops exactly where the
+                      unpadded program would (zero-padded dims contribute
+                      zero to both the update and its 1-norm).
     """
     dim = embeddings0.shape[1]
-    xtol_total = dim * XTOL
-    linear_terms = aux_mat @ embeddings_other  # (N, m)
+    if xtol_total is None:
+        xtol_total = dim * XTOL
+    linear_terms = jnp.matmul(
+        aux_mat, embeddings_other, precision=_HIGHEST
+    )  # (N, m)
     if scalings.ndim == 1:
         offsets = scalings[:, None] + scalings_other[None, :]
     else:
@@ -366,30 +443,44 @@ def update_embeddings(embeddings0, embeddings_other, scalings, scalings_other,
 # --------------------------------------------------------------------- #
 
 # Padded signature scalings sit at this value: exp(NEG_PAD_SCALING + x)
-# underflows to EXACTLY 0.0 in both float32 and float64, which makes the
-# padded signatures' exposures, aux rows and rate terms exact zeros - so
-# the sample-scaling, exposure, aux and BOTH embedding updates need no
-# masking of their own (padded embedding rows start at 0 and their Newton
-# gradient is identically 0 there).
-NEG_PAD_SCALING = -1e30
+# underflows to EXACTLY 0.0 in both float32 (underflow below ~-104) and
+# float64 (below ~-745) for any realistic scaling offset x (scalings are
+# log-scale, |x| << 100), which makes the padded signatures' exposures,
+# aux rows and rate terms exact zeros - so the sample-scaling, exposure,
+# aux and BOTH embedding updates need no masking of their own (padded
+# embedding rows start at 0 and their Newton gradient is identically 0
+# there). Deliberately NOT an extreme value like -1e30: TPU transcendental
+# approximations extract 2^x exponents through integer arithmetic, and
+# magnitudes beyond int32 range produced NaNs on real v5e hardware
+# (observed 2026-08-17: the f32 grid scan returned non-finite ELBOs on
+# TPU while bitwise-clean on CPU); -1e4 has the same exact-zero guarantee
+# with ~100x margin and stays in every backend's safe range.
+NEG_PAD_SCALING = -1e4
 
 
-def update_variance_masked(signature_embeddings, sample_embeddings, mask):
-    """update_variance counting only the active signatures' embeddings
-    (padded rows are exact zeros, so only the DENOMINATOR needs the mask)."""
+def update_variance_masked(signature_embeddings, sample_embeddings, mask,
+                           m_mask=None):
+    """update_variance counting only the active signatures' embeddings and
+    (for m-padded lanes) only the active embedding dimensions - padded rows
+    AND columns are exact zeros, so only the DENOMINATOR needs the masks."""
     total = jnp.sum(signature_embeddings**2) + jnp.sum(sample_embeddings**2)
-    dim = signature_embeddings.shape[1]
+    dim = (
+        signature_embeddings.shape[1] if m_mask is None else jnp.sum(m_mask)
+    )
     count = (jnp.sum(mask) + sample_embeddings.shape[0]) * dim
     return jnp.maximum(total / count, EPSILON)
 
 
 def elbo_corrnmf_masked(data_mat, signatures_mat, exposures_mat,
                         signature_embeddings, sample_embeddings, variance,
-                        mask):
+                        mask, m_mask=None):
     """elbo_corrnmf with the Gaussian normalization counting only active
-    signatures; all data terms are exact because padded exposure columns
-    are exact zeros."""
-    dim_embeddings = signature_embeddings.shape[1]
+    signatures (and, for m-padded lanes, active embedding dimensions); all
+    data and quadratic terms are exact because padded exposure columns and
+    padded embedding rows/columns are exact zeros."""
+    dim_embeddings = (
+        signature_embeddings.shape[1] if m_mask is None else jnp.sum(m_mask)
+    )
     n_samples = sample_embeddings.shape[0]
     n_active = jnp.sum(mask)
     log_norm = jnp.log(2.0 * jnp.pi * variance)
@@ -401,11 +492,22 @@ def elbo_corrnmf_masked(data_mat, signatures_mat, exposures_mat,
     return elbo
 
 
-def pad_rank_corrnmf(params, n_padded: int):
-    """Pad a rank-k CorrNMF parameter pytree (CorrNMFDet._device_state
-    layout) to rank n_padded: uniform dummy signature rows, NEG_PAD_SCALING
-    scalings, zero embedding rows, zero exposure columns; adds the (Kp,)
-    activity mask."""
+def pad_rank_corrnmf(params, n_padded: int, dim_padded: int | None = None):
+    """Pad a rank-k, dim-m CorrNMF parameter pytree (CorrNMFDet._device_state
+    layout) to rank n_padded (and optionally embedding dimension dim_padded):
+    uniform dummy signature rows, NEG_PAD_SCALING scalings, zero embedding
+    rows/columns, zero exposure columns; adds the (Kp,) rank mask and the
+    (mp,) dimension mask 'm_mask' (all-true when dim_padded is None).
+
+    m-padding is exact under zero initialization: a zero-padded embedding
+    dimension has identically zero gradient (its linear term, rate
+    contraction and prior term all vanish), a block-diagonal Hessian row
+    (I/variance), and therefore a zero Newton direction - it stays exactly
+    zero forever, and every contraction over the embedding axis equals its
+    m-dimensional value. This is what lets one compiled program serve an
+    (n_signatures x dim_embeddings) model-selection grid
+    (reference axis: /root/reference/src/salamander/models/corrnmf.py:60-63).
+    """
     signatures = params["signatures"]                    # (k, V)
     k, n_features = signatures.shape
     if n_padded < k:
@@ -413,6 +515,11 @@ def pad_rank_corrnmf(params, n_padded: int):
     extra = n_padded - k
     dtype = signatures.dtype
     dim = params["signature_embeddings"].shape[1]
+    if dim_padded is None:
+        dim_padded = dim
+    if dim_padded < dim:
+        raise ValueError(f"dim_padded={dim_padded} below dim {dim}")
+    extra_dim = dim_padded - dim
     n_samples = params["sample_embeddings"].shape[0]
     padded = dict(params)
     padded["signatures"] = jnp.concatenate(
@@ -422,13 +529,24 @@ def pad_rank_corrnmf(params, n_padded: int):
         [params["signature_scalings"],
          jnp.full((extra,), NEG_PAD_SCALING, dtype)]
     )
-    padded["signature_embeddings"] = jnp.concatenate(
+    sig_emb = jnp.concatenate(
         [params["signature_embeddings"], jnp.zeros((extra, dim), dtype)]
     )
+    smp_emb = params["sample_embeddings"]
+    if extra_dim:
+        sig_emb = jnp.concatenate(
+            [sig_emb, jnp.zeros((n_padded, extra_dim), dtype)], axis=1
+        )
+        smp_emb = jnp.concatenate(
+            [smp_emb, jnp.zeros((n_samples, extra_dim), dtype)], axis=1
+        )
+    padded["signature_embeddings"] = sig_emb
+    padded["sample_embeddings"] = smp_emb
     padded["exposures"] = jnp.concatenate(
         [params["exposures"], jnp.zeros((n_samples, extra), dtype)], axis=1
     )
     padded["mask"] = jnp.arange(n_padded) < k
+    padded["m_mask"] = jnp.arange(dim_padded) < dim
     return padded
 
 
@@ -456,6 +574,12 @@ def make_masked_corrnmf_step(signature_newton_iters: int = 100,
         smp_emb = params["sample_embeddings"]
         variance = params["variance"]
         mask = params["mask"]
+        m_mask = params.get("m_mask")
+        # scipy-style Newton stop threshold of the ACTIVE dimension, so an
+        # m-padded lane stops exactly where the unpadded program would
+        xtol_total = (
+            None if m_mask is None else jnp.sum(m_mask) * XTOL
+        )
 
         smp_scal = update_sample_scalings(X, sig_scal, sig_emb, smp_emb)
         exposures = compute_exposures(sig_scal, smp_scal, sig_emb, smp_emb)
@@ -467,13 +591,13 @@ def make_masked_corrnmf_step(signature_newton_iters: int = 100,
         )
         sig_emb = update_embeddings(
             sig_emb, smp_emb, sig_scal, smp_scal, variance, aux,
-            max_iter=signature_newton_iters,
+            max_iter=signature_newton_iters, xtol_total=xtol_total,
         )
         smp_emb = update_embeddings(
             smp_emb, sig_emb, smp_scal, sig_scal, variance, aux.T,
-            max_iter=sample_newton_iters,
+            max_iter=sample_newton_iters, xtol_total=xtol_total,
         )
-        variance = update_variance_masked(sig_emb, smp_emb, mask)
+        variance = update_variance_masked(sig_emb, smp_emb, mask, m_mask)
 
         # KL signature update with zero-exposure padded columns guarded
         # (klnmf.update_W semantics; padded columns pass through unchanged)
@@ -484,7 +608,7 @@ def make_masked_corrnmf_step(signature_newton_iters: int = 100,
         W_new = jnp.maximum(W_new, EPSILON)
         signatures = jnp.where(mask[:, None], W_new.T, signatures)
 
-        return {
+        out = {
             "signatures": signatures,
             "signature_scalings": sig_scal,
             "sample_scalings": smp_scal,
@@ -494,6 +618,9 @@ def make_masked_corrnmf_step(signature_newton_iters: int = 100,
             "exposures": exposures,
             "mask": mask,
         }
+        if m_mask is not None:
+            out["m_mask"] = m_mask
+        return out
 
     def objective_fn(params, data):
         return elbo_corrnmf_masked(
@@ -504,6 +631,7 @@ def make_masked_corrnmf_step(signature_newton_iters: int = 100,
             params["sample_embeddings"],
             params["variance"],
             params["mask"],
+            params.get("m_mask"),
         )
 
     return update_fn, objective_fn

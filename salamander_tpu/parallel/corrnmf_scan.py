@@ -1,25 +1,34 @@
-"""K-padded CorrNMF rank scans: many ranks, few compiled programs.
+"""Padded CorrNMF model-selection scans: many (rank, dim) points, few
+compiled programs, first-class fitted models.
 
-The model-selection scan for CorrNMF (choose n_signatures at a fixed
-embedding dimension) costs one XLA compilation per rank when driven through
-the generic rank_scan() - on a remote-compile TPU platform that is minutes
-per rank. Here every rank is padded to a shared bucket size and runs as
-lanes of ONE compiled program per bucket, using the rank-masked CorrNMF
-step (ops/corrnmf.py make_masked_corrnmf_step): padded lanes' exposures are
-exact zeros, so each lane computes its own rank-k EM cycles (equivalence
-pinned by tests/test_rank_padding.py).
+The model-selection axes for CorrNMF are n_signatures AND dim_embeddings
+(the reference defaults dim_embeddings to n_signatures precisely because
+users tune it, /root/reference/src/salamander/models/corrnmf.py:60-63).
+Driven through the generic rank_scan() each grid point costs one XLA
+compilation - minutes per point on a remote-compile TPU platform. Here
+every (k, m) is padded to a shared (Kp, mp) bucket and runs as lanes of ONE
+compiled program per bucket, using the rank- and dim-masked CorrNMF step
+(ops/corrnmf.py make_masked_corrnmf_step):
 
-dim_embeddings is fixed across the scan (it is part of the compiled shape);
-scanning dim_embeddings too multiplies the bucket count accordingly.
+  - K-padding: padded signatures' scalings sit at NEG_PAD_SCALING, making
+    their exposures/aux/rates exact zeros;
+  - m-padding: zero-initialized embedding dimensions have identically zero
+    gradient and a block-diagonal Hessian row, so they stay exactly zero
+    (pad_rank_corrnmf docstring has the argument).
 
-Measured (PCAWG SBS, k=2..7 x 4 restarts, 200 cycles, TPU v5e): warm-
-process wall 6.6s padded vs 25.0s unpadded (3.8x - two big batched
-programs instead of six small ones), with identical per-rank losses.
-Fresh-process cold walls on this remote-compile platform are dominated
-by the first compile's 40-75s tunnel warmup (high variance), so the
-compile-count saving (2 programs vs one per rank) pays off in proportion
-to how many ranks the scan covers - the same mechanism measured at
-2.4-2.7x cold for the 19-rank KLNMF scan (BENCHMARKS.md).
+Equivalence to the unpadded programs is pinned by tests/test_rank_padding.py
+(trajectory-level ~1e-9/cycle: XLA picks different fma/reduction kernels per
+contraction width, and the branchy Newton amplifies ulps - the same caveat
+as the K-only padding, see docs/ROADMAP.md item 0).
+
+Measured (PCAWG SBS, k=2..7 x 4 restarts, 200 cycles, TPU v5e): warm-process
+wall 6.6s padded vs 25.0s unpadded (3.8x) at fixed m; a k x m grid
+multiplies the unpadded compile count by |m-range| while the padded scan
+keeps one program per (Kp, mp) bucket.
+
+Each scan point comes back as a CorrScanResult carrying a FITTED model
+(winner lanes absorbed into the model class, full analysis/plotting surface
+available) plus the per-restart loss table and objective traces.
 """
 
 from __future__ import annotations
@@ -41,7 +50,9 @@ def _cached_masked_run(config: FitConfig, x64: bool):
     scans (and every bucket of one scan) share a single jit cache instead
     of re-tracing per call (the klnmf twin's _cached_masked_runner
     pattern). x64 is part of the key because promote_objective's wrapping
-    depends on it."""
+    depends on it. Mesh runs share the same jitted function: lane sharding
+    comes from the committed input arrays (device_put with a NamedSharding)
+    and propagates through the jit."""
     from ..models.signature_nmf import promote_objective
 
     update_fn, objective_fn = corr_ops.make_masked_corrnmf_step()
@@ -59,7 +70,7 @@ def _cached_masked_run(config: FitConfig, x64: bool):
 
 # the batched aux/ratio intermediates cost ~3 (D, V) + 2 (D, Kp) buffers
 # per lane; cap lanes per program call so big cohorts don't OOM (every
-# call of a bucket still shares the SAME compiled program: per-rank calls
+# call of a bucket still shares the SAME compiled program: per-point calls
 # all carry n_restarts lanes of identical shape)
 _LANE_BUDGET_BYTES = 4 * 1024**3
 
@@ -70,99 +81,174 @@ _PARAM_KEYS = (
 
 
 class CorrScanResult(NamedTuple):
-    """Per-rank outcome of a (padded) multi-start CorrNMF rank scan."""
+    """Per-point outcome of a (padded) multi-start CorrNMF scan."""
 
     losses: Any        # (n_restarts,) final ELBO per restart (maximize)
     n_iterations: Any  # (n_restarts,)
     best_index: int
     best_params: dict  # host pytree of the winning restart, padding stripped
+    model: Any = None  # fitted model holding the winning restart
+    history: Any = None   # (n_restarts, max_evals) objective traces
+    n_evals: Any = None   # (n_restarts,)
 
     @property
     def best_loss(self) -> float:
         return float(self.losses[self.best_index])
 
 
+def _roundup(value: int, bucket: int) -> int:
+    return ((value + bucket - 1) // bucket) * bucket
+
+
 def rank_scan_corrnmf(
     X,
     n_signatures_range,
-    dim_embeddings: int,
+    dim_embeddings: int | None = None,
     n_restarts: int = 1,
     base_seed: int = 0,
     config: FitConfig | None = None,
     pad_ranks: bool = True,
     rank_bucket: int = 4,
     init_method: str = "nndsvd",
-) -> dict[int, CorrScanResult]:
-    """Multi-start CorrNMF model-selection scan over n_signatures.
+    dim_embeddings_range=None,
+    dim_bucket: int = 2,
+    mesh=None,
+    model_factory=None,
+    build_models: bool = True,
+):
+    """Multi-start CorrNMF model-selection scan over n_signatures (and
+    optionally dim_embeddings).
 
     X: (n_samples, n_features) counts (model orientation, samples as rows).
-    With pad_ranks=True, ranks round up to multiples of `rank_bucket` and
-    all ranks of a bucket share ONE compiled program with per-lane masks;
-    pad_ranks=False compiles one program per distinct rank (same code path
-    with an all-true mask). Restart r of rank-offset o is seeded
-    base_seed + 1000*o + r, matching the generic rank_scan/fit_best_of
-    convention. Returns {k: CorrScanResult}.
+
+    Scan axes: every k in `n_signatures_range` is fitted at dim_embeddings
+    `dim_embeddings` (returns {k: CorrScanResult}); passing
+    `dim_embeddings_range` instead scans the full (k, m) grid and returns
+    {(k, m): CorrScanResult}. With pad_ranks=True, ranks round up to
+    multiples of `rank_bucket` (and grid dims to multiples of `dim_bucket`)
+    and all points of a (Kp, mp) bucket share ONE compiled program with
+    per-lane masks; pad_ranks=False compiles one program per distinct point
+    (same code path with all-true masks). Fixed-m scans never pad m, so
+    their results are unchanged from the m-unaware driver.
+
+    Restart r of grid-offset o is seeded base_seed + 1000*o + r (offsets
+    enumerate the k range, then the grid in m-major order), matching the
+    generic rank_scan/fit_best_of convention.
+
+    model_factory(k, m) may override the fitted class/hyperparameters
+    (default: CorrNMFDet(n_signatures=k, dim_embeddings=m,
+    init_method=init_method)); it drives BOTH the per-lane initialization
+    and the winner models. With build_models=True (default) each result
+    carries a fitted model exposing the full analysis surface (plot_*,
+    transform, checkpoints); build_models=False skips the per-point host
+    re-initialization and leaves result.model as None.
+
+    mesh: a (restarts, samples) Mesh from parallel.make_mesh shards the
+    LANE axis of every program call over its 'restarts' axis (each call's
+    lane count - n_restarts per grid point in a chunk - must divide
+    evenly). The only cross-device communication is the final argmax.
     """
     from ..containers import AnnData
     from ..models import CorrNMFDet
 
     config = config or FitConfig()
     ranks = [int(k) for k in n_signatures_range]
+    grid_mode = dim_embeddings_range is not None
+    if grid_mode:
+        dims = [int(m) for m in dim_embeddings_range]
+    else:
+        if dim_embeddings is None:
+            raise ValueError(
+                "Pass dim_embeddings (fixed-m scan) or "
+                "dim_embeddings_range (grid scan)."
+            )
+        dims = [int(dim_embeddings)]
+    if model_factory is None:
+        def model_factory(k, m):
+            return CorrNMFDet(
+                n_signatures=k, dim_embeddings=m, init_method=init_method,
+            )
     X = np.asarray(X, dtype=float)
     # one container for the whole scan (every lane shares the same counts;
     # _setup_adata's EPSILON clip is idempotent)
     adata = AnnData(X.copy())
 
-    # host-pinned per-lane init: _device_state under the CPU backend so
-    # nothing round-trips the accelerator tunnel (see parallel/multistart.py)
-    def init_lane(k, seed):
-        model = CorrNMFDet(
-            n_signatures=k, dim_embeddings=dim_embeddings,
-            init_method=init_method,
-        )
-        model._setup_adata(adata)
-        np.random.seed(seed)
-        model._initialize(init_kwargs={"seed": seed})
-        model._setup_fitting_parameters()
-        params, lane_data = model._device_state()
-        return jax.tree.map(np.asarray, params), lane_data
+    # grid points in (m-major, k-minor) order; offset drives seeding
+    points = [(k, m) for m in dims for k in ranks]
 
-    # group ranks into shared-padded-K buckets
-    buckets: dict[int, list[tuple[int, int]]] = {}
-    for offset, k in enumerate(ranks):
-        padded = (
-            ((k + rank_bucket - 1) // rank_bucket) * rank_bucket
-            if pad_ranks else k
+    # group points into shared-(Kp, mp) buckets
+    buckets: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for offset, (k, m) in enumerate(points):
+        padded_k = _roundup(k, rank_bucket) if pad_ranks else k
+        padded_m = (
+            _roundup(m, dim_bucket) if (pad_ranks and grid_mode) else m
         )
-        buckets.setdefault(padded, []).append((offset, k))
+        buckets.setdefault((padded_k, padded_m), []).append((offset, k, m))
 
     run, losses_fn = _cached_masked_run(
         config, bool(jax.config.jax_enable_x64)
     )
     rng_state = np.random.get_state()
-    results: dict[int, CorrScanResult] = {}
+    results: dict = {}
     cpu = jax.devices("cpu")[0]
+    lane_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def run_group(padded_k, group):
-        """One program call for `group` (list of (offset, k)): returns the
-        fetched (result, final_losses)."""
+        from .mesh import RESTART_AXIS
+
+        lane_sharding = NamedSharding(mesh, P(RESTART_AXIS))
+
+    def run_group(padded_k, padded_m, group):
+        """One program call for `group` (list of (offset, k, m)): returns
+        the fetched (result, final_losses)."""
         lanes = []
         data = None
         with jax.default_device(cpu):
-            for offset, k in group:
+            for offset, k, m in group:
                 for restart in range(n_restarts):
                     seed = base_seed + 1000 * offset + restart
-                    params, data = init_lane(k, seed)
-                    padded = corr_ops.pad_rank_corrnmf(params, padded_k)
+                    model = model_factory(k, m)
+                    model._setup_adata(adata)
+                    np.random.seed(seed)
+                    model._initialize(init_kwargs={"seed": seed})
+                    model._setup_fitting_parameters()
+                    params, data = model._device_state()
+                    padded = corr_ops.pad_rank_corrnmf(
+                        params, padded_k, padded_m
+                    )
                     lanes.append(jax.tree.map(np.asarray, padded))
         params0 = jax.tree.map(lambda *leaves: np.stack(leaves), *lanes)
+        if lane_sharding is not None:
+            params0 = jax.tree.map(
+                lambda leaf: jax.device_put(leaf, lane_sharding), params0
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = jax.tree.map(
+                lambda leaf: jax.device_put(
+                    leaf, NamedSharding(mesh, P())
+                ),
+                data,
+            )
         result = run(params0, data)
         final_losses = losses_fn(result.params, data)
         # one batched device->host transfer for everything
         return fetch_pytree((result, final_losses))
 
+    def build_model(k, m, best_params, seed):
+        model = model_factory(k, m)
+        model._setup_adata(AnnData(X.copy()))
+        np.random.seed(seed)
+        with jax.default_device(cpu):
+            model._initialize(init_kwargs={"seed": seed})
+            model._setup_fitting_parameters()
+        model._absorb_params(best_params)
+        model._is_fitted = True
+        return model
+
     def absorb(result, final_losses, group):
-        for i, (offset, k) in enumerate(group):
+        for i, (offset, k, m) in enumerate(group):
             sl = slice(i * n_restarts, (i + 1) * n_restarts)
             losses = np.asarray(final_losses[sl])
             best = int(np.argmax(losses))  # ELBO: maximize
@@ -170,22 +256,41 @@ def rank_scan_corrnmf(
             best_params = {}
             for key in _PARAM_KEYS:
                 value = np.asarray(result.params[key][lane])
-                if key in ("signatures", "signature_scalings",
-                           "signature_embeddings"):
+                if key in ("signatures", "signature_scalings"):
                     value = value[:k]
+                elif key == "signature_embeddings":
+                    value = value[:k, :m]
+                elif key == "sample_embeddings":
+                    value = value[:, :m]
                 elif key == "exposures":
                     value = value[:, :k]
                 best_params[key] = value
-            results[k] = CorrScanResult(
+            model = None
+            if build_models:
+                model = build_model(
+                    k, m, best_params, base_seed + 1000 * offset + best
+                )
+                n_evals_best = int(np.asarray(result.n_evals)[lane])
+                model.history["objective_function"] = list(
+                    np.asarray(result.history[lane])[:n_evals_best]
+                )
+                model.history["n_iterations"] = int(
+                    np.asarray(result.n_iterations)[lane]
+                )
+                model.history["step_freq"] = config.conv_test_freq
+            results[(k, m) if grid_mode else k] = CorrScanResult(
                 losses=losses,
                 n_iterations=np.asarray(result.n_iterations[sl]),
                 best_index=best,
                 best_params=best_params,
+                model=model,
+                history=np.asarray(result.history[sl]),
+                n_evals=np.asarray(result.n_evals[sl]),
             )
 
     n_samples, n_features = X.shape
     try:
-        for padded_k, group in sorted(buckets.items()):
+        for (padded_k, padded_m), group in sorted(buckets.items()):
             per_lane = (
                 3 * n_samples * n_features + 2 * n_samples * padded_k
             ) * 8
@@ -193,12 +298,12 @@ def rank_scan_corrnmf(
             if len(group) * n_restarts <= lanes_cap:
                 chunks = [group]
             else:
-                # one rank per call: every call still has n_restarts lanes
+                # one point per call: every call still has n_restarts lanes
                 # of identical shape, so the bucket keeps ONE compiled
                 # program (the klnmf twin's HBM guard)
                 chunks = [[entry] for entry in group]
             for chunk in chunks:
-                result, final_losses = run_group(padded_k, chunk)
+                result, final_losses = run_group(padded_k, padded_m, chunk)
                 absorb(result, final_losses, chunk)
     finally:
         np.random.set_state(rng_state)

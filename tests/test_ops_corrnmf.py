@@ -295,3 +295,89 @@ def test_solve_spd_small_matches_linalg():
         result = np.asarray(_solve_spd_small(jnp.asarray(hess),
                                              jnp.asarray(grad)))
         np.testing.assert_allclose(result, expected, rtol=1e-10)
+
+
+def test_unrolled_cholesky_solve_matches_numpy():
+    """The dim>3 Newton systems use a fully unrolled scalar Cholesky (no
+    linalg custom call: batched tiny factorizations serialize on TPU and
+    the axon backend's cho_factor produced NaNs inside the m-padded scan
+    program on real hardware). Pin it against numpy across dims and under
+    vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    from salamander_tpu.ops.corrnmf import (
+        _cholesky_solve_unrolled,
+        _solve_spd_small,
+    )
+
+    rng = np.random.default_rng(0)
+    for dim in (4, 5, 8):
+        A = rng.normal(size=(dim, dim))
+        spd = A @ A.T + 3.0 * np.eye(dim)
+        b = rng.normal(size=dim)
+        x = np.asarray(
+            _cholesky_solve_unrolled(jnp.asarray(spd), jnp.asarray(b))
+        )
+        np.testing.assert_allclose(x, np.linalg.solve(spd, b), rtol=1e-9)
+
+    # batched through _solve_spd_small (the update_embeddings path)
+    dim = 4
+    mats = np.stack([
+        (m := rng.normal(size=(dim, dim))) @ m.T + (2 + i) * np.eye(dim)
+        for i in range(6)
+    ])
+    vecs = rng.normal(size=(6, dim))
+    got = np.asarray(
+        jax.vmap(_solve_spd_small)(jnp.asarray(mats), jnp.asarray(vecs))
+    )
+    expected = np.stack(
+        [np.linalg.solve(mats[i], vecs[i]) for i in range(6)]
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+    # the m-padded block-diagonal shape: padded rows/cols = I/var
+    var = 0.7
+    hess = np.zeros((4, 4))
+    hess[:2, :2] = (m := rng.normal(size=(2, 2))) @ m.T + np.eye(2) / var
+    hess[2, 2] = hess[3, 3] = 1.0 / var
+    grad = np.array([0.3, -0.2, 0.0, 0.0])
+    x = np.asarray(
+        _cholesky_solve_unrolled(jnp.asarray(hess), jnp.asarray(grad))
+    )
+    np.testing.assert_allclose(x[:2], np.linalg.solve(hess[:2, :2], grad[:2]),
+                               rtol=1e-9)
+    np.testing.assert_array_equal(x[2:], 0.0)
+
+
+def test_unrolled_cholesky_indefinite_stays_finite():
+    """Regression for the 2026-08-17 real-TPU NaN: an embedding Hessian
+    that is SPD in exact arithmetic reached the solve INDEFINITE after
+    bf16-precision matmuls (rank-k + I/var structure, condition ~1e5, so
+    ~4e-3-relative roundoff overwhelmed the smallest eigenvalue). The
+    Newton products now run at Precision.HIGHEST, and the unrolled
+    Cholesky floors each pivot at EPSILON * hess[i, i] as a backstop - an
+    indefinite input must yield a FINITE (Armijo-vetted) direction, never
+    NaN."""
+    import jax.numpy as jnp
+
+    from salamander_tpu.ops.corrnmf import _cholesky_solve_unrolled
+
+    # the structure observed on hardware: rank-2 outer-product sum with
+    # huge rates + I, whose smallest ACTIVE eigenvalue (exactly 1 from the
+    # prior term) is deterministically pushed negative at the magnitude
+    # bf16 roundoff reached (~4e-3 x the 1e4-scale rates ~ 40), plus the
+    # observed bf16-scale asymmetry
+    rng = np.random.default_rng(1)
+    o = rng.normal(size=(2, 4))
+    o[:, 3] = 0.0  # padded embedding dim
+    hess = 3e4 * o[0, :, None] * o[0] + 2e4 * o[1, :, None] * o[1] + np.eye(4)
+    w, V = np.linalg.eigh(hess[:3, :3])
+    hess[:3, :3] -= (w[0] + 40.0) * np.outer(V[:, 0], V[:, 0])
+    hess[0, 1] += 8.0  # |H - H^T| at bf16-relative scale, as on hardware
+    assert np.linalg.eigvalsh(0.5 * (hess + hess.T)).min() < 0  # indefinite
+    grad = rng.normal(size=4) * 1e4
+    x = np.asarray(
+        _cholesky_solve_unrolled(jnp.asarray(hess), jnp.asarray(grad))
+    )
+    assert np.all(np.isfinite(x))
