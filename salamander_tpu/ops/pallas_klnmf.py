@@ -304,6 +304,138 @@ def fused_mu_block_batched_weighted(
     )(steps, X, weights_kl, weights_lhalf, W, H)
 
 
+def _mu_block_kernel_batched_masked(steps_ref, x_ref, mask_ref, w_ref, h_ref,
+                                    w_out, h_out):
+    """Rank-masked twin of _mu_block_kernel_batched for K-padded rank
+    scans: per-restart (C, K) masks mark the active leading signatures.
+    Masked-off lanes are inert exactly as in ops.klnmf
+    make_masked_step_functions - H rows held at exact zero, W columns
+    passed through, normalization denominators pinned at 1."""
+    X = x_ref[:]
+    # Mask stays float (exact 0/1) end to end: Mosaic cannot insert a
+    # minor dim on i1 vectors ("only supported for 32-bit types" — hit on
+    # real v5e, invisible in interpret mode), so masking is arithmetic
+    # blends instead of jnp.where on a broadcast bool. Exact because the
+    # mask values are exactly 0.0/1.0.
+    mk = mask_ref[:]                  # (C, K) float 0/1
+    mk_w = mk[:, None, :]             # (C, 1, K) — broadcast over V
+    inv_w = 1.0 - mk_w
+
+    def one_update(_, carry):
+        W, H = carry  # (C, V, K), (C, K, D)
+        WH = jax.lax.dot_general(
+            W, H, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        aux = X[None] / WH
+        numer_w = jax.lax.dot_general(
+            aux, H, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        W_new = W * numer_w
+        sums = jnp.sum(W_new, axis=1, keepdims=True)       # (C, 1, K)
+        W_new = W_new / (sums * mk_w + inv_w)
+        W_new = jnp.maximum(W_new, EPSILON)
+        W_new = W_new * mk_w + W * inv_w
+        # H uses the OLD W and the shared aux (reference update_WH order)
+        numer_h = jax.lax.dot_general(
+            W, aux, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        H_new = jnp.maximum(H * numer_h, EPSILON)
+        H_new = H_new * mk[:, :, None]
+        return W_new, H_new
+
+    W, H = jax.lax.fori_loop(0, steps_ref[0], one_update, (w_ref[:], h_ref[:]))
+    w_out[:] = W
+    h_out[:] = H
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def fused_mu_block_batched_masked(X, W, H, rank_mask, n_steps,
+                                  chunk: int | None = None,
+                                  interpret: bool = False):
+    """Advance all lanes of a K-padded rank scan by n_steps masked updates
+    in one fused TPU kernel. X: (V, D); W: (R, V, Kp); H: (R, Kp, D);
+    rank_mask: (R, Kp) bool."""
+    R, V, K = W.shape
+    D = X.shape[1]
+    if chunk is None:
+        chunk = default_chunk(R, V, D)
+    if R % chunk:
+        raise ValueError(f"n_restarts={R} not divisible by chunk={chunk}")
+    steps = jnp.asarray(n_steps, jnp.int32).reshape(1)
+    mask_f = rank_mask.astype(X.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R // chunk,),
+        in_specs=[
+            pl.BlockSpec((V, D), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, K), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, V, K), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, K, D), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, V, K), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, K, D), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        _mu_block_kernel_batched_masked,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, V, K), W.dtype),
+            jax.ShapeDtypeStruct((R, K, D), H.dtype),
+        ),
+        interpret=interpret,
+    )(steps, X, mask_f, W, H)
+
+
+def make_block_update_auto_masked(X, n_restarts: int,
+                                  interpret: bool = False):
+    """Engine hook for the K-padded rank scan's lockstep loop: picks the
+    VMEM-resident masked block kernel or the masked D-tiled iteration by
+    problem size (the make_block_update_auto of the masked world).
+    block_update(params, steps) operates on {"W", "H", "mask"} pytrees."""
+    V, D = X.shape
+    if whole_problem_fits_vmem(V, D):
+        chunk = default_chunk(n_restarts, V, D)
+
+        def block_update(params, steps):
+            W, H = fused_mu_block_batched_masked(
+                X, params["W"], params["H"], params["mask"], steps,
+                chunk=chunk, interpret=interpret,
+            )
+            return {"W": W, "H": H, "mask": params["mask"]}
+
+        return block_update
+
+    d_tile = pick_d_tile(D)
+    per_chunk = 3.0 * V * d_tile * 4
+    chunk = max(1, int(_VMEM_BUDGET_BYTES / per_chunk))
+    while chunk > 1 and n_restarts % chunk:
+        chunk -= 1
+
+    def block_update(params, steps):
+        def one(_, carry):
+            W, H = carry
+            return fused_mu_iteration_dtiled_masked(
+                X, W, H, params["mask"], chunk=chunk, d_tile=d_tile,
+                interpret=interpret,
+            )
+
+        W, H = jax.lax.fori_loop(0, steps, one, (params["W"], params["H"]))
+        return {"W": W, "H": H, "mask": params["mask"]}
+
+    return block_update
+
+
 # ---------------------------------------------------------------------------
 # D-tiled variant: sample counts too large for a whole problem in VMEM.
 # ---------------------------------------------------------------------------
@@ -351,20 +483,10 @@ def _mu_iteration_dtile_kernel(x_ref, mask_ref, w_ref, h_ref,
     h_out[:] = jnp.where(valid[None], jnp.maximum(H * numer_h, EPSILON), 1.0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("chunk", "d_tile", "interpret")
-)
-def fused_mu_iteration_dtiled(X, W, H, chunk: int = 1, d_tile: int = 1024,
-                              interpret: bool = False):
-    """One joint multiplicative update with the sample axis streamed through
-    VMEM in d_tile-column tiles (for problems where a whole (V, D) working
-    set cannot live in VMEM, e.g. 96 x 10k rank scans).
-
-    X: (V, D); W: (R, V, K); H: (R, K, D). D is zero-mask-padded up to a
-    multiple of d_tile internally (use a multiple of 128 on hardware). The W
-    column-normalization + clip happens outside the kernel (it needs the
-    completed full-D numerator; XLA fuses it into the surrounding loop).
-    """
+def _dtiled_numer(X, W, H, chunk: int, d_tile: int, interpret: bool):
+    """Run the D-tiled kernel: returns (full-D W numerator, updated H with
+    the sample padding stripped). The W normalization happens in the caller
+    (it needs the completed reduction; XLA fuses it into the loop)."""
     R, V, K = W.shape
     D = X.shape[1]
     if R % chunk:
@@ -404,9 +526,53 @@ def fused_mu_iteration_dtiled(X, W, H, chunk: int = 1, d_tile: int = 1024,
     )(X, mask, W, H)
     if pad:
         H_new = H_new[:, :, :D]
+    return numer_w, H_new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "d_tile", "interpret")
+)
+def fused_mu_iteration_dtiled(X, W, H, chunk: int = 1, d_tile: int = 1024,
+                              interpret: bool = False):
+    """One joint multiplicative update with the sample axis streamed through
+    VMEM in d_tile-column tiles (for problems where a whole (V, D) working
+    set cannot live in VMEM, e.g. 96 x 10k rank scans).
+
+    X: (V, D); W: (R, V, K); H: (R, K, D). D is zero-mask-padded up to a
+    multiple of d_tile internally (use a multiple of 128 on hardware). The W
+    column-normalization + clip happens outside the kernel (it needs the
+    completed full-D numerator; XLA fuses it into the surrounding loop).
+    """
+    numer_w, H_new = _dtiled_numer(X, W, H, chunk, d_tile, interpret)
     W_new = W * numer_w
     W_new = W_new / jnp.sum(W_new, axis=1, keepdims=True)
     W_new = jnp.maximum(W_new, EPSILON)
+    return W_new, H_new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "d_tile", "interpret")
+)
+def fused_mu_iteration_dtiled_masked(X, W, H, rank_mask,
+                                     chunk: int = 1, d_tile: int = 1024,
+                                     interpret: bool = False):
+    """Rank-masked D-tiled iteration for K-padded rank scans at large D.
+
+    rank_mask: (R, K) bool, True for active signatures. Reuses the SAME
+    Pallas kernel as fused_mu_iteration_dtiled - masking needs only the
+    out-of-kernel postprocessing (padded K rows of the input H are exact
+    zeros, so their W-numerator columns come out exactly zero; the masked
+    normalization and the H re-zeroing match ops.klnmf
+    make_masked_step_functions semantics).
+    """
+    numer_w, H_new = _dtiled_numer(X, W, H, chunk, d_tile, interpret)
+    active = rank_mask[:, None, :]                  # (R, 1, K)
+    W_new = W * numer_w
+    sums = jnp.sum(W_new, axis=1, keepdims=True)
+    W_new = W_new / jnp.where(active, sums, 1.0)
+    W_new = jnp.maximum(W_new, EPSILON)
+    W_new = jnp.where(active, W_new, W)
+    H_new = jnp.where(rank_mask[:, :, None], H_new, 0.0)
     return W_new, H_new
 
 

@@ -26,4 +26,5 @@ from .restarts import (  # noqa: F401
     fit_klnmf_restarts,
     rank_scan,
     rank_scan_klnmf,
+    rank_scan_mvnmf,
 )

@@ -235,12 +235,42 @@ def rank_scan(
     return results
 
 
-def build_klnmf_masked_runner(config: FitConfig, mesh=None):
+def build_klnmf_masked_runner(config: FitConfig, mesh=None,
+                              use_pallas: bool = False,
+                              pallas_interpret: bool = False):
     """Compile (once) a rank-MASKED multi-start KLNMF fit: lanes of different
     rank share one K-padded program. params0 = {"W": (R,V,Kp), "H": (R,Kp,D),
     "mask": (R,Kp) bool}; returns (params, losses, n_iterations) like
-    build_klnmf_restart_runner."""
+    build_klnmf_restart_runner.
+
+    use_pallas fuses each convergence block into the rank-masked TPU kernel
+    (VMEM-resident or D-tiled by problem size,
+    ops/pallas_klnmf.py make_block_update_auto_masked) - same numerics as
+    the XLA path within float32 accumulation order, ~10x faster cold
+    compiles (the rank-scan wall-clock on the remote-compile platform).
+    Single-device only (pallas_interpret runs it on CPU for tests)."""
     update_fn, objective_fn = ops.make_masked_step_functions()
+    if use_pallas and mesh is not None:
+        raise ValueError("The fused Pallas path is single-device; drop 'mesh'.")
+    if use_pallas:
+        from ..ops.pallas_klnmf import make_block_update_auto_masked
+
+        def run_pallas(params0, data):
+            block_update = make_block_update_auto_masked(
+                data["X"], params0["W"].shape[0], interpret=pallas_interpret,
+            )
+            batched_objective = jax.vmap(objective_fn, in_axes=(0, None))
+            result = fit_loop_lockstep(
+                lambda p: batched_objective(p, data),
+                params0,
+                config,
+                block_update,
+            )
+            final_loss = batched_objective(result.params, data)
+            return result.params, final_loss, result.n_iterations
+
+        return jax.jit(run_pallas)
+
     run = _lockstep_run(update_fn, objective_fn, config)
     if mesh is None:
         return jax.jit(run)
@@ -274,10 +304,15 @@ def _padded_random_init(key, X, n_signatures: int, n_restarts: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _cached_masked_runner(config: FitConfig, mesh):
-    """One jitted masked runner per (config, mesh): repeated rank scans and
-    all buckets of one scan share a single jit cache (per-shape compiles)."""
-    return build_klnmf_masked_runner(config, mesh=mesh)
+def _cached_masked_runner(config: FitConfig, mesh, use_pallas: bool = False,
+                          pallas_interpret: bool = False):
+    """One jitted masked runner per (config, mesh, pallas flags): repeated
+    rank scans and all buckets of one scan share a single jit cache
+    (per-shape compiles)."""
+    return build_klnmf_masked_runner(
+        config, mesh=mesh, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
+    )
 
 
 def rank_scan_klnmf(
@@ -290,6 +325,8 @@ def rank_scan_klnmf(
     dtype=jnp.float32,
     pad_ranks: bool = True,
     rank_bucket: int = 8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> dict[int, RestartResult]:
     """Multi-start KLNMF over a range of ranks (the model-selection scan the
     reference tutorial runs as a nested Python loop, tutorial.ipynb cell 70).
@@ -300,7 +337,13 @@ def rank_scan_klnmf(
     ~3 XLA compilations instead of 19, and small ranks stop wasting the
     MXU's K lanes. Per-rank results are identical to the unpadded scan
     (same seeds, masked lanes advance and converge independently).
-    pad_ranks=False keeps one compiled program per rank."""
+    pad_ranks=False keeps one compiled program per rank.
+
+    use_pallas routes the MU blocks through the rank-masked fused TPU
+    kernels (single device; with pad_ranks=False it uses the per-rank fused
+    kernel via fit_klnmf_restarts). Numerics match the XLA path within f32
+    accumulation order; the win is ~10x faster cold compiles - exactly the
+    cold rank-scan wall-clock (BENCHMARKS.md)."""
     config = config or FitConfig()
     ranks = [int(k) for k in n_signatures_range]
     results: dict[int, RestartResult] = {}
@@ -311,6 +354,7 @@ def rank_scan_klnmf(
                 X, k, n_restarts,
                 seed=seed + 1000 * offset,
                 config=config, mesh=mesh, dtype=dtype,
+                use_pallas=use_pallas,
             )
         return results
 
@@ -336,9 +380,14 @@ def rank_scan_klnmf(
     lanes_cap = max(n_restarts, int(lane_budget_bytes / per_lane))
 
     try:
-        runner = _cached_masked_runner(config, mesh)
+        runner = _cached_masked_runner(
+            config, mesh, use_pallas, pallas_interpret
+        )
     except TypeError:  # unhashable mesh: fall back to a fresh runner
-        runner = build_klnmf_masked_runner(config, mesh=mesh)
+        runner = build_klnmf_masked_runner(
+            config, mesh=mesh, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
+        )
     cpu_device = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
     X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
     for padded, members in sorted(buckets.items()):
@@ -371,6 +420,157 @@ def rank_scan_klnmf(
                 params0 = {
                     "W": jax.device_put(params0["W"], shardings["W"]),
                     "H": jax.device_put(params0["H"], shardings["H"]),
+                    "mask": jax.device_put(params0["mask"], shardings["mask"]),
+                }
+
+            params, losses, n_iterations = runner(params0, data)
+            losses, n_iterations, W, H = fetch_pytree(
+                (losses, n_iterations, params["W"], params["H"])
+            )
+            for i, (offset, k) in enumerate(group):
+                lanes = slice(i * n_restarts, (i + 1) * n_restarts)
+                losses_k = losses[lanes]
+                results[k] = RestartResult(
+                    W=W[lanes][:, :, :k],
+                    H=H[lanes][:, :k, :],
+                    losses=losses_k,
+                    n_iterations=n_iterations[lanes],
+                    best_index=int(np.argmin(losses_k)),
+                )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# MvNMF: K-padded multi-start rank scans (masked-rank twin of the KLNMF
+# machinery above; reference model semantics
+# /root/reference/src/salamander/models/mvnmf.py:95-218)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_mvnmf_masked_runner(config: FitConfig, lam: float, delta: float,
+                                mesh):
+    """One jitted masked MvNMF runner per (config, lam, delta, mesh):
+    repeated scans and all buckets of one scan share a single jit cache."""
+    from ..ops import mvnmf as mv_ops
+
+    update_fn, objective_fn = mv_ops.make_masked_step_functions(lam, delta)
+    run = _lockstep_run(update_fn, objective_fn, config)
+    if mesh is None:
+        return jax.jit(run)
+    shardings = restart_sharding(mesh)
+    in_shardings = (
+        {"W": shardings["W"], "H": shardings["H"],
+         "gamma": shardings["per_restart"], "mask": shardings["mask"]},
+        {"X": shardings["X"]},
+    )
+    out_shardings = (
+        {"W": shardings["W"], "H": shardings["H"],
+         "gamma": shardings["per_restart"], "mask": shardings["mask"]},
+        shardings["per_restart"],
+        shardings["per_restart"],
+    )
+    return jax.jit(run, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+def rank_scan_mvnmf(
+    X,
+    n_signatures_range,
+    n_restarts: int,
+    seed: int = 0,
+    lam: float = 1.0,
+    delta: float = 1.0,
+    config: FitConfig | None = None,
+    mesh=None,
+    dtype=jnp.float32,
+    pad_ranks: bool = True,
+    rank_bucket: int = 4,
+) -> dict[int, RestartResult]:
+    """Multi-start minimum-volume NMF over a range of ranks.
+
+    The MvNMF twin of rank_scan_klnmf: with pad_ranks=True (default), ranks
+    round up to multiples of `rank_bucket` and every rank of a bucket runs
+    as lanes of ONE K-padded compiled program (per-lane rank masks; padded
+    H rows exact zeros, the volume term and the (Kp, Kp) Gram inverse see
+    identity padding - ops/mvnmf.py make_masked_step_functions). The
+    line-search gamma persists per lane, exactly as the model's _gamma.
+    pad_ranks=False runs the same masked program shapes one-rank-per-
+    program (all-true masks). Seeding matches rank_scan_klnmf
+    (seed + 1000 * rank_offset). Losses MINIMIZE (KL + lam * volume).
+    """
+    config = config or FitConfig()
+    ranks = [int(k) for k in n_signatures_range]
+    results: dict[int, RestartResult] = {}
+
+    X = jnp.asarray(X, dtype)
+    data = {"X": X}
+    if mesh is not None:
+        shardings = restart_sharding(mesh)
+        data["X"] = jax.device_put(data["X"], shardings["X"])
+
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for offset, k in enumerate(ranks):
+        padded = (
+            ((k + rank_bucket - 1) // rank_bucket) * rank_bucket
+            if pad_ranks else k
+        )
+        buckets.setdefault(padded, []).append((offset, k))
+
+    # HBM guard as in rank_scan_klnmf: the line search re-evaluates the
+    # KL ratio per trial, ~4 (V, D) buffers per lane live simultaneously
+    lane_budget_bytes = 4 * 1024**3
+    per_lane = 4 * X.shape[0] * X.shape[1] * 4
+    lanes_cap = max(n_restarts, int(lane_budget_bytes / per_lane))
+
+    try:
+        runner = _cached_mvnmf_masked_runner(
+            config, float(lam), float(delta), mesh
+        )
+    except TypeError:  # unhashable mesh
+        from ..ops import mvnmf as mv_ops
+
+        update_fn, objective_fn = mv_ops.make_masked_step_functions(
+            float(lam), float(delta)
+        )
+        runner = jax.jit(_lockstep_run(update_fn, objective_fn, config))
+    cpu_device = (
+        jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
+    )
+    X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
+    for padded, members in sorted(buckets.items()):
+        groups = (
+            [members] if len(members) * n_restarts <= lanes_cap
+            else [[member] for member in members]
+        )
+        for group in groups:
+            W_parts, H_parts, mask_parts = [], [], []
+            for offset, k in group:
+                key = jax.random.PRNGKey(seed + 1000 * offset)
+                if cpu_device is not None:
+                    key = jax.device_put(key, cpu_device)
+                W0, H0, mask = _padded_random_init(
+                    key, X_host, k, n_restarts, padded
+                )
+                W_parts.append(W0)
+                H_parts.append(H0)
+                mask_parts.append(mask)
+            n_lanes = len(group) * n_restarts
+            params0 = {
+                "W": jnp.concatenate(W_parts),
+                "H": jnp.concatenate(H_parts),
+                "gamma": jnp.ones((n_lanes,), dtype),
+                "mask": jnp.concatenate(mask_parts),
+            }
+            if cpu_device is not None and mesh is None:
+                params0 = jax.device_put(params0, jax.devices()[0])
+            if mesh is not None:
+                params0 = {
+                    "W": jax.device_put(params0["W"], shardings["W"]),
+                    "H": jax.device_put(params0["H"], shardings["H"]),
+                    "gamma": jax.device_put(
+                        params0["gamma"], shardings["per_restart"]
+                    ),
                     "mask": jax.device_put(params0["mask"], shardings["mask"]),
                 }
 

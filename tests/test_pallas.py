@@ -244,3 +244,119 @@ def test_lockstep_loop_matches_vmap(problem):
         np.where(np.isnan(lh), -1.0, lh), np.where(np.isnan(vh), -1.0, vh),
         rtol=1e-6,
     )
+
+
+def test_masked_block_kernel_matches_masked_xla():
+    """The rank-masked fused block kernel must reproduce the masked XLA
+    step functions (ops.klnmf.make_masked_step_functions) on K-padded
+    lanes: active lanes advance, padded W columns untouched, padded H rows
+    exact zeros."""
+    from salamander_tpu.ops.klnmf import make_masked_step_functions, pad_rank
+    from salamander_tpu.ops.pallas_klnmf import fused_mu_block_batched_masked
+
+    rng = np.random.default_rng(0)
+    V, D, steps = 12, 20, 5
+    ranks = [2, 3, 5]
+    Kp = 6
+    Ws, Hs, masks = [], [], []
+    X = jnp.asarray(
+        np.clip(rng.poisson(30.0, (V, D)).astype(np.float64), 1.0, None)
+    )
+    for k in ranks:
+        W = jnp.asarray(rng.dirichlet(np.ones(V), size=k).T)
+        H = jnp.asarray(rng.uniform(0.5, 2.0, (k, D)) * 40)
+        W_pad, H_pad, mask = pad_rank(W, H, Kp)
+        Ws.append(W_pad)
+        Hs.append(H_pad)
+        masks.append(mask)
+    W = jnp.stack(Ws)
+    H = jnp.stack(Hs)
+    mask = jnp.stack(masks)
+
+    update_fn, _ = make_masked_step_functions()
+    data = {"X": X}
+
+    def xla_lane(params):
+        for _ in range(steps):
+            params = update_fn(params, data)
+        return params
+
+    expected = [
+        xla_lane({"W": W[i], "H": H[i], "mask": mask[i]})
+        for i in range(len(ranks))
+    ]
+    W_pl, H_pl = fused_mu_block_batched_masked(
+        X, W, H, mask, steps, chunk=3, interpret=True
+    )
+    for i, k in enumerate(ranks):
+        np.testing.assert_allclose(
+            np.asarray(W_pl[i]), np.asarray(expected[i]["W"]),
+            rtol=5e-5, err_msg=f"W lane {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(H_pl[i]), np.asarray(expected[i]["H"]),
+            rtol=5e-5, err_msg=f"H lane {i}",
+        )
+        # inert padding is EXACT
+        np.testing.assert_array_equal(np.asarray(H_pl[i])[k:], 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(W_pl[i])[:, k:], np.asarray(W[i])[:, k:]
+        )
+
+
+def test_masked_dtiled_kernel_matches_masked_xla():
+    """The rank-masked D-tiled iteration (same Pallas kernel as the plain
+    D-tiled path, masked postprocessing outside) == masked XLA step."""
+    from salamander_tpu.ops.klnmf import make_masked_step_functions, pad_rank
+    from salamander_tpu.ops.pallas_klnmf import (
+        fused_mu_iteration_dtiled_masked,
+    )
+
+    rng = np.random.default_rng(1)
+    V, D, k, Kp = 10, 37, 3, 5  # D deliberately not a tile multiple
+    X = jnp.asarray(
+        np.clip(rng.poisson(30.0, (V, D)).astype(np.float64), 1.0, None)
+    )
+    W = jnp.asarray(rng.dirichlet(np.ones(V), size=k).T)
+    H = jnp.asarray(rng.uniform(0.5, 2.0, (k, D)) * 40)
+    W_pad, H_pad, mask = pad_rank(W, H, Kp)
+    W_b = jnp.stack([W_pad, W_pad])
+    H_b = jnp.stack([H_pad, H_pad])
+    mask_b = jnp.stack([mask, mask])
+
+    update_fn, _ = make_masked_step_functions()
+    expected = update_fn({"W": W_pad, "H": H_pad, "mask": mask}, {"X": X})
+    W_dt, H_dt = fused_mu_iteration_dtiled_masked(
+        X, W_b, H_b, mask_b, chunk=1, d_tile=16, interpret=True
+    )
+    for lane in range(2):
+        np.testing.assert_allclose(
+            np.asarray(W_dt[lane]), np.asarray(expected["W"]), rtol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(H_dt[lane]), np.asarray(expected["H"]), rtol=5e-5
+        )
+        np.testing.assert_array_equal(np.asarray(H_dt[lane])[k:], 0.0)
+
+
+def test_rank_scan_klnmf_use_pallas_matches_xla():
+    """The padded rank scan through the masked Pallas kernels returns the
+    same per-rank losses/winners as the XLA path."""
+    from salamander_tpu.engine import FitConfig
+    from salamander_tpu.parallel import rank_scan_klnmf
+
+    rng = np.random.default_rng(2)
+    V, D = 12, 24
+    X = np.clip(rng.poisson(30.0, (V, D)).astype(np.float32), 1.0, None)
+    config = FitConfig(min_iterations=20, max_iterations=40,
+                       conv_test_freq=10, tol=0.0)
+    xla = rank_scan_klnmf(X, range(2, 5), n_restarts=2, seed=0,
+                          config=config, rank_bucket=4)
+    pallas = rank_scan_klnmf(X, range(2, 5), n_restarts=2, seed=0,
+                             config=config, rank_bucket=4,
+                             use_pallas=True, pallas_interpret=True)
+    for k in xla:
+        np.testing.assert_allclose(
+            pallas[k].losses, xla[k].losses, rtol=2e-4, err_msg=f"k={k}"
+        )
+        assert pallas[k].best_index == xla[k].best_index

@@ -240,3 +240,277 @@ def test_rank_scan_corrnmf_padded_matches_unpadded():
             bp["signatures"], pp["signatures"], rtol=1e-5, atol=1e-8,
             err_msg=f"k={k} signatures",
         )
+
+
+def _planted_counts(seed=3, V=18, D=30, k=2):
+    rng = np.random.default_rng(seed)
+    S = rng.dirichlet(np.ones(V), size=k)
+    E = rng.gamma(2.0, 40.0, size=(D, k))
+    return np.clip(rng.poisson(E @ S).astype(float), 1.0, None)
+
+
+def test_masked_corrnmf_m_padding_cycles_equal_unpadded():
+    """A rank-k, dim-m lane padded to (Kp, mp) runs the (k, m) EM cycles:
+    zero-padded embedding dimensions have identically zero gradient and a
+    block-diagonal Hessian row, so they stay exactly zero and every
+    contraction equals its m-dimensional value (pad_rank_corrnmf). Same
+    trajectory-level tolerance as K-padding (XLA kernel selection differs
+    per contraction width)."""
+    import jax
+
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.ops import corrnmf
+
+    X = _planted_counts()
+    k, m = 2, 2
+    model = CorrNMFDet(n_signatures=k, dim_embeddings=m)
+    model._setup_adata(AnnData(X.copy()))
+    model._initialize(init_kwargs={"seed": 4})
+    model._setup_fitting_parameters()
+    params, data = model._device_state()
+
+    plain_update, plain_obj = model._build_step()
+    masked_update, masked_obj = corrnmf.make_masked_corrnmf_step()
+    padded = corrnmf.pad_rank_corrnmf(params, 6, dim_padded=4)
+    assert padded["signature_embeddings"].shape == (6, 4)
+    assert padded["sample_embeddings"].shape == (X.shape[0], 4)
+    assert np.asarray(padded["m_mask"]).tolist() == [True, True, False, False]
+
+    p_plain, p_masked = params, padded
+    plain_update = jax.jit(plain_update)
+    masked_update = jax.jit(masked_update)
+    for cycle in range(3):
+        p_plain = plain_update(p_plain, data)
+        p_masked = masked_update(p_masked, data)
+        np.testing.assert_allclose(
+            float(masked_obj(p_masked, data)),
+            float(plain_obj(p_plain, data)),
+            rtol=1e-9, err_msg=f"ELBO cycle {cycle}",
+        )
+        # padded dimensions stay EXACTLY zero
+        np.testing.assert_array_equal(
+            np.asarray(p_masked["signature_embeddings"])[:, m:], 0.0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p_masked["sample_embeddings"])[:, m:], 0.0
+        )
+    np.testing.assert_allclose(
+        np.asarray(p_masked["signature_embeddings"])[:k, :m],
+        np.asarray(p_plain["signature_embeddings"]),
+        rtol=1e-7, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_masked["sample_embeddings"])[:, :m],
+        np.asarray(p_plain["sample_embeddings"]),
+        rtol=1e-7, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_masked["variance"]), np.asarray(p_plain["variance"]),
+        rtol=1e-8,
+    )
+
+
+def test_corrnmf_grid_scan_matches_fixed_m_scans():
+    """The (k, m) grid scan returns per-point results matching separate
+    fixed-m scans (same seeds per grid offset ordering), with fitted models
+    exposing the full model surface."""
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.parallel import rank_scan_corrnmf
+
+    X = _planted_counts(seed=0, V=16, D=24, k=3)
+    config = FitConfig(min_iterations=20, max_iterations=40,
+                       conv_test_freq=10, tol=0.0)
+    grid = rank_scan_corrnmf(
+        X, range(2, 4), dim_embeddings_range=[2, 3], n_restarts=2,
+        base_seed=0, config=config, pad_ranks=True, rank_bucket=4,
+        dim_bucket=2,
+    )
+    assert set(grid) == {(2, 2), (3, 2), (2, 3), (3, 3)}
+    # m-major offset ordering: the m=2 row of the grid has offsets 0,1 -
+    # exactly a fixed-m scan's offsets
+    fixed = rank_scan_corrnmf(
+        X, range(2, 4), dim_embeddings=2, n_restarts=2, base_seed=0,
+        config=config, pad_ranks=False,
+    )
+    for k in (2, 3):
+        np.testing.assert_allclose(
+            grid[(k, 2)].losses, fixed[k].losses, rtol=1e-6,
+            err_msg=f"k={k}",
+        )
+    # the fitted model surface
+    for (k, m), res in grid.items():
+        model = res.model
+        assert isinstance(model, CorrNMFDet)
+        assert model._is_fitted
+        assert model.n_signatures == k and model.dim_embeddings == m
+        assert model.asignatures.X.shape == (k, X.shape[1])
+        assert model.asignatures.obsm["embeddings"].shape == (k, m)
+        assert model.adata.obsm["embeddings"].shape == (X.shape[0], m)
+        assert model.exposures.shape == (X.shape[0], k)
+        assert len(model.history["objective_function"]) > 0
+        # the absorbed winner evaluates to the recorded loss
+        np.testing.assert_allclose(
+            model.objective_function(), res.best_loss, rtol=1e-6,
+        )
+
+
+def test_corrnmf_scan_under_mesh_matches_unmeshed():
+    """Lane sharding over the mesh 'restarts' axis must not change any
+    scan result (communication is only the final argmax)."""
+    import jax
+
+    from salamander_tpu.parallel import make_mesh, rank_scan_corrnmf
+
+    X = _planted_counts(seed=1, V=14, D=22, k=2)
+    config = FitConfig(min_iterations=10, max_iterations=20,
+                       conv_test_freq=10, tol=0.0)
+    mesh = make_mesh(jax.devices("cpu")[:4], sample_ways=2)
+    kwargs = dict(
+        n_signatures_range=range(2, 4), dim_embeddings=2, n_restarts=2,
+        base_seed=0, config=config, pad_ranks=True, rank_bucket=4,
+        build_models=False,
+    )
+    plain = rank_scan_corrnmf(X, **kwargs)
+    meshed = rank_scan_corrnmf(X, mesh=mesh, **kwargs)
+    for k in plain:
+        np.testing.assert_allclose(
+            meshed[k].losses, plain[k].losses, rtol=1e-9, err_msg=f"k={k}"
+        )
+        np.testing.assert_allclose(
+            meshed[k].best_params["signatures"],
+            plain[k].best_params["signatures"],
+            rtol=1e-7, atol=1e-10,
+        )
+
+
+def test_corrnmf_scan_model_factory_override():
+    """model_factory drives both the lane init and the winner class."""
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.parallel import rank_scan_corrnmf
+
+    X = _planted_counts(seed=2, V=12, D=18, k=2)
+    config = FitConfig(min_iterations=10, max_iterations=20,
+                       conv_test_freq=10, tol=0.0)
+
+    calls = []
+
+    def factory(k, m):
+        calls.append((k, m))
+        return CorrNMFDet(n_signatures=k, dim_embeddings=m,
+                          init_method="random")
+
+    results = rank_scan_corrnmf(
+        X, [2], dim_embeddings=3, n_restarts=2, config=config,
+        model_factory=factory,
+    )
+    assert (2, 3) in calls
+    assert results[2].model.init_method == "random"
+    assert results[2].model.dim_embeddings == 3
+
+
+def test_masked_mvnmf_update_equals_unpadded():
+    """A rank-k MvNMF lane padded to Kp runs the rank-k iteration: padded H
+    rows are exact zeros, the volume term and the (Kp, Kp) Gram inverse see
+    identity padding (block-diagonal logdet/inverse restrict exactly), and
+    the line search walks the same gamma trajectory. Tolerance-level pin
+    (the padded Cholesky/logdet lower differently than the k x k ones)."""
+    import jax
+
+    from salamander_tpu.ops import mvnmf as mv
+
+    X, W, H = problem(V=14, D=22, k=3, seed=5)
+    lam, delta = 1.0, 1.0
+    gamma = jnp.asarray(1.0, X.dtype)
+
+    def plain_update(W, H, gamma):
+        H = ops.update_H(X, W, H)
+        W_unc = mv.update_W_unconstrained(X, W, H, lam, delta)
+        return mv.line_search(X, W, H, lam, delta, gamma, W_unc)
+
+    masked_update, masked_obj = mv.make_masked_step_functions(lam, delta)
+    W_pad, H_pad, mask = ops.pad_rank(W, H, 6)
+    params = {"W": W_pad, "H": H_pad, "gamma": gamma, "mask": mask}
+    data = {"X": X}
+
+    plain_jit = jax.jit(plain_update)
+    masked_jit = jax.jit(masked_update)
+    Wp, Hp, gp = W, H, gamma
+    for cycle in range(5):
+        Wp, Hp, gp = plain_jit(Wp, Hp, gp)
+        params = masked_jit(params, data)
+        np.testing.assert_allclose(
+            float(masked_obj(params, data)),
+            float(mv.kl_divergence_penalized(X, Wp, Hp, lam, delta)),
+            rtol=1e-9, err_msg=f"objective cycle {cycle}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(params["W"])[:, :3], np.asarray(Wp), rtol=1e-7, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["H"])[:3], np.asarray(Hp), rtol=1e-7, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(params["gamma"]), float(gp), rtol=1e-9
+    )
+    # padding stayed inert: H rows exact zeros, W columns untouched
+    np.testing.assert_array_equal(np.asarray(params["H"])[3:], 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(params["W"])[:, 3:], np.asarray(W_pad)[:, 3:]
+    )
+
+
+def test_rank_scan_mvnmf_padded_matches_unpadded():
+    """The K-padded MvNMF rank scan gives the same per-rank losses and best
+    signatures as one-program-per-rank (same seeds), sharing compiled
+    programs per bucket."""
+    from salamander_tpu.parallel import rank_scan_mvnmf
+
+    X, _, _ = problem(V=14, D=22, k=3, seed=0)
+    X = np.asarray(X)
+    config = FitConfig(min_iterations=20, max_iterations=40,
+                       conv_test_freq=10, tol=0.0)
+    padded = rank_scan_mvnmf(
+        X, range(2, 6), n_restarts=3, seed=0, config=config,
+        pad_ranks=True, rank_bucket=4,
+    )
+    plain = rank_scan_mvnmf(
+        X, range(2, 6), n_restarts=3, seed=0, config=config,
+        pad_ranks=False,
+    )
+    assert set(padded) == {2, 3, 4, 5}
+    for k in padded:
+        np.testing.assert_allclose(
+            padded[k].losses, plain[k].losses, rtol=1e-5,
+            err_msg=f"k={k} losses",
+        )
+        assert padded[k].best_index == plain[k].best_index
+        assert padded[k].W.shape == (3, 14, k)
+        np.testing.assert_allclose(
+            np.asarray(padded[k].best_W), np.asarray(plain[k].best_W),
+            rtol=1e-4, atol=1e-7, err_msg=f"k={k} best W",
+        )
+    # objective decreased and is the MINIMIZED penalized KL
+    for k in padded:
+        assert padded[k].best_loss <= float(np.max(padded[k].losses))
+
+
+def test_rank_scan_mvnmf_under_mesh():
+    """Restart sharding over the mesh must not change MvNMF scan results."""
+    import jax
+
+    from salamander_tpu.parallel import make_mesh, rank_scan_mvnmf
+
+    X, _, _ = problem(V=12, D=16, k=2, seed=7)
+    X = np.asarray(X)
+    config = FitConfig(min_iterations=10, max_iterations=20,
+                       conv_test_freq=10, tol=0.0)
+    mesh = make_mesh(jax.devices("cpu")[:4], sample_ways=2)
+    plain = rank_scan_mvnmf(X, range(2, 4), n_restarts=2, seed=0,
+                            config=config)
+    meshed = rank_scan_mvnmf(X, range(2, 4), n_restarts=2, seed=0,
+                             config=config, mesh=mesh)
+    for k in plain:
+        np.testing.assert_allclose(
+            meshed[k].losses, plain[k].losses, rtol=1e-6, err_msg=f"k={k}"
+        )
