@@ -380,15 +380,136 @@ def config5b_rank_scan_padded():
     })
 
 
+
+
+def config2b_mvnmf_rank_scan_padded():
+    """Masked-rank MvNMF scan: k=5..10 as K-padded bucketed programs vs one
+    program per rank (round-3 feature; the cold win is the compile count -
+    2 buckets instead of 6 programs - measured properly only across fresh
+    processes on this remote-compile platform, so this config reports the
+    warm-process walls plus the loss agreement)."""
+    from salamander_tpu.parallel import rank_scan_mvnmf
+
+    sbs = datasets.load_pcawg_sbs().T  # kernel orientation (V, D)
+    config = FitConfig(min_iterations=100, max_iterations=2000, tol=1e-7)
+    n_restarts = 8
+
+    # warmup/compile both paths
+    rank_scan_mvnmf(sbs, range(5, 11), n_restarts, seed=99, config=config,
+                    pad_ranks=True, rank_bucket=4)
+    start = time.perf_counter()
+    padded = rank_scan_mvnmf(sbs, range(5, 11), n_restarts, seed=0,
+                             config=config, pad_ranks=True, rank_bucket=4)
+    padded_wall = time.perf_counter() - start
+
+    rank_scan_mvnmf(sbs, range(5, 11), n_restarts, seed=99, config=config,
+                    pad_ranks=False)
+    start = time.perf_counter()
+    plain = rank_scan_mvnmf(sbs, range(5, 11), n_restarts, seed=0,
+                            config=config, pad_ranks=False)
+    plain_wall = time.perf_counter() - start
+
+    agree = all(
+        np.allclose(padded[k].losses, plain[k].losses, rtol=1e-3)
+        for k in padded
+    )
+    emit({
+        "config": "2b_mvnmf_rank_scan_padded_k5_10_x8",
+        "padded_steady_seconds": round(padded_wall, 2),
+        "per_rank_steady_seconds": round(plain_wall, 2),
+        "losses_agree_rtol1e3": bool(agree),
+        "best_losses": {
+            int(k): round(float(r.best_loss), 1) for k, r in padded.items()
+        },
+    })
+
+
+def config4b_multimodal_multistart():
+    """Multimodal multi-start restart scaling (device-batched init): the
+    config-3b twin for MultimodalCorrNMF."""
+    from salamander_tpu.models import MultimodalCorrNMF
+    from salamander_tpu.parallel import fit_best_of
+
+    mods = {
+        "sbs": datasets.load_pcawg_sbs(),
+        "indel": datasets.load_pcawg_indel(),
+        "sv": datasets.load_pcawg_sv(),
+    }
+
+    def fresh():
+        return MultimodalCorrNMF(
+            ns_signatures=[5, 4, 3], dim_embeddings=3, init_method="random",
+            min_iterations=100, max_iterations=500, tol=1e-7,
+        )
+
+    def mdata():
+        return MuData({k: AnnData(v.copy()) for k, v in mods.items()})
+
+    results = {}
+    for n_restarts in (4, 16):
+        fit_best_of(fresh(), mdata(), n_restarts, base_seed=100,
+                    batched_init=True)  # warm compile for this R
+        start = time.perf_counter()
+        summary = fit_best_of(fresh(), mdata(), n_restarts, base_seed=0,
+                              batched_init=True)
+        elapsed = time.perf_counter() - start
+        total = int(np.sum(summary.n_iterations))
+        results[n_restarts] = {
+            "steady_seconds": round(elapsed, 2),
+            "total_em_cycles": total,
+            "aggregate_em_cycles_per_sec": round(total / elapsed, 1),
+            "best_elbo": round(float(summary.losses[summary.best_index]), 1),
+        }
+        log(f"config4b R={n_restarts}: {results[n_restarts]}")
+    emit({"config": "4b_multimodal_multistart", "per_restarts": results})
+
+
+def config5c_rank_scan_pallas():
+    """K-padded KLNMF rank scan through the rank-masked fused Pallas
+    kernels vs the XLA path (96 x 10k; the D-tiled masked kernel). Warm
+    walls here; the Pallas claim is cold-compile time, measured in a fresh
+    process per path (BENCHMARKS.md records both)."""
+    from salamander_tpu.parallel import rank_scan_klnmf
+
+    X = datasets.synthetic_catalog(n_features=96, n_samples=10_000,
+                                   n_signatures=8, seed=0)
+    config = FitConfig(min_iterations=200, max_iterations=2000, tol=1e-7)
+    ks = range(2, 21)
+    walls = {}
+    losses = {}
+    for label, use_pallas in (("xla", False), ("pallas", True)):
+        rank_scan_klnmf(X, [2, 3], 4, seed=99, config=config,
+                        use_pallas=use_pallas)  # warm the small shapes
+        start = time.perf_counter()
+        result = rank_scan_klnmf(X, ks, 100, seed=0, config=config,
+                                 use_pallas=use_pallas)
+        walls[label] = round(time.perf_counter() - start, 1)
+        losses[label] = {int(k): float(r.best_loss) for k, r in result.items()}
+        log(f"config5c {label}: {walls[label]}s")
+    agree = all(
+        abs(losses["xla"][k] - losses["pallas"][k])
+        <= 2e-4 * abs(losses["xla"][k])
+        for k in losses["xla"]
+    )
+    emit({
+        "config": "5c_rank_scan_pallas_96x10k",
+        "walls_incl_partial_compile": walls,
+        "best_losses_agree_rtol2e4": bool(agree),
+    })
+
+
 CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
+    "2b": config2b_mvnmf_rank_scan_padded,
     "3": config3_corrnmf,
     "3b": config3b_corrnmf_multistart,
     "3c": config3c_corrnmf_svi,
     "4": config4_multimodal,
+    "4b": config4b_multimodal_multistart,
     "5": config5_rank_scan,
     "5b": config5b_rank_scan_padded,
+    "5c": config5c_rank_scan_pallas,
 }
 
 
