@@ -217,24 +217,57 @@ def check_pallas_on_hardware(X) -> None:
     log("bench: pallas D-tiled MU iteration == XLA on hardware "
         "(d_tile=128, masked tail, rtol 2e-4)")
 
+    # Rank-masked block kernel (the use_pallas rank-scan kernel): lanes of
+    # heterogeneous rank share one padded program. Its in-kernel masking is
+    # float-arithmetic blends (Mosaic rejects i1 minor-dim broadcasts on
+    # real hardware - a failure detectable ONLY here, interpret mode
+    # accepts the i1 form). Each active slice must equal the rank-k XLA
+    # block; padded W columns pass through, padded H rows stay exact zero.
+    from salamander_tpu.ops.pallas_klnmf import fused_mu_block_batched_masked
+
+    ranks = np.array([K, 3, K, 2])
+    mask = jnp.asarray(np.arange(K)[None, :] < ranks[:, None])
+    H_masked = H * mask[:, :, None]
+    W_mk, H_mk = fused_mu_block_batched_masked(
+        Xj, W, H_masked, mask, steps, chunk=2
+    )
+    for r, k in enumerate(ranks):
+        w_ref_r, h_ref_r = xla_block(W[r, :, :k], H[r, :k], None)
+        np.testing.assert_allclose(np.asarray(W_mk[r, :, :k]),
+                                   np.asarray(w_ref_r), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(H_mk[r, :k]),
+                                   np.asarray(h_ref_r), rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(W_mk[r, :, k:]),
+                                      np.asarray(W[r, :, k:]))
+        np.testing.assert_array_equal(np.asarray(H_mk[r, k:]), 0.0)
+    log("bench: pallas rank-masked MU block == per-rank XLA on hardware "
+        "(mixed ranks, rtol 2e-4)")
+
 
 def main():
     X = load_counts()
+    pallas_ok = True
     try:
         check_pallas_on_hardware(X)
-    except Exception as error:  # visible but non-fatal for the metric line
+    except Exception as error:  # metric line still emitted, but marked
+        pallas_ok = False
         log(f"bench: PALLAS HARDWARE CHECK FAILED: {error}")
     cpu_iters_per_sec = measure_cpu_baseline(X)
     log(f"bench: CPU reference-equivalent {cpu_iters_per_sec:.0f} it/s "
         f"(single restart)")
     tpu_agg_iters_per_sec, best_loss, total_iters = measure_tpu(X)
     vs_baseline = tpu_agg_iters_per_sec / cpu_iters_per_sec
-    print(json.dumps({
+    record = {
         "metric": "klnmf_100restart_aggregate_mu_iterations_per_sec",
         "value": round(tpu_agg_iters_per_sec, 1),
         "unit": "iterations/s",
         "vs_baseline": round(vs_baseline, 2),
-    }))
+    }
+    if not pallas_ok:  # regression flag: all 4 kernel checks must pass
+        record["pallas_hardware_check"] = "FAILED"
+    print(json.dumps(record))
+    if not pallas_ok:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -304,22 +304,23 @@ def fused_mu_block_batched_weighted(
     )(steps, X, weights_kl, weights_lhalf, W, H)
 
 
-def _mu_block_kernel_batched_masked(steps_ref, x_ref, mask_ref, w_ref, h_ref,
-                                    w_out, h_out):
+def _mu_block_kernel_batched_masked(steps_ref, x_ref, mask_w_ref, mask_h_ref,
+                                    w_ref, h_ref, w_out, h_out):
     """Rank-masked twin of _mu_block_kernel_batched for K-padded rank
-    scans: per-restart (C, K) masks mark the active leading signatures.
-    Masked-off lanes are inert exactly as in ops.klnmf
-    make_masked_step_functions - H rows held at exact zero, W columns
-    passed through, normalization denominators pinned at 1."""
+    scans: per-restart masks mark the active leading signatures, arriving
+    pre-broadcast as (C, 1, K) / (C, K, 1) floats (see the wrapper for the
+    Mosaic block-shape rationale). Masked-off lanes are inert exactly as
+    in ops.klnmf make_masked_step_functions - H rows held at exact zero,
+    W columns passed through, normalization denominators pinned at 1."""
     X = x_ref[:]
     # Mask stays float (exact 0/1) end to end: Mosaic cannot insert a
     # minor dim on i1 vectors ("only supported for 32-bit types" — hit on
     # real v5e, invisible in interpret mode), so masking is arithmetic
     # blends instead of jnp.where on a broadcast bool. Exact because the
     # mask values are exactly 0.0/1.0.
-    mk = mask_ref[:]                  # (C, K) float 0/1
-    mk_w = mk[:, None, :]             # (C, 1, K) — broadcast over V
+    mk_w = mask_w_ref[:]              # (C, 1, K) — broadcast over V
     inv_w = 1.0 - mk_w
+    mk_h = mask_h_ref[:]              # (C, K, 1) — broadcast over D
 
     def one_update(_, carry):
         W, H = carry  # (C, V, K), (C, K, D)
@@ -343,7 +344,7 @@ def _mu_block_kernel_batched_masked(steps_ref, x_ref, mask_ref, w_ref, h_ref,
             preferred_element_type=jnp.float32,
         )
         H_new = jnp.maximum(H * numer_h, EPSILON)
-        H_new = H_new * mk[:, :, None]
+        H_new = H_new * mk_h
         return W_new, H_new
 
     W, H = jax.lax.fori_loop(0, steps_ref[0], one_update, (w_ref[:], h_ref[:]))
@@ -357,7 +358,16 @@ def fused_mu_block_batched_masked(X, W, H, rank_mask, n_steps,
                                   interpret: bool = False):
     """Advance all lanes of a K-padded rank scan by n_steps masked updates
     in one fused TPU kernel. X: (V, D); W: (R, V, Kp); H: (R, Kp, D);
-    rank_mask: (R, Kp) bool."""
+    rank_mask: (R, Kp) bool.
+
+    The mask rides in as TWO pre-broadcast float operands - (R, 1, Kp)
+    for the W side and (R, Kp, 1) for the H side - so the lane-chunk axis
+    never lands in a block's sublane position: a 2D (chunk, Kp) mask block
+    violates Mosaic's (8, 128) last-two-dims rule whenever chunk is not a
+    multiple of 8 (default_chunk returns ANY divisor of R under the VMEM
+    budget; hit on real v5e at chunk=2, invisible in interpret mode). 3D
+    blocks put (1, Kp)/(Kp, 1) in the constrained positions, which satisfy
+    the full-dimension rule for every chunk."""
     R, V, K = W.shape
     D = X.shape[1]
     if chunk is None:
@@ -366,13 +376,17 @@ def fused_mu_block_batched_masked(X, W, H, rank_mask, n_steps,
         raise ValueError(f"n_restarts={R} not divisible by chunk={chunk}")
     steps = jnp.asarray(n_steps, jnp.int32).reshape(1)
     mask_f = rank_mask.astype(X.dtype)
+    mask_w = mask_f[:, None, :]   # (R, 1, K)
+    mask_h = mask_f[:, :, None]   # (R, K, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R // chunk,),
         in_specs=[
             pl.BlockSpec((V, D), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, K), lambda i, *_: (i, 0),
+            pl.BlockSpec((chunk, 1, K), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, K, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, V, K), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -394,7 +408,7 @@ def fused_mu_block_batched_masked(X, W, H, rank_mask, n_steps,
             jax.ShapeDtypeStruct((R, K, D), H.dtype),
         ),
         interpret=interpret,
-    )(steps, X, mask_f, W, H)
+    )(steps, X, mask_w, mask_h, W, H)
 
 
 def make_block_update_auto_masked(X, n_restarts: int,

@@ -115,6 +115,7 @@ def rank_scan_corrnmf(
     mesh=None,
     model_factory=None,
     build_models: bool = True,
+    pack_points: bool | None = None,
 ):
     """Multi-start CorrNMF model-selection scan over n_signatures (and
     optionally dim_embeddings).
@@ -147,6 +148,14 @@ def rank_scan_corrnmf(
     LANE axis of every program call over its 'restarts' axis (each call's
     lane count - n_restarts per grid point in a chunk - must divide
     evenly). The only cross-device communication is the final argmax.
+
+    pack_points (None = auto, parallel.restarts._resolve_pack): several
+    points of a bucket share one lockstep call only for fixed-length
+    runs - with early exit active, fast points burn the slowest point's
+    iterations (frozen lanes still compute; measured 4x on MvNMF) and
+    the Newton inner loops couple across lanes. Per-point calls of a
+    bucket still share ONE compiled program. Results identical either
+    way (per-lane freezing).
     """
     from ..containers import AnnData
     from ..models import CorrNMFDet
@@ -288,6 +297,9 @@ def rank_scan_corrnmf(
                 n_evals=np.asarray(result.n_evals[sl]),
             )
 
+    from .restarts import _resolve_pack
+
+    pack = _resolve_pack(pack_points, config)
     n_samples, n_features = X.shape
     try:
         for (padded_k, padded_m), group in sorted(buckets.items()):
@@ -295,7 +307,7 @@ def rank_scan_corrnmf(
                 3 * n_samples * n_features + 2 * n_samples * padded_k
             ) * 8
             lanes_cap = max(n_restarts, _LANE_BUDGET_BYTES // per_lane)
-            if len(group) * n_restarts <= lanes_cap:
+            if pack and len(group) * n_restarts <= lanes_cap:
                 chunks = [group]
             else:
                 # one point per call: every call still has n_restarts lanes

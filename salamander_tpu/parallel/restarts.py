@@ -303,6 +303,25 @@ def _padded_random_init(key, X, n_signatures: int, n_restarts: int,
     return W0, H0, jnp.broadcast_to(mask, (n_restarts, padded))
 
 
+def _resolve_pack(pack_points, config: FitConfig) -> bool:
+    """Decide whether several scan points may share one lockstep call.
+
+    Frozen (converged) lanes still burn full FLOPs every block
+    (engine/fit.py fit_loop_lockstep masked_advance), so packing
+    heterogeneous points into one call costs (all lanes) x (slowest
+    point's iterations) - measured 4.0x on a convergence-based MvNMF
+    rank scan (242 s packed vs 60 s per-point, BENCHMARKS.md). Packing
+    only pays for FIXED-LENGTH runs (min_iterations == max_iterations:
+    no lane finishes early, fuller batches amortize launches - measured
+    3.8x the other way on a 200-cycle CorrNMF scan). Results are
+    identical either way: per-lane freezing makes each point's
+    trajectory independent of its call's co-tenants.
+    """
+    if pack_points is None:
+        return config.min_iterations >= config.max_iterations
+    return bool(pack_points)
+
+
 @functools.lru_cache(maxsize=8)
 def _cached_masked_runner(config: FitConfig, mesh, use_pallas: bool = False,
                           pallas_interpret: bool = False):
@@ -327,6 +346,7 @@ def rank_scan_klnmf(
     rank_bucket: int = 8,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    pack_points: bool | None = None,
 ) -> dict[int, RestartResult]:
     """Multi-start KLNMF over a range of ranks (the model-selection scan the
     reference tutorial runs as a nested Python loop, tutorial.ipynb cell 70).
@@ -343,7 +363,13 @@ def rank_scan_klnmf(
     kernels (single device; with pad_ranks=False it uses the per-rank fused
     kernel via fit_klnmf_restarts). Numerics match the XLA path within f32
     accumulation order; the win is ~10x faster cold compiles - exactly the
-    cold rank-scan wall-clock (BENCHMARKS.md)."""
+    cold rank-scan wall-clock (BENCHMARKS.md).
+
+    pack_points: whether several ranks of a bucket may share one lockstep
+    program call (None = auto: only for fixed-length runs; see
+    _resolve_pack - per-lane results are identical either way, only
+    wall-time differs). Packed calls are still capped by the HBM lane
+    budget."""
     config = config or FitConfig()
     ranks = [int(k) for k in n_signatures_range]
     results: dict[int, RestartResult] = {}
@@ -378,6 +404,7 @@ def rank_scan_klnmf(
     lane_budget_bytes = 4 * 1024**3
     per_lane = 3 * X.shape[0] * X.shape[1] * 4
     lanes_cap = max(n_restarts, int(lane_budget_bytes / per_lane))
+    pack = _resolve_pack(pack_points, config)
 
     try:
         runner = _cached_masked_runner(
@@ -392,7 +419,7 @@ def rank_scan_klnmf(
     X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
     for padded, members in sorted(buckets.items()):
         groups = (
-            [members] if len(members) * n_restarts <= lanes_cap
+            [members] if pack and len(members) * n_restarts <= lanes_cap
             else [[member] for member in members]
         )
         for group in groups:
@@ -486,6 +513,7 @@ def rank_scan_mvnmf(
     dtype=jnp.float32,
     pad_ranks: bool = True,
     rank_bucket: int = 4,
+    pack_points: bool | None = None,
 ) -> dict[int, RestartResult]:
     """Multi-start minimum-volume NMF over a range of ranks.
 
@@ -498,6 +526,13 @@ def rank_scan_mvnmf(
     pad_ranks=False runs the same masked program shapes one-rank-per-
     program (all-true masks). Seeding matches rank_scan_klnmf
     (seed + 1000 * rank_offset). Losses MINIMIZE (KL + lam * volume).
+
+    pack_points (None = auto, see _resolve_pack): packing several ranks
+    into one lockstep call is a measured 4.0x wall-time LOSS for
+    convergence-based MvNMF scans (fast ranks burn the slow ranks'
+    iterations, and the per-trial line-search while_loop couples across
+    lanes), so auto packs only fixed-length runs. Results are identical
+    either way (per-lane freezing).
     """
     config = config or FitConfig()
     ranks = [int(k) for k in n_signatures_range]
@@ -522,6 +557,7 @@ def rank_scan_mvnmf(
     lane_budget_bytes = 4 * 1024**3
     per_lane = 4 * X.shape[0] * X.shape[1] * 4
     lanes_cap = max(n_restarts, int(lane_budget_bytes / per_lane))
+    pack = _resolve_pack(pack_points, config)
 
     try:
         runner = _cached_mvnmf_masked_runner(
@@ -540,7 +576,7 @@ def rank_scan_mvnmf(
     X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
     for padded, members in sorted(buckets.items()):
         groups = (
-            [members] if len(members) * n_restarts <= lanes_cap
+            [members] if pack and len(members) * n_restarts <= lanes_cap
             else [[member] for member in members]
         )
         for group in groups:

@@ -495,6 +495,43 @@ def test_rank_scan_mvnmf_padded_matches_unpadded():
         assert padded[k].best_loss <= float(np.max(padded[k].losses))
 
 
+def test_rank_scan_mvnmf_pack_points_invariant():
+    """Packing several ranks into one lockstep call vs one call per rank
+    must not change any result (per-lane freezing makes each lane's
+    trajectory independent of its call's co-tenants) - only wall time
+    differs (BENCHMARKS.md: packing a convergence-based scan measured
+    4x slower on TPU, hence the auto policy packs fixed-length runs
+    only)."""
+    from salamander_tpu.parallel import rank_scan_mvnmf
+
+    X, _, _ = problem(V=14, D=22, k=3, seed=1)
+    X = np.asarray(X)
+    # convergence-based: lanes finish at different iterations
+    config = FitConfig(min_iterations=10, max_iterations=200,
+                       conv_test_freq=10, tol=1e-4)
+    packed = rank_scan_mvnmf(
+        X, range(2, 6), n_restarts=2, seed=0, config=config,
+        rank_bucket=4, pack_points=True,
+    )
+    per_point = rank_scan_mvnmf(
+        X, range(2, 6), n_restarts=2, seed=0, config=config,
+        rank_bucket=4, pack_points=False,
+    )
+    for k in packed:
+        np.testing.assert_array_equal(
+            packed[k].n_iterations, per_point[k].n_iterations,
+            err_msg=f"k={k} iteration counts",
+        )
+        np.testing.assert_allclose(
+            packed[k].losses, per_point[k].losses, rtol=1e-12,
+            err_msg=f"k={k} losses",
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed[k].W), np.asarray(per_point[k].W),
+            rtol=1e-12, err_msg=f"k={k} W",
+        )
+
+
 def test_rank_scan_mvnmf_under_mesh():
     """Restart sharding over the mesh must not change MvNMF scan results."""
     import jax
