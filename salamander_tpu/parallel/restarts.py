@@ -344,7 +344,7 @@ def rank_scan_klnmf(
     dtype=jnp.float32,
     pad_ranks: bool = True,
     rank_bucket: int = 8,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     pallas_interpret: bool = False,
     pack_points: bool | None = None,
 ) -> dict[int, RestartResult]:
@@ -363,7 +363,10 @@ def rank_scan_klnmf(
     kernels (single device; with pad_ranks=False it uses the per-rank fused
     kernel via fit_klnmf_restarts). Numerics match the XLA path within f32
     accumulation order; the win is ~10x faster cold compiles - exactly the
-    cold rank-scan wall-clock (BENCHMARKS.md).
+    cold rank-scan wall-clock (19 ranks x 100 restarts fresh-process:
+    239 s vs 373 s, BENCHMARKS.md). None (default) auto-enables the
+    kernels exactly where that win exists: single-device f32 scans on the
+    TPU backend (steady-state throughput is parity, so nothing is lost).
 
     pack_points: whether several ranks of a bucket may share one lockstep
     program call (None = auto: only for fixed-length runs; see
@@ -371,6 +374,12 @@ def rank_scan_klnmf(
     wall-time differs). Packed calls are still capped by the HBM lane
     budget."""
     config = config or FitConfig()
+    if use_pallas is None:
+        use_pallas = (
+            mesh is None
+            and jnp.dtype(dtype) == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")
+        )
     ranks = [int(k) for k in n_signatures_range]
     results: dict[int, RestartResult] = {}
 
