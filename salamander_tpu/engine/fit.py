@@ -270,6 +270,158 @@ def fit_loop(
     )
 
 
+class LockstepState(NamedTuple):
+    """Resumable state of the natively-batched convergence loop.
+
+    Every leaf except `eval_idx`/`iteration` carries the leading restart
+    (lane) axis, which is what makes host-driven lane compaction possible:
+    gathering a subset of lanes out of a LockstepState yields a valid
+    smaller-batch LockstepState mid-fit (parallel/compaction.py). The two
+    scalars are shared because every lane advances in lockstep blocks -
+    they stay correct across a compaction (the carried lanes have all seen
+    exactly `iteration` iterations and `eval_idx` objective evaluations).
+    """
+
+    params: Any
+    of_prev: jnp.ndarray       # (R,) objective at each lane's last eval
+    history: jnp.ndarray       # (R, max_evals) NaN-padded traces
+    n_evals: jnp.ndarray       # (R,)
+    eval_idx: jnp.ndarray      # scalar: block evals performed so far
+    iteration: jnp.ndarray     # scalar: iterations performed so far
+    n_iterations: jnp.ndarray  # (R,) per-lane count, frozen when done
+    done: jnp.ndarray          # (R,) bool
+
+
+def _masked_advance(block_update_fn, params, frozen, n_steps):
+    n_restarts = frozen.shape[0]
+    params_new = block_update_fn(params, jnp.asarray(n_steps, jnp.int32))
+    return jax.tree.map(
+        lambda old, new: jnp.where(
+            frozen.reshape((n_restarts,) + (1,) * (old.ndim - 1)), old, new
+        ),
+        params,
+        params_new,
+    )
+
+
+def init_lockstep_state(
+    objective_fn: Callable[[Any], jnp.ndarray],
+    params0: Any,
+    config: FitConfig,
+) -> LockstepState:
+    """Evaluate the initial objective and build the loop state (jittable)."""
+    freq = int(config.conv_test_freq)
+    max_evals = max(1, int(config.max_iterations) // freq)
+    of0 = objective_fn(params0)  # (R,)
+    n_restarts = of0.shape[0]
+    return LockstepState(
+        params=params0,
+        of_prev=of0,
+        history=jnp.full((n_restarts, max_evals), jnp.nan, dtype=of0.dtype),
+        n_evals=jnp.zeros((n_restarts,), jnp.int32),
+        eval_idx=jnp.zeros((), jnp.int32),
+        iteration=jnp.zeros((), jnp.int32),
+        n_iterations=jnp.zeros((n_restarts,), jnp.int32),
+        done=jnp.zeros((n_restarts,), bool),
+    )
+
+
+def run_lockstep_segment(
+    objective_fn: Callable[[Any], jnp.ndarray],
+    config: FitConfig,
+    block_update_fn: Callable[[Any, jnp.ndarray], Any],
+    state: LockstepState,
+    alive_floor=0,
+) -> LockstepState:
+    """Advance the lockstep loop until every lane is done, max_iterations'
+    full blocks are exhausted, or at most `alive_floor` lanes remain
+    unconverged (jittable; alive_floor may be a traced scalar, so one
+    compiled program serves every floor at a given lane count).
+
+    With alive_floor=0 this runs the loop to the exact same exit as
+    fit_loop_lockstep. A positive floor is the compaction hook: the caller
+    gathers the surviving lanes into a smaller batch and resumes there,
+    so converged lanes stop burning block FLOPs (frozen lanes cost full
+    compute - the measured 4x lockstep-packing loss, BENCHMARKS.md).
+    """
+    freq = int(config.conv_test_freq)
+    max_iterations = int(config.max_iterations)
+    min_iterations = int(config.min_iterations)
+    full_block_iterations = (max_iterations // freq) * freq
+    tol = _effective_tol(config, state.of_prev.dtype, state.params,
+                         warn=False)
+    alive_floor = jnp.asarray(alive_floor, jnp.int32)
+
+    def cond(state: LockstepState):
+        n_alive = jnp.sum(~state.done)
+        return (n_alive > alive_floor) & (
+            state.iteration < full_block_iterations
+        )
+
+    def body(state: LockstepState) -> LockstepState:
+        done_prev = state.done
+        params = _masked_advance(block_update_fn, state.params, done_prev,
+                                 freq)
+        iteration = state.iteration + freq
+
+        of_value = objective_fn(params)  # (R,)
+        rel_change = jnp.abs(state.of_prev - of_value) / jnp.abs(
+            state.of_prev
+        )
+        converged = (rel_change < tol) & (iteration >= min_iterations)
+        done = done_prev | converged | (iteration >= max_iterations)
+        if config.stop_on_nonfinite:
+            done = done | ~jnp.isfinite(of_value)
+
+        record = ~done_prev  # (R,) lanes recording this eval
+        dtype = state.history.dtype
+        history = state.history.at[:, state.eval_idx].set(
+            jnp.where(record, of_value.astype(dtype),
+                      state.history[:, state.eval_idx])
+        )
+        return LockstepState(
+            params=params,
+            of_prev=jnp.where(record, of_value, state.of_prev),
+            history=history,
+            n_evals=state.n_evals + record.astype(jnp.int32),
+            eval_idx=state.eval_idx + 1,
+            iteration=iteration,
+            n_iterations=jnp.where(done_prev, state.n_iterations,
+                                   iteration),
+            done=done,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def finish_lockstep(
+    state: LockstepState,
+    config: FitConfig,
+    block_update_fn: Callable[[Any, jnp.ndarray], Any],
+    initial_objective,
+) -> FitResult:
+    """Apply the never-evaluated remainder tail (max_iterations not
+    divisible by conv_test_freq - reference semantics) and assemble the
+    FitResult (jittable)."""
+    remainder = int(config.max_iterations) - (
+        int(config.max_iterations) // int(config.conv_test_freq)
+    ) * int(config.conv_test_freq)
+    params = state.params
+    n_iterations = state.n_iterations
+    if remainder > 0:
+        params = _masked_advance(block_update_fn, params, state.done,
+                                 remainder)
+        n_iterations = jnp.where(state.done, n_iterations,
+                                 int(config.max_iterations))
+    return FitResult(
+        params=params,
+        initial_objective=initial_objective,
+        history=state.history,
+        n_evals=state.n_evals,
+        n_iterations=n_iterations,
+    )
+
+
 def fit_loop_lockstep(
     objective_fn: Callable[[Any], jnp.ndarray],
     params0: Any,
@@ -285,93 +437,19 @@ def fit_loop_lockstep(
     blocks; finished lanes are frozen with where-selects, exactly matching
     vmap(fit_loop) semantics (same eval points, per-lane histories and
     iteration counts).
+
+    Composed from init_lockstep_state / run_lockstep_segment /
+    finish_lockstep so host-driven lane compaction (parallel/compaction.py)
+    reuses the exact same loop semantics segment by segment.
     """
-    freq = int(config.conv_test_freq)
-    max_iterations = int(config.max_iterations)
-    min_iterations = int(config.min_iterations)
-    max_evals = max(1, max_iterations // freq)
-    full_block_iterations = (max_iterations // freq) * freq
-    remainder = max_iterations - full_block_iterations
-
-    of0 = objective_fn(params0)  # (R,)
-    n_restarts = of0.shape[0]
-    dtype = of0.dtype
-    tol = _effective_tol(config, dtype, params0)
-
-    def lane_mask(mask, leaf):
-        return mask.reshape((n_restarts,) + (1,) * (leaf.ndim - 1))
-
-    def masked_advance(params, frozen, n_steps: int):
-        params_new = block_update_fn(params, jnp.asarray(n_steps, jnp.int32))
-        return jax.tree.map(
-            lambda old, new: jnp.where(lane_mask(frozen, old), old, new),
-            params,
-            params_new,
-        )
-
-    init = dict(
-        params=params0,
-        of_prev=of0,
-        history=jnp.full((n_restarts, max_evals), jnp.nan, dtype=dtype),
-        n_evals=jnp.zeros((n_restarts,), jnp.int32),
-        eval_idx=jnp.zeros((), jnp.int32),
-        iteration=jnp.zeros((), jnp.int32),
-        n_iterations=jnp.zeros((n_restarts,), jnp.int32),
-        done=jnp.zeros((n_restarts,), bool),
-    )
-
-    def cond(state):
-        return jnp.any(~state["done"]) & (
-            state["iteration"] < full_block_iterations
-        )
-
-    def body(state):
-        done_prev = state["done"]
-        params = masked_advance(state["params"], done_prev, freq)
-        iteration = state["iteration"] + freq
-
-        of_value = objective_fn(params)  # (R,)
-        rel_change = jnp.abs(state["of_prev"] - of_value) / jnp.abs(
-            state["of_prev"]
-        )
-        converged = (rel_change < tol) & (iteration >= min_iterations)
-        done = done_prev | converged | (iteration >= max_iterations)
-        if config.stop_on_nonfinite:
-            done = done | ~jnp.isfinite(of_value)
-
-        record = ~done_prev  # (R,) lanes recording this eval
-        history = state["history"].at[:, state["eval_idx"]].set(
-            jnp.where(record, of_value.astype(dtype),
-                      state["history"][:, state["eval_idx"]])
-        )
-        return dict(
-            params=params,
-            of_prev=jnp.where(record, of_value, state["of_prev"]),
-            history=history,
-            n_evals=state["n_evals"] + record.astype(jnp.int32),
-            eval_idx=state["eval_idx"] + 1,
-            iteration=iteration,
-            n_iterations=jnp.where(done_prev, state["n_iterations"],
-                                   iteration),
-            done=done,
-        )
-
-    final = jax.lax.while_loop(cond, body, init)
-
-    params = final["params"]
-    n_iterations = final["n_iterations"]
-    if remainder > 0:
-        # never-evaluated tail up to max_iterations for unconverged lanes
-        params = masked_advance(params, final["done"], remainder)
-        n_iterations = jnp.where(final["done"], n_iterations, max_iterations)
-
-    return FitResult(
-        params=params,
-        initial_objective=of0,
-        history=final["history"],
-        n_evals=final["n_evals"],
-        n_iterations=n_iterations,
-    )
+    # trigger the tolerance warning once, exactly as before the refactor
+    # (eval_shape: no actual objective evaluation, just its dtype)
+    of_shape = jax.eval_shape(objective_fn, params0)
+    _effective_tol(config, of_shape.dtype, params0)
+    state = init_lockstep_state(objective_fn, params0, config)
+    final = run_lockstep_segment(objective_fn, config, block_update_fn,
+                                 state, alive_floor=0)
+    return finish_lockstep(final, config, block_update_fn, state.of_prev)
 
 
 def make_fit_function(

@@ -11,6 +11,10 @@ objectives.
 """
 
 from .bootstrap import BootstrapResult, bootstrap_stability  # noqa: F401
+from .compaction import (  # noqa: F401
+    CompactingRunner,
+    fit_klnmf_restarts_compacting,
+)
 from .corrnmf_scan import CorrScanResult, rank_scan_corrnmf  # noqa: F401
 from .mesh import (  # noqa: F401
     hybrid_mesh_shape,

@@ -1,0 +1,417 @@
+"""Host-driven lane compaction for convergence-based multi-start fits.
+
+A lockstep multi-start fit runs every restart until the SLOWEST one
+converges, and frozen (converged) lanes still burn full FLOPs every block
+- the same structural waste that made packing heterogeneous scan points
+into one call a measured 4x loss (BENCHMARKS.md). Measured on the PCAWG
+default-config 100-restart KLNMF fit, per-lane iteration counts span
+520..4660 (mean 1496): lockstep occupancy is ~32%, i.e. two thirds of the
+batch FLOPs advance already-converged lanes.
+
+Compaction recovers most of that waste without touching the convergence
+semantics: the loop runs as host-driven SEGMENTS
+(engine.fit.run_lockstep_segment) that exit as soon as at most half the
+lanes are still unconverged; the survivors are then gathered into a batch
+of HALF the size and resumed there, halving every subsequent block's cost.
+Dropped lanes are finished, so their state is simply scattered into the
+full-size result buffers. Per-lane trajectories are unchanged - a lane's
+updates never depend on its co-tenants (the invariant already pinned by
+the pack_points tests) - so results are bit-identical to the uncompacted
+loop on CPU and match within f32 batch-size kernel selection on TPU
+(tests/test_compaction.py).
+
+Cost model: ~log2(n_restarts / min_bucket) extra compiled programs (one
+segment program per occupancy level, cached across calls with the same
+config), one small done-mask fetch (~100ms tunnel latency) per segment,
+and one on-device gather per compaction. This pays when per-block compute
+dominates dispatch: at 96x10k-scale a block's MU updates are MXU-bound
+and halving the batch halves its wall; the 96x192 headline shape is
+dispatch-bound (~0.4ms/block regardless of batch) and does NOT benefit.
+Single-device only: under a mesh the restart axis is already sharded and
+gathering lanes across devices would serialize it.
+
+No reference counterpart: the reference runs restarts one at a time on
+the host (models/signature_nmf.py:315-385), so it never has lockstep
+waste - and never has batching either.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import FitConfig
+from ..engine.fit import (
+    LockstepState,
+    _effective_tol,
+    finish_lockstep,
+    init_lockstep_state,
+    run_lockstep_segment,
+)
+from ..engine.transfer import fetch_pytree
+
+
+def _take_lanes(state: LockstepState, idx) -> LockstepState:
+    """Gather a subset of lanes into a smaller valid LockstepState."""
+    def take(leaf):
+        return jnp.take(leaf, idx, axis=0)
+
+    return LockstepState(
+        params=jax.tree.map(take, state.params),
+        of_prev=take(state.of_prev),
+        history=take(state.history),
+        n_evals=take(state.n_evals),
+        eval_idx=state.eval_idx,
+        iteration=state.iteration,
+        n_iterations=take(state.n_iterations),
+        done=take(state.done),
+    )
+
+
+def _scatter_lanes(out: LockstepState, ids,
+                   state: LockstepState) -> LockstepState:
+    """Write a bucket's lanes back into the full-size buffers at rows
+    `ids`, carrying the bucket's (more advanced) shared scalars."""
+    def put(buf, val):
+        return buf.at[ids].set(val)
+
+    return LockstepState(
+        params=jax.tree.map(put, out.params, state.params),
+        of_prev=put(out.of_prev, state.of_prev),
+        history=put(out.history, state.history),
+        n_evals=put(out.n_evals, state.n_evals),
+        eval_idx=state.eval_idx,
+        iteration=state.iteration,
+        n_iterations=put(out.n_iterations, state.n_iterations),
+        done=put(out.done, state.done),
+    )
+
+
+class CompactingRunner:
+    """Compiled-program cache + host driver for one compacting fit flavor.
+
+    objective_fn(params, data) -> scalar is the PER-LANE objective;
+    make_block_update(data, n_lanes) -> block_update_fn(params, steps)
+    builds the batched block advance for a given lane count (called inside
+    the segment trace, so `data` leaves are tracers there - builders may
+    only read static shape/dtype information from them). One instance
+    caches its jitted programs per lane count; reuse it across calls with
+    identical shapes (parallel.compaction._cached_compacting_runner).
+    """
+
+    def __init__(
+        self,
+        config: FitConfig,
+        objective_fn: Callable[[Any, Any], jnp.ndarray],
+        make_block_update: Callable[[Any, int], Callable[[Any, Any], Any]],
+        min_bucket: int = 16,
+    ):
+        self.config = config
+        self.objective_fn = objective_fn
+        self.make_block_update = make_block_update
+        self.min_bucket = max(1, int(min_bucket))
+        self._programs: dict[str, dict] = {
+            "init": {}, "segment": {}, "take": {}, "scatter": {}, "loss": {},
+        }
+
+    # -- jitted pieces, cached per lane count ------------------------------
+
+    def _batched_objective(self, data):
+        return jax.vmap(self.objective_fn, in_axes=(0, None))
+
+    def _init_fn(self, n_lanes: int):
+        cache = self._programs["init"]
+        if n_lanes not in cache:
+            def init(params0, data):
+                batched = self._batched_objective(data)
+                return init_lockstep_state(
+                    lambda p: batched(p, data), params0, self.config
+                )
+
+            cache[n_lanes] = jax.jit(init)
+        return cache[n_lanes]
+
+    def _segment_fn(self, n_lanes: int):
+        cache = self._programs["segment"]
+        if n_lanes not in cache:
+            def segment(state, data, alive_floor):
+                batched = self._batched_objective(data)
+                block = self.make_block_update(data, n_lanes)
+                new_state = run_lockstep_segment(
+                    lambda p: batched(p, data), self.config, block,
+                    state, alive_floor,
+                )
+                # int32 twin of the done mask for the host fetch: the
+                # FIRST device->host copy of a bool array compiles a
+                # conversion program remotely (measured 427s in a slow
+                # window for 100 bools); int32 copies are direct
+                return new_state, new_state.done.astype(jnp.int32)
+
+            cache[n_lanes] = jax.jit(segment)
+        return cache[n_lanes]
+
+    def _take_fn(self, from_lanes: int, to_lanes: int):
+        cache = self._programs["take"]
+        key = (from_lanes, to_lanes)
+        if key not in cache:
+            cache[key] = jax.jit(_take_lanes)
+        return cache[key]
+
+    def _scatter_fn(self, n_lanes: int):
+        cache = self._programs["scatter"]
+        if n_lanes not in cache:
+            cache[n_lanes] = jax.jit(_scatter_lanes)
+        return cache[n_lanes]
+
+    def _loss_fn(self, n_lanes: int):
+        cache = self._programs["loss"]
+        if n_lanes not in cache:
+            def final_loss(state, data, initial_objective):
+                batched = self._batched_objective(data)
+                result = finish_lockstep(
+                    state, self.config,
+                    self.make_block_update(data, n_lanes),
+                    initial_objective,
+                )
+                return result, batched(result.params, data)
+
+            cache[n_lanes] = jax.jit(final_loss)
+        return cache[n_lanes]
+
+    # -- host driver -------------------------------------------------------
+
+    def run(self, params0, data):
+        """Fit all lanes to their own convergence, compacting the batch as
+        lanes finish. Returns (FitResult, final_loss) with every leaf at
+        the full lane count, positionally identical to the uncompacted
+        lockstep loop's."""
+        n_restarts = int(jax.tree.leaves(params0)[0].shape[0])
+        config = self.config
+        freq = int(config.conv_test_freq)
+        full_blocks = (int(config.max_iterations) // freq) * freq
+        # the driver owns the once-per-fit tolerance warning (segments
+        # never warn); dtype via eval_shape to avoid an eager objective
+        of_shape = jax.eval_shape(
+            lambda p: self._batched_objective(data)(p, data), params0
+        )
+        _effective_tol(config, of_shape.dtype, params0)
+
+        state = self._init_fn(n_restarts)(params0, data)
+        initial_objective = state.of_prev  # (R,) of0, device-resident
+        out = state  # full-size accumulation buffers (device)
+        ids = np.arange(n_restarts)  # global lane id per bucket position
+        bucket = n_restarts
+
+        while True:
+            half = bucket // 2
+            floor = half if half >= self.min_bucket else 0
+            state, done_i32 = self._segment_fn(bucket)(
+                state, data, jnp.asarray(floor, jnp.int32)
+            )
+            out = self._scatter_fn(bucket)(out, jnp.asarray(ids), state)
+            # two direct tiny fetches, NOT fetch_pytree: its packer jits a
+            # program per leaf-structure, and every bucket size is a new
+            # structure - a fresh remote compile (minutes in slow windows)
+            # to save one ~100ms round-trip (measured 2026-08-17: 260s of
+            # a 270s fit was three first-touch packer compiles)
+            done = np.asarray(done_i32).astype(bool)
+            iteration = np.asarray(state.iteration)
+            n_alive = int((~done).sum())
+            if floor == 0 or n_alive == 0 or int(iteration) >= full_blocks:
+                break
+            # compact: survivors first, then finished passengers to pad the
+            # half-size bucket (frozen, so passengers stay bit-identical)
+            alive_pos = np.flatnonzero(~done)
+            pad_pos = np.flatnonzero(done)[: half - len(alive_pos)]
+            pos = np.concatenate([alive_pos, pad_pos])
+            state = self._take_fn(bucket, half)(state, jnp.asarray(pos))
+            ids = ids[pos]
+            bucket = half
+
+        return self._loss_fn(n_restarts)(out, data, initial_objective)
+
+
+def _klnmf_block_update_builder(use_pallas: bool, masked: bool,
+                                pallas_interpret: bool = False):
+    """make_block_update factory for the KLNMF flavors (plain multi-start
+    params {"W","H"}; rank-masked scans add "mask")."""
+    from ..ops import klnmf as ops
+
+    if masked:
+        update_fn, _ = ops.make_masked_step_functions()
+    else:
+        update_fn, _ = ops.make_step_functions()
+
+    def make_block_update(data, n_lanes: int):
+        if use_pallas:
+            from ..ops.pallas_klnmf import (
+                make_block_update_auto,
+                make_block_update_auto_masked,
+            )
+
+            if masked:
+                return make_block_update_auto_masked(
+                    data["X"], n_lanes, interpret=pallas_interpret
+                )
+            return make_block_update_auto(
+                data["X"], n_lanes,
+                weights_kl=data.get("weights_kl"),
+                weights_lhalf=data.get("weights_lhalf"),
+            )
+
+        batched_update = jax.vmap(update_fn, in_axes=(0, None))
+
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched_update(q, data), params
+            )
+
+        return block
+
+    return make_block_update
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_compacting_runner(config: FitConfig, masked: bool,
+                              use_pallas: bool, pallas_interpret: bool,
+                              min_bucket: int) -> CompactingRunner:
+    """One runner (= one compiled-program cache) per KLNMF fit flavor."""
+    from ..ops import klnmf as ops
+
+    if masked:
+        _, objective_fn = ops.make_masked_step_functions()
+    else:
+        _, objective_fn = ops.make_step_functions()
+    return CompactingRunner(
+        config,
+        objective_fn,
+        _klnmf_block_update_builder(use_pallas, masked, pallas_interpret),
+        min_bucket=min_bucket,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_corrnmf_compacting_runner(config: FitConfig, x64: bool,
+                                      min_bucket: int) -> CompactingRunner:
+    """Compacting runner for (rank- and dim-)masked CorrNMF scan calls.
+
+    The per-lane step is the masked variational-EM cycle
+    (ops/corrnmf.py make_masked_corrnmf_step); the objective is promoted
+    to float64 under x64 exactly as the monolithic scan program's
+    (corrnmf_scan._cached_masked_run), so convergence decisions match.
+    CorrNMF restarts disperse hard - the Newton embedding updates make
+    every extra lockstep cycle expensive - which is exactly the regime
+    compaction targets."""
+    from ..models.signature_nmf import promote_objective
+    from ..ops import corrnmf as corr_ops
+
+    update_fn, objective_fn = corr_ops.make_masked_corrnmf_step()
+    objective = promote_objective(
+        objective_fn, {"probe": jnp.zeros((), jnp.float32)}
+    )
+
+    def make_block_update(data, n_lanes: int):
+        batched_update = jax.vmap(update_fn, in_axes=(0, None))
+
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched_update(q, data), params
+            )
+
+        return block
+
+    return CompactingRunner(config, objective, make_block_update,
+                            min_bucket=min_bucket)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_mvnmf_compacting_runner(config: FitConfig, lam: float,
+                                    delta: float,
+                                    min_bucket: int) -> CompactingRunner:
+    """Compacting runner for rank-masked MvNMF scan calls (params carry
+    the per-lane line-search gamma and the rank mask)."""
+    from ..ops import mvnmf as mv_ops
+
+    update_fn, objective_fn = mv_ops.make_masked_step_functions(lam, delta)
+
+    def make_block_update(data, n_lanes: int):
+        batched_update = jax.vmap(update_fn, in_axes=(0, None))
+
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched_update(q, data), params
+            )
+
+        return block
+
+    return CompactingRunner(config, objective_fn, make_block_update,
+                            min_bucket=min_bucket)
+
+
+def resolve_compact(compact, config: FitConfig, mesh,
+                    n_restarts: int, min_bucket: int) -> bool:
+    """Auto policy for lane compaction (compact=None).
+
+    On this package's TPU target, multi-start blocks are HBM-bound, so
+    per-block wall scales with lane count at EVERY measured size: warm
+    speedups 5.1x (96x10k) to 19.3x (96x500) for default-config
+    convergence fits at R=100 (BENCHMARKS.md). Auto therefore enables
+    compaction exactly where it is legal and can trigger: single device,
+    a convergence rule (fixed-length runs never free a lane), and enough
+    restarts that at least one halving exists. CPU stays opt-in: the
+    split-program driver differs from the monolithic runner by f32
+    fusion ulps (see CLAUDE.md), and CPU is the bit-exactness reference.
+    """
+    if compact is not None:
+        return bool(compact)
+    return (
+        mesh is None
+        and config.min_iterations < config.max_iterations
+        and n_restarts >= 2 * min_bucket
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+
+def fit_klnmf_restarts_compacting(
+    X,
+    n_signatures: int,
+    n_restarts: int,
+    seed: int = 0,
+    config: FitConfig | None = None,
+    weights_kl=None,
+    weights_lhalf=None,
+    dtype=jnp.float32,
+    min_bucket: int = 16,
+    use_pallas: bool = False,
+):
+    """Compacting twin of parallel.restarts.fit_klnmf_restarts (same seeds,
+    same per-lane results; single device). Returns a RestartResult."""
+    from ..initialization.methods import random_init_batch
+    from .restarts import RestartResult
+
+    config = config or FitConfig()
+    X = jnp.asarray(X, dtype)
+    key = jax.random.PRNGKey(seed)
+    W0, H0 = random_init_batch(key, X, n_signatures, n_restarts, dtype)
+    data = {"X": X}
+    if weights_kl is not None:
+        data["weights_kl"] = jnp.asarray(weights_kl, dtype)
+    if weights_lhalf is not None:
+        data["weights_lhalf"] = jnp.asarray(weights_lhalf, dtype)
+    runner = _cached_compacting_runner(
+        config, False, use_pallas, False, min_bucket
+    )
+    result, losses = runner.run({"W": W0, "H": H0}, data)
+    losses_host, n_iterations = fetch_pytree((losses, result.n_iterations))
+    losses_host = np.asarray(losses_host)
+    return RestartResult(
+        W=result.params["W"],
+        H=result.params["H"],
+        losses=losses_host,
+        n_iterations=np.asarray(n_iterations),
+        best_index=int(np.argmin(losses_host)),
+    )

@@ -116,6 +116,8 @@ def rank_scan_corrnmf(
     model_factory=None,
     build_models: bool = True,
     pack_points: bool | None = None,
+    compact: bool | None = None,
+    compact_min_bucket: int = 4,
 ):
     """Multi-start CorrNMF model-selection scan over n_signatures (and
     optionally dim_embeddings).
@@ -156,6 +158,15 @@ def rank_scan_corrnmf(
     the Newton inner loops couple across lanes. Per-point calls of a
     bucket still share ONE compiled program. Results identical either
     way (per-lane freezing).
+
+    compact (None = auto, parallel.compaction.resolve_compact): lane
+    compaction per call - converged restarts drop out of the batch in
+    halving steps instead of running frozen through every remaining
+    lockstep EM cycle (each cycle carries the batched Newton embedding
+    update, so frozen CorrNMF lanes are especially expensive).
+    Single-device; results match within f32 program-boundary
+    accumulation order (same caveat class as the padding equivalence
+    above).
     """
     from ..containers import AnnData
     from ..models import CorrNMFDet
@@ -194,9 +205,25 @@ def rank_scan_corrnmf(
         )
         buckets.setdefault((padded_k, padded_m), []).append((offset, k, m))
 
+    from .compaction import resolve_compact
+
+    if compact and mesh is not None:
+        raise ValueError(
+            "compact=True is single-device (the restart axis is already "
+            "sharded under a mesh); drop 'mesh' or 'compact'."
+        )
+    compact = resolve_compact(compact, config, mesh, n_restarts,
+                              compact_min_bucket)
     run, losses_fn = _cached_masked_run(
         config, bool(jax.config.jax_enable_x64)
     )
+    compacting_runner = None
+    if compact:
+        from .compaction import _cached_corrnmf_compacting_runner
+
+        compacting_runner = _cached_corrnmf_compacting_runner(
+            config, bool(jax.config.jax_enable_x64), compact_min_bucket
+        )
     rng_state = np.random.get_state()
     results: dict = {}
     cpu = jax.devices("cpu")[0]
@@ -240,8 +267,11 @@ def rank_scan_corrnmf(
                 ),
                 data,
             )
-        result = run(params0, data)
-        final_losses = losses_fn(result.params, data)
+        if compacting_runner is not None:
+            result, final_losses = compacting_runner.run(params0, data)
+        else:
+            result = run(params0, data)
+            final_losses = losses_fn(result.params, data)
         # one batched device->host transfer for everything
         return fetch_pytree((result, final_losses))
 

@@ -84,6 +84,8 @@ def fit_best_of(
     fitting_kwargs: dict[str, Any] | None = None,
     mesh=None,
     batched_init: bool | str = "auto",
+    compact: bool | None = None,
+    compact_min_bucket: int = 4,
 ) -> MultiStartSummary:
     """Fit `n_restarts` differently-initialized copies of `model` at once and
     keep the best.
@@ -101,6 +103,15 @@ def fit_best_of(
     use); other configurations fall back to a host loop over the model's own
     initializer (restoring the global RNG state afterwards). True forces the
     device path (raises if unsupported), False forces the host loop.
+
+    compact (None = auto, parallel.compaction.resolve_compact): lane
+    compaction - as restarts converge they drop out of the batch in
+    halving steps instead of running frozen (full block FLOPs) until the
+    slowest restart converges; measured warm speedups 5-19x for KLNMF
+    multi-start at R=100 (BENCHMARKS.md). Works for every family (the
+    model's own step functions drive the segments); single-device;
+    results match the monolithic loop within f32 program-boundary
+    accumulation order (bit-identical on the CPU/f64 reference path).
     """
     is_multimodal = hasattr(model, "mdata") and not hasattr(model, "adata")
 
@@ -205,14 +216,33 @@ def fit_best_of(
     model.history["tol_effective"] = effective_tolerance(
         config, objective_dtype, params0_one
     )
-    run = make_fit_function(update_fn, objective_fn, config,
-                            batched=True,
-                            unroll=getattr(model, "_unroll_blocks", False))
-    result = run(params0, data)
+    from .compaction import CompactingRunner, resolve_compact
 
-    losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))(
-        result.params, data
-    )
+    if resolve_compact(compact, config, mesh, n_restarts,
+                       compact_min_bucket):
+        def make_block_update(data_, n_lanes):
+            batched_update = jax.vmap(update_fn, in_axes=(0, None))
+
+            def block(params, steps):
+                return jax.lax.fori_loop(
+                    0, steps, lambda _, q: batched_update(q, data_), params
+                )
+
+            return block
+
+        runner = CompactingRunner(config, objective_fn, make_block_update,
+                                  min_bucket=compact_min_bucket)
+        result, losses_device = runner.run(params0, data)
+    else:
+        run = make_fit_function(update_fn, objective_fn, config,
+                                batched=True,
+                                unroll=getattr(model, "_unroll_blocks",
+                                               False))
+        result = run(params0, data)
+
+        losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))(
+            result.params, data
+        )
     # one batched device->host transfer for result + losses (per-leaf
     # fetches cost ~100ms of tunnel latency each on the TPU platform)
     result, final_losses = fetch_pytree((result, losses_device))

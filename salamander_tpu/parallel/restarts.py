@@ -20,6 +20,7 @@ import numpy as np
 
 from ..engine import FitConfig, fit_loop_lockstep
 from ..engine.transfer import fetch_pytree
+from .compaction import resolve_compact
 from ..initialization.methods import random_init_batch
 from ..ops import klnmf as ops
 from .mesh import restart_sharding
@@ -156,6 +157,8 @@ def fit_klnmf_restarts(
     dtype=jnp.float32,
     runner=None,
     use_pallas: bool = False,
+    compact: bool | None = None,
+    compact_min_bucket: int = 16,
 ) -> RestartResult:
     """Fit `n_restarts` random-initialized KLNMF models at once on device.
 
@@ -164,8 +167,29 @@ def fit_klnmf_restarts(
     `runner` (build_klnmf_restart_runner) to amortize compilation across
     calls with identical shapes/config. use_pallas enables the fused
     VMEM-resident MU-block kernel (single-device, unweighted).
+
+    compact (None = auto, parallel.compaction.resolve_compact): run the
+    fit through the lane-compacting driver - as restarts converge,
+    survivors are gathered into half-size batches so frozen lanes stop
+    burning block FLOPs. Measured warm speedups 5-19x at R=100 on the
+    TPU backend (blocks are HBM-bound, so per-block wall scales with the
+    lane count at every size; BENCHMARKS.md). Auto enables it on TPU for
+    single-device convergence-based fits with n_restarts >=
+    2*compact_min_bucket; per-lane results match within f32
+    program-boundary accumulation order (bit-identical schedules).
     """
     config = config or FitConfig()
+    if runner is None and resolve_compact(
+        compact, config, mesh, n_restarts, compact_min_bucket
+    ):
+        from .compaction import fit_klnmf_restarts_compacting
+
+        return fit_klnmf_restarts_compacting(
+            X, n_signatures, n_restarts, seed=seed, config=config,
+            weights_kl=weights_kl, weights_lhalf=weights_lhalf,
+            dtype=dtype, min_bucket=compact_min_bucket,
+            use_pallas=use_pallas,
+        )
     X = jnp.asarray(X, dtype)
     key = jax.random.PRNGKey(seed)
     W0, H0 = random_init_batch(key, X, n_signatures, n_restarts, dtype)
@@ -347,6 +371,8 @@ def rank_scan_klnmf(
     use_pallas: bool | None = None,
     pallas_interpret: bool = False,
     pack_points: bool | None = None,
+    compact: bool | None = None,
+    compact_min_bucket: int = 16,
 ) -> dict[int, RestartResult]:
     """Multi-start KLNMF over a range of ranks (the model-selection scan the
     reference tutorial runs as a nested Python loop, tutorial.ipynb cell 70).
@@ -372,8 +398,25 @@ def rank_scan_klnmf(
     program call (None = auto: only for fixed-length runs; see
     _resolve_pack - per-lane results are identical either way, only
     wall-time differs). Packed calls are still capped by the HBM lane
-    budget."""
+    budget.
+
+    compact (None = auto, parallel.compaction.resolve_compact) runs each
+    call through the lane-compacting driver (parallel/compaction.py): as
+    restarts converge, survivors are gathered into half-size batches so
+    frozen lanes stop burning block FLOPs (lockstep occupancy is ~32% on
+    default-config convergence fits; measured warm speedups 5-19x at
+    R=100, BENCHMARKS.md). Single-device only; costs
+    ~log2(n_restarts/compact_min_bucket) extra compiled programs per
+    bucket; per-lane results match within f32 program-boundary
+    accumulation order."""
     config = config or FitConfig()
+    if compact and mesh is not None:
+        raise ValueError(
+            "compact=True is single-device (the restart axis is already "
+            "sharded under a mesh); drop 'mesh' or 'compact'."
+        )
+    compact = resolve_compact(compact, config, mesh, n_restarts,
+                              compact_min_bucket)
     if use_pallas is None:
         use_pallas = (
             mesh is None
@@ -384,6 +427,17 @@ def rank_scan_klnmf(
     results: dict[int, RestartResult] = {}
 
     if not pad_ranks:
+        if compact:
+            from .compaction import fit_klnmf_restarts_compacting
+
+            for offset, k in enumerate(ranks):
+                results[k] = fit_klnmf_restarts_compacting(
+                    X, k, n_restarts,
+                    seed=seed + 1000 * offset,
+                    config=config, dtype=dtype, use_pallas=use_pallas,
+                    min_bucket=compact_min_bucket,
+                )
+            return results
         for offset, k in enumerate(ranks):
             results[k] = fit_klnmf_restarts(
                 X, k, n_restarts,
@@ -459,7 +513,18 @@ def rank_scan_klnmf(
                     "mask": jax.device_put(params0["mask"], shardings["mask"]),
                 }
 
-            params, losses, n_iterations = runner(params0, data)
+            if compact:
+                from .compaction import _cached_compacting_runner
+
+                c_runner = _cached_compacting_runner(
+                    config, True, bool(use_pallas), pallas_interpret,
+                    compact_min_bucket,
+                )
+                c_result, losses = c_runner.run(params0, data)
+                params = c_result.params
+                n_iterations = c_result.n_iterations
+            else:
+                params, losses, n_iterations = runner(params0, data)
             losses, n_iterations, W, H = fetch_pytree(
                 (losses, n_iterations, params["W"], params["H"])
             )
@@ -523,6 +588,8 @@ def rank_scan_mvnmf(
     pad_ranks: bool = True,
     rank_bucket: int = 4,
     pack_points: bool | None = None,
+    compact: bool | None = None,
+    compact_min_bucket: int = 16,
 ) -> dict[int, RestartResult]:
     """Multi-start minimum-volume NMF over a range of ranks.
 
@@ -542,8 +609,22 @@ def rank_scan_mvnmf(
     iterations, and the per-trial line-search while_loop couples across
     lanes), so auto packs only fixed-length runs. Results are identical
     either way (per-lane freezing).
+
+    compact (None = auto, parallel.compaction.resolve_compact): lane
+    compaction per call - converged restarts are dropped from the batch
+    in halving steps instead of burning frozen-lane FLOPs (and, for
+    MvNMF, frozen lanes' line-search while_loop trials) until the
+    slowest lane converges. Single-device; results match within f32
+    program-boundary accumulation order.
     """
     config = config or FitConfig()
+    if compact and mesh is not None:
+        raise ValueError(
+            "compact=True is single-device (the restart axis is already "
+            "sharded under a mesh); drop 'mesh' or 'compact'."
+        )
+    compact = resolve_compact(compact, config, mesh, n_restarts,
+                              compact_min_bucket)
     ranks = [int(k) for k in n_signatures_range]
     results: dict[int, RestartResult] = {}
 
@@ -619,7 +700,17 @@ def rank_scan_mvnmf(
                     "mask": jax.device_put(params0["mask"], shardings["mask"]),
                 }
 
-            params, losses, n_iterations = runner(params0, data)
+            if compact:
+                from .compaction import _cached_mvnmf_compacting_runner
+
+                c_runner = _cached_mvnmf_compacting_runner(
+                    config, float(lam), float(delta), compact_min_bucket
+                )
+                c_result, losses = c_runner.run(params0, data)
+                params = c_result.params
+                n_iterations = c_result.n_iterations
+            else:
+                params, losses, n_iterations = runner(params0, data)
             losses, n_iterations, W, H = fetch_pytree(
                 (losses, n_iterations, params["W"], params["H"])
             )

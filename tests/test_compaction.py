@@ -1,0 +1,287 @@
+"""Lane compaction (parallel/compaction.py): host-driven segment loop with
+shrinking batches must reproduce the uncompacted lockstep fit exactly.
+
+The invariant being pinned: a lane's trajectory never depends on its
+co-tenants (frozen lanes are where-selected, batched contractions reduce
+within a lane), so gathering survivors into a smaller batch mid-fit -
+with finished passengers padding the bucket - changes wall time only.
+Reference baseline: the reference fits restarts one at a time on the host
+(models/signature_nmf.py:315-385), so per-lane independence is also what
+ties both engines to its semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salamander_tpu.engine import FitConfig, fit_loop_lockstep
+from salamander_tpu.ops import klnmf as ops
+from salamander_tpu.parallel import (
+    fit_klnmf_restarts,
+    fit_klnmf_restarts_compacting,
+)
+from salamander_tpu.parallel.compaction import CompactingRunner
+
+
+def _counts(V=14, D=26, k=3, seed=0):
+    rng = np.random.default_rng(seed)
+    W = rng.dirichlet(np.ones(V), size=k).T
+    H = rng.gamma(2.0, 40.0, size=(k, D))
+    return rng.poisson(W @ H).astype(np.float64) + 1.0
+
+
+# convergence-based: lanes finish at different blocks, so several
+# compactions actually happen (min_bucket=2 drives 8 -> 4 -> 2)
+CONFIG = FitConfig(min_iterations=20, max_iterations=3000,
+                   conv_test_freq=10, tol=1e-6)
+
+
+def test_compacting_matches_plain_restarts():
+    X = _counts()
+    base = fit_klnmf_restarts(X, 3, 8, seed=0, config=CONFIG)
+    compact = fit_klnmf_restarts_compacting(
+        X, 3, 8, seed=0, config=CONFIG, min_bucket=2
+    )
+    # dispersion sanity: the test only exercises compaction if lanes
+    # actually finish at different blocks
+    assert len(np.unique(base.n_iterations)) > 1
+    np.testing.assert_array_equal(compact.n_iterations, base.n_iterations)
+    np.testing.assert_allclose(compact.losses, base.losses, rtol=1e-12)
+    assert compact.best_index == base.best_index
+    np.testing.assert_allclose(np.asarray(compact.W), np.asarray(base.W),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(compact.H), np.asarray(base.H),
+                               rtol=1e-12)
+
+
+def test_compacting_history_matches_lockstep():
+    """Per-lane histories/n_evals (the audit trail) survive compaction."""
+    X = jnp.asarray(_counts(seed=1), jnp.float32)
+    update_fn, objective_fn = ops.make_step_functions()
+    data = {"X": X}
+    key = jax.random.PRNGKey(3)
+    from salamander_tpu.initialization.methods import random_init_batch
+
+    W0, H0 = random_init_batch(key, X, 3, 8, jnp.float32)
+    params0 = {"W": W0, "H": H0}
+
+    batched_objective = jax.vmap(objective_fn, in_axes=(0, None))
+    batched_update = jax.vmap(update_fn, in_axes=(0, None))
+
+    # data must ride as a jit ARGUMENT (as every real runner passes it):
+    # closing over X bakes it in as a constant, and XLA's constant folding
+    # produces ulp-different f32 objectives than the argument path -
+    # enough to shift convergence blocks for borderline lanes
+    def run(p, d):
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched_update(q, d), params
+            )
+
+        return fit_loop_lockstep(
+            lambda q: batched_objective(q, d), p, CONFIG, block
+        )
+
+    baseline = jax.jit(run)(params0, data)
+
+    def make_block_update(data, n_lanes):
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched_update(q, data), params
+            )
+
+        return block
+
+    runner = CompactingRunner(CONFIG, objective_fn, make_block_update,
+                              min_bucket=2)
+    result, losses = runner.run(params0, data)
+    np.testing.assert_array_equal(np.asarray(result.n_evals),
+                                  np.asarray(baseline.n_evals))
+    np.testing.assert_array_equal(np.asarray(result.n_iterations),
+                                  np.asarray(baseline.n_iterations))
+    np.testing.assert_allclose(np.asarray(result.history),
+                               np.asarray(baseline.history), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(result.initial_objective),
+                               np.asarray(baseline.initial_objective),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(losses),
+        np.asarray(jax.jit(batched_objective)(baseline.params, data)),
+        rtol=1e-6,  # separately-jitted final eval: f32 fusion-order ulps
+    )
+
+
+def test_compacting_degenerate_small_batch():
+    """R <= min_bucket never compacts and still matches (single segment)."""
+    X = _counts(seed=2)
+    base = fit_klnmf_restarts(X, 2, 3, seed=5, config=CONFIG)
+    compact = fit_klnmf_restarts_compacting(
+        X, 2, 3, seed=5, config=CONFIG, min_bucket=16
+    )
+    np.testing.assert_array_equal(compact.n_iterations, base.n_iterations)
+    np.testing.assert_allclose(compact.losses, base.losses, rtol=1e-12)
+
+
+def test_compacting_fixed_schedule():
+    """A fixed-length schedule (no lane finishes early) exercises the
+    iteration-limit exit path: one segment, no compaction, equal results."""
+    config = FitConfig(min_iterations=60, max_iterations=60,
+                       conv_test_freq=10, tol=1e-6)
+    X = _counts(seed=3)
+    base = fit_klnmf_restarts(X, 3, 4, seed=1, config=config)
+    compact = fit_klnmf_restarts_compacting(
+        X, 3, 4, seed=1, config=config, min_bucket=2
+    )
+    np.testing.assert_array_equal(compact.n_iterations, base.n_iterations)
+    np.testing.assert_allclose(compact.losses, base.losses, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(compact.W), np.asarray(base.W),
+                               rtol=1e-12)
+
+
+def test_rank_scan_klnmf_compact_matches():
+    """compact=True through the K-padded rank scan (masked lanes) must not
+    change any per-rank result."""
+    from salamander_tpu.parallel import rank_scan_klnmf
+
+    X = _counts(seed=6)
+    base = rank_scan_klnmf(X, range(2, 5), n_restarts=6, seed=0,
+                           config=CONFIG, rank_bucket=4, use_pallas=False)
+    compact = rank_scan_klnmf(
+        X, range(2, 5), n_restarts=6, seed=0, config=CONFIG, rank_bucket=4,
+        use_pallas=False, compact=True, compact_min_bucket=2,
+    )
+    for k in base:
+        np.testing.assert_array_equal(compact[k].n_iterations,
+                                      base[k].n_iterations)
+        np.testing.assert_allclose(compact[k].losses, base[k].losses,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(compact[k].W),
+                                   np.asarray(base[k].W), rtol=1e-12)
+
+
+def test_rank_scan_klnmf_compact_rejects_mesh():
+    from salamander_tpu.parallel import make_mesh, rank_scan_klnmf
+
+    X = _counts(seed=7)
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="single-device"):
+        rank_scan_klnmf(X, range(2, 4), n_restarts=4, seed=0, config=CONFIG,
+                        mesh=mesh, compact=True)
+
+
+def test_rank_scan_mvnmf_compact_matches():
+    """compact=True through the K-padded MvNMF scan (masked lanes with
+    per-lane line-search gamma) must not change any per-rank result."""
+    from salamander_tpu.parallel import rank_scan_mvnmf
+
+    X = _counts(seed=8)
+    config = FitConfig(min_iterations=10, max_iterations=300,
+                       conv_test_freq=10, tol=1e-4)
+    base = rank_scan_mvnmf(X, range(2, 5), n_restarts=6, seed=0,
+                           config=config, rank_bucket=4)
+    compact = rank_scan_mvnmf(
+        X, range(2, 5), n_restarts=6, seed=0, config=config, rank_bucket=4,
+        compact=True, compact_min_bucket=2,
+    )
+    for k in base:
+        np.testing.assert_array_equal(compact[k].n_iterations,
+                                      base[k].n_iterations)
+        np.testing.assert_allclose(compact[k].losses, base[k].losses,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(compact[k].W),
+                                   np.asarray(base[k].W), rtol=1e-10)
+
+
+def test_fit_klnmf_restarts_compact_kwarg_weighted():
+    """compact=True on fit_klnmf_restarts with KL weights matches the
+    plain weighted path (weights ride in the data pytree either way)."""
+    rng = np.random.default_rng(9)
+    X = _counts(seed=9)
+    weights = rng.uniform(0.5, 2.0, size=X.shape[1])
+    base = fit_klnmf_restarts(X, 3, 8, seed=4, config=CONFIG,
+                              weights_kl=weights)
+    compact = fit_klnmf_restarts(X, 3, 8, seed=4, config=CONFIG,
+                                 weights_kl=weights, compact=True,
+                                 compact_min_bucket=2)
+    np.testing.assert_array_equal(compact.n_iterations, base.n_iterations)
+    np.testing.assert_allclose(compact.losses, base.losses, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(compact.H), np.asarray(base.H),
+                               rtol=1e-10)
+
+
+def test_rank_scan_corrnmf_compact_matches():
+    """compact=True through the CorrNMF scan: per-point losses and
+    winner ELBOs must match the monolithic path (CPU/f64: split-program
+    ulps are ~1e-16 and do not shift the branchy Newton trajectories at
+    these tolerances)."""
+    from salamander_tpu.parallel import rank_scan_corrnmf
+
+    rng = np.random.default_rng(11)
+    X = rng.poisson(40.0, size=(30, 12)).astype(float) + 1.0
+    config = FitConfig(min_iterations=10, max_iterations=150,
+                       conv_test_freq=5, tol=1e-7)
+    base = rank_scan_corrnmf(
+        X, range(2, 4), dim_embeddings=2, n_restarts=8, base_seed=0,
+        config=config, build_models=False,
+    )
+    compact = rank_scan_corrnmf(
+        X, range(2, 4), dim_embeddings=2, n_restarts=8, base_seed=0,
+        config=config, build_models=False, compact=True,
+        compact_min_bucket=2,
+    )
+    for k in base:
+        np.testing.assert_allclose(compact[k].losses, base[k].losses,
+                                   rtol=1e-8)
+        np.testing.assert_array_equal(compact[k].n_iterations,
+                                      base[k].n_iterations)
+        assert compact[k].best_index == base[k].best_index
+        for key, value in base[k].best_params.items():
+            np.testing.assert_allclose(compact[k].best_params[key], value,
+                                       rtol=1e-6, atol=1e-10,
+                                       err_msg=f"k={k} {key}")
+
+
+def test_fit_best_of_compact_matches():
+    """compact=True through the generic fit_best_of (model-API multi-start)
+    must reproduce the monolithic engine's summary for a maximize-direction
+    family (CorrNMFDet) and leave the fitted model identical."""
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import CorrNMFDet
+    from salamander_tpu.parallel import fit_best_of
+
+    rng = np.random.default_rng(12)
+    counts = rng.poisson(30.0, size=(25, 14)).astype(float) + 1.0
+
+    def make_model():
+        return CorrNMFDet(n_signatures=3, dim_embeddings=2,
+                          init_method="random", min_iterations=10,
+                          max_iterations=200, conv_test_freq=5, tol=1e-6)
+
+    model_a = make_model()
+    base = fit_best_of(model_a, AnnData(counts.copy()), n_restarts=8,
+                       base_seed=0, compact=False)
+    model_b = make_model()
+    compact = fit_best_of(model_b, AnnData(counts.copy()), n_restarts=8,
+                          base_seed=0, compact=True, compact_min_bucket=2)
+    np.testing.assert_array_equal(compact.n_iterations, base.n_iterations)
+    np.testing.assert_allclose(compact.losses, base.losses, rtol=1e-8)
+    assert compact.best_index == base.best_index
+    np.testing.assert_allclose(model_b.signatures.values,
+                               model_a.signatures.values, rtol=1e-6)
+
+
+def test_compacting_remainder_tail():
+    """max_iterations not divisible by conv_test_freq: the never-evaluated
+    remainder advance must hit unconverged lanes exactly once."""
+    config = FitConfig(min_iterations=64, max_iterations=64,
+                       conv_test_freq=10, tol=1e-6)
+    X = _counts(seed=4)
+    base = fit_klnmf_restarts(X, 3, 4, seed=2, config=config)
+    compact = fit_klnmf_restarts_compacting(
+        X, 3, 4, seed=2, config=config, min_bucket=2
+    )
+    np.testing.assert_array_equal(compact.n_iterations, base.n_iterations)
+    np.testing.assert_allclose(compact.losses, base.losses, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(compact.H), np.asarray(base.H),
+                               rtol=1e-12)
