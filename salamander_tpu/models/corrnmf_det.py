@@ -209,7 +209,10 @@ class CorrNMFDet(CorrNMF):
         per-sample parameters live in device memory, so cohorts whose
         counts exceed HBM fit end-to-end. Given the same seed, the two
         placements draw identical minibatch sequences and produce
-        bitwise-identical parameters (ops/svi.py run_svi_streaming).
+        bitwise-identical parameters (ops/svi.py run_svi_streaming) -
+        when comparing two separate calls, also pass init_kwargs
+        {"seed": ...}: the CorrNMF embedding initialization is otherwise
+        unseeded (reference semantics, initialize.py:365-377).
         Integer-dtype count matrices are kept compact on the host in
         streaming mode (adata.X is NOT clipped in place; the EPSILON clip
         is applied to each uploaded batch instead). Pass eval_freq=0 to

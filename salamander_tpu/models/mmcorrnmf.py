@@ -249,7 +249,11 @@ class MultimodalCorrNMF:
                     "The sample names of the different modalities are not identical."
                 )
         for adata in mdata.mod.values():
-            if not np.issubdtype(np.asarray(adata.X).dtype, np.integer):
+            # dtype without materializing (lazily-backed X stays on disk)
+            x_dtype = getattr(adata.X, "dtype", None)
+            if x_dtype is None:
+                x_dtype = np.asarray(adata.X).dtype
+            if not np.issubdtype(x_dtype, np.integer):
                 adata.X = adata.X.clip(EPSILON)
         self.mdata = mdata
 

@@ -261,7 +261,12 @@ class SignatureNMF(ABC):
         if not hasattr(adata, "obsm") or not hasattr(adata, "X"):
             type_checker("adata", adata, containers.AnnData)
         self.adata = adata
-        if not np.issubdtype(np.asarray(adata.X).dtype, np.integer):
+        # read the dtype WITHOUT materializing: np.asarray on a
+        # lazily-backed X would load the whole matrix just to inspect it
+        x_dtype = getattr(adata.X, "dtype", None)
+        if x_dtype is None:
+            x_dtype = np.asarray(adata.X).dtype
+        if not np.issubdtype(x_dtype, np.integer):
             self.adata.X = self.adata.X.clip(EPSILON)
 
     def _update_parameters(self, given_parameters=None) -> None:

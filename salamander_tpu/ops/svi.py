@@ -1050,15 +1050,21 @@ def run_svi_streaming(
     for t in range(n_steps):
         with jax.default_device(cpu):
             key, subkey = jax.random.split(key)
-            if cursor + batch_size > n_samples:
+            reshuffle = cursor + batch_size > n_samples
+            if reshuffle:
                 # mirror of _draw_epoch_batch's reshuffle branch (including
                 # drop-last): permutation drawn with the STEP's subkey
                 perm = np.asarray(
                     jax.random.permutation(subkey, n_samples)
                 ).astype(np.int32)
                 cursor = 0
-                if refresh is not None:
-                    state = refresh(state)
+        if reshuffle and refresh is not None:
+            # outside the cpu default_device scope: at t=0 the state is
+            # still uncommitted, and running the refresh under the scope
+            # would pull the whole per-sample pytree through the host
+            # (tunnel round-trip + CPU accumulation order, breaking the
+            # resident-path bitwise pin on the accelerator backend)
+            state = refresh(state)
         indices = perm[cursor:cursor + batch_size]
         cursor += batch_size
         batch_dev = jax.device_put(get_batch(indices), device)

@@ -261,6 +261,7 @@ def _klnmf_block_update_builder(use_pallas: bool, masked: bool,
                 data["X"], n_lanes,
                 weights_kl=data.get("weights_kl"),
                 weights_lhalf=data.get("weights_lhalf"),
+                interpret=pallas_interpret,
             )
 
         batched_update = jax.vmap(update_fn, in_axes=(0, None))
@@ -387,6 +388,7 @@ def fit_klnmf_restarts_compacting(
     dtype=jnp.float32,
     min_bucket: int = 16,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Compacting twin of parallel.restarts.fit_klnmf_restarts (same seeds,
     same per-lane results; single device). Returns a RestartResult."""
@@ -403,7 +405,7 @@ def fit_klnmf_restarts_compacting(
     if weights_lhalf is not None:
         data["weights_lhalf"] = jnp.asarray(weights_lhalf, dtype)
     runner = _cached_compacting_runner(
-        config, False, use_pallas, False, min_bucket
+        config, False, use_pallas, pallas_interpret, min_bucket
     )
     result, losses = runner.run({"W": W0, "H": H0}, data)
     losses_host, n_iterations = fetch_pytree((losses, result.n_iterations))

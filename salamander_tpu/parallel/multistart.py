@@ -42,6 +42,10 @@ _DEVICE_INIT_FAMILIES = (
     "KLNMF", "MvNMF", "CorrNMFDet", "MultimodalCorrNMF",
 )
 
+# compacting runners shared across fit_best_of calls (FIFO-bounded; each
+# runner caches its per-lane-count jitted segment programs)
+_RUNNER_CACHE: dict = {}
+
 
 def _device_init_batch(model, data, n_restarts: int, base_seed: int):
     """Build the batched params0 pytree directly on device with jax.random
@@ -230,8 +234,38 @@ def fit_best_of(
 
             return block
 
-        runner = CompactingRunner(config, objective_fn, make_block_update,
-                                  min_bucket=compact_min_bucket)
+        # Reuse the runner (= its per-lane-count compiled-program cache)
+        # across repeated calls with the same family/hyperparams/shapes -
+        # each segment program is a fresh remote compile otherwise
+        # (minutes in slow windows). Only cacheable without
+        # given_parameters: the step closures bake given values in as
+        # constants. Every other closure-captured value is either a
+        # constructor hyperparameter in the key (lam/delta - the only
+        # non-shape ones any family bakes in) or shape-determined (k,
+        # dim_embeddings, ns_signatures), covered by the shape keys.
+        cache_key = None
+        if not given_parameters:
+            def shape_key(tree):
+                leaves, treedef = jax.tree.flatten(tree)
+                return (
+                    str(treedef),
+                    tuple((leaf.shape, str(leaf.dtype)) for leaf in leaves),
+                )
+
+            cache_key = (
+                type(model).__name__, config, compact_min_bucket,
+                shape_key(params0), shape_key(data),
+                getattr(model, "lam", None), getattr(model, "delta", None),
+                bool(jax.config.jax_enable_x64),
+            )
+        runner = _RUNNER_CACHE.get(cache_key) if cache_key is not None else None
+        if runner is None:
+            runner = CompactingRunner(config, objective_fn, make_block_update,
+                                      min_bucket=compact_min_bucket)
+            if cache_key is not None:
+                if len(_RUNNER_CACHE) >= 16:  # bound compiled-program memory
+                    _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+                _RUNNER_CACHE[cache_key] = runner
         result, losses_device = runner.run(params0, data)
     else:
         run = make_fit_function(update_fn, objective_fn, config,

@@ -435,15 +435,18 @@ def rank_scan_klnmf(
                     X, k, n_restarts,
                     seed=seed + 1000 * offset,
                     config=config, dtype=dtype, use_pallas=use_pallas,
+                    pallas_interpret=pallas_interpret,
                     min_bucket=compact_min_bucket,
                 )
             return results
         for offset, k in enumerate(ranks):
+            # compact already resolved above - pass the decision through so
+            # an explicit compact=False is not re-auto-resolved inside
             results[k] = fit_klnmf_restarts(
                 X, k, n_restarts,
                 seed=seed + 1000 * offset,
                 config=config, mesh=mesh, dtype=dtype,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, compact=False,
             )
         return results
 

@@ -285,3 +285,66 @@ def test_compacting_remainder_tail():
     np.testing.assert_allclose(compact.losses, base.losses, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(compact.H), np.asarray(base.H),
                                rtol=1e-12)
+
+
+def test_fit_best_of_compacting_runner_reused_across_calls():
+    """Repeated fit_best_of calls with the same family/hyperparams/shapes
+    must reuse ONE CompactingRunner (= one compiled-program cache): each
+    runner's segment programs are fresh remote compiles on the TPU
+    platform, so warm+timed call pairs and scan loops would otherwise
+    recompile every call. Results must stay identical to the first call's."""
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import KLNMF
+    from salamander_tpu.parallel import fit_best_of, multistart
+
+    rng = np.random.default_rng(5)
+    counts = rng.poisson(25.0, size=(20, 12)).astype(float) + 1.0
+
+    def make_model():
+        return KLNMF(n_signatures=3, init_method="random",
+                     min_iterations=10, max_iterations=300,
+                     conv_test_freq=5, tol=1e-6)
+
+    multistart._RUNNER_CACHE.clear()
+    first = fit_best_of(make_model(), AnnData(counts.copy()), n_restarts=8,
+                        base_seed=0, compact=True, compact_min_bucket=2)
+    assert len(multistart._RUNNER_CACHE) == 1
+    runner = next(iter(multistart._RUNNER_CACHE.values()))
+    second = fit_best_of(make_model(), AnnData(counts.copy()), n_restarts=8,
+                         base_seed=0, compact=True, compact_min_bucket=2)
+    assert next(iter(multistart._RUNNER_CACHE.values())) is runner
+    assert len(multistart._RUNNER_CACHE) == 1
+    np.testing.assert_array_equal(second.losses, first.losses)
+
+    # different shapes (rank) must get their own entry, not a stale reuse
+    other = KLNMF(n_signatures=4, init_method="random", min_iterations=10,
+                  max_iterations=300, conv_test_freq=5, tol=1e-6)
+    fit_best_of(other, AnnData(counts.copy()), n_restarts=8,
+                base_seed=0, compact=True, compact_min_bucket=2)
+    assert len(multistart._RUNNER_CACHE) == 2
+
+
+def test_rank_scan_pad_false_respects_explicit_compact_false(monkeypatch):
+    """rank_scan_klnmf(pad_ranks=False, compact=False) must pass the
+    resolved decision into fit_klnmf_restarts - the inner call used to
+    re-auto-resolve compact=None, silently overriding an explicit opt-out
+    on the TPU backend (where auto enables compaction). Simulated here by
+    making auto-resolution return True, as it does on TPU."""
+    from salamander_tpu.parallel import compaction, restarts
+
+    def fake_resolve(compact, config, mesh, n_restarts, min_bucket):
+        return True if compact is None else bool(compact)
+
+    def boom(*args, **kwargs):
+        raise AssertionError("compacting path used despite compact=False")
+
+    monkeypatch.setattr(restarts, "resolve_compact", fake_resolve)
+    monkeypatch.setattr(compaction, "fit_klnmf_restarts_compacting", boom)
+    X = _counts()
+    config = FitConfig(min_iterations=10, max_iterations=40,
+                       conv_test_freq=10, tol=1e-6)
+    results = restarts.rank_scan_klnmf(
+        X, [2, 3], 4, seed=0, config=config, pad_ranks=False,
+        compact=False, use_pallas=False,
+    )
+    assert set(results) == {2, 3}
