@@ -382,6 +382,37 @@ def config5b_rank_scan_padded():
 
 
 
+def config5d_rank_scan_auto():
+    """The 19-rank scan under the all-auto defaults (the path users hit):
+    on TPU this resolves to per-rank XLA programs through the lane-
+    compacting driver — the measured fast path at 96x10k."""
+    from salamander_tpu.parallel import rank_scan_klnmf
+
+    X = datasets.synthetic_catalog(n_features=96, n_samples=10_000,
+                                   n_signatures=8, seed=0)
+    config = FitConfig(min_iterations=200, max_iterations=2000,
+                       conv_test_freq=10, tol=1e-7)
+    start = time.perf_counter()
+    results = rank_scan_klnmf(X, range(2, 21), 100, seed=0, config=config)
+    cold = time.perf_counter() - start
+    start = time.perf_counter()
+    results = rank_scan_klnmf(X, range(2, 21), 100, seed=0, config=config)
+    steady = time.perf_counter() - start
+    total_iters = int(sum(np.sum(r.n_iterations) for r in results.values()))
+    emit({
+        "config": "5d_rank_scan_auto_k2_20_100restarts_96x10k",
+        "cold_wall_seconds": round(cold, 1),
+        "steady_state_seconds": round(steady, 1),
+        "total_mu_iterations": total_iters,
+        "tpu_steady_aggregate_mu_iterations_per_sec": round(
+            total_iters / steady, 1
+        ),
+        "best_loss_per_rank": {
+            k: round(r.best_loss, 1) for k, r in results.items()
+        },
+    })
+
+
 def config2b_mvnmf_rank_scan_padded():
     """Masked-rank MvNMF scan: k=5..10 as K-padded bucketed programs vs one
     program per rank (round-3 feature; the cold win is the compile count -
@@ -557,6 +588,7 @@ CONFIGS = {
     "4b": config4b_multimodal_multistart,
     "5": config5_rank_scan,
     "5b": config5b_rank_scan_padded,
+    "5d": config5d_rank_scan_auto,
     "5c": config5c_rank_scan_pallas,
 }
 

@@ -366,7 +366,7 @@ def rank_scan_klnmf(
     config: FitConfig | None = None,
     mesh=None,
     dtype=jnp.float32,
-    pad_ranks: bool = True,
+    pad_ranks: bool | None = None,
     rank_bucket: int = 8,
     use_pallas: bool | None = None,
     pallas_interpret: bool = False,
@@ -377,13 +377,20 @@ def rank_scan_klnmf(
     """Multi-start KLNMF over a range of ranks (the model-selection scan the
     reference tutorial runs as a nested Python loop, tutorial.ipynb cell 70).
 
-    With pad_ranks=True (default), ranks are rounded up to multiples of
+    With pad_ranks=True, ranks are rounded up to multiples of
     `rank_bucket` and every rank in a bucket runs as extra lanes of ONE
     K-padded compiled program with per-lane rank masks: a 19-rank scan costs
     ~3 XLA compilations instead of 19, and small ranks stop wasting the
     MXU's K lanes. Per-rank results are identical to the unpadded scan
     (same seeds, masked lanes advance and converge independently).
-    pad_ranks=False keeps one compiled program per rank.
+    pad_ranks=False keeps one compiled program per rank. None (default)
+    pads exactly when lane compaction is OFF: under compaction, per-rank
+    programs through the compacting driver are the measured fast path
+    (stable ~90k agg it/s on the 96x10k scan shape vs 10-30k and high
+    run-to-run variance for every padded/packed/pallas combination -
+    MU blocks are HBM-bound, so padded K costs nothing but masked+compact
+    buys nothing either, and the remote compile cache amortizes the
+    per-rank compiles across processes; BENCHMARKS.md).
 
     use_pallas routes the MU blocks through the rank-masked fused TPU
     kernels (single device; with pad_ranks=False it uses the per-rank fused
@@ -391,8 +398,11 @@ def rank_scan_klnmf(
     accumulation order; the win is ~10x faster cold compiles - exactly the
     cold rank-scan wall-clock (19 ranks x 100 restarts fresh-process:
     239 s vs 373 s, BENCHMARKS.md). None (default) auto-enables the
-    kernels exactly where that win exists: single-device f32 scans on the
-    TPU backend (steady-state throughput is parity, so nothing is lost).
+    kernels for single-device f32 scans on the TPU backend WHEN lane
+    compaction is off (fixed-length schedules): under compaction the XLA
+    path is faster steady-state (measured 15.3 s vs 35.7 s on a 3-rank
+    96x10k scan - the D-tiled masked kernel loses efficiency at
+    compaction's shrinking lane counts), so compact wins the default.
 
     pack_points: whether several ranks of a bucket may share one lockstep
     program call (None = auto: only for fixed-length runs; see
@@ -417,9 +427,24 @@ def rank_scan_klnmf(
         )
     compact = resolve_compact(compact, config, mesh, n_restarts,
                               compact_min_bucket)
+    if pad_ranks is None:
+        # compaction (when it triggers) prefers per-rank programs: the
+        # padded-masked x compacting combination measured slower AND
+        # erratic on the TPU tunnel platform (see docstring)
+        pad_ranks = not compact
     if use_pallas is None:
+        # Compaction takes precedence over the fused kernels: measured on
+        # the 96x10k scan shape (warm, 3 ranks x 100 restarts), XLA+compact
+        # 15.3s beats XLA-plain 26.6s, Pallas-plain 30.3s AND
+        # Pallas+compact 35.7s - the D-tiled masked kernel is ~1.1x slower
+        # than XLA steady-state at this size and loses further efficiency
+        # at compaction's shrinking lane counts. Pallas stays auto-on only
+        # for runs compaction skips (fixed-length schedules), where its
+        # ~10x faster cold compile is the whole win and steady-state is
+        # parity (VMEM block kernel shapes).
         use_pallas = (
-            mesh is None
+            not compact
+            and mesh is None
             and jnp.dtype(dtype) == jnp.float32
             and jax.default_backend() in ("tpu", "axon")
         )

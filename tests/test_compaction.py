@@ -141,15 +141,19 @@ def test_compacting_fixed_schedule():
 
 def test_rank_scan_klnmf_compact_matches():
     """compact=True through the K-padded rank scan (masked lanes) must not
-    change any per-rank result."""
+    change any per-rank result. pad_ranks is pinned on BOTH sides: the
+    None default resolves it against the compaction decision (per-rank
+    programs under compaction), and cross-layout comparisons only agree
+    to f32 contraction-width ulps, not bitwise."""
     from salamander_tpu.parallel import rank_scan_klnmf
 
     X = _counts(seed=6)
     base = rank_scan_klnmf(X, range(2, 5), n_restarts=6, seed=0,
-                           config=CONFIG, rank_bucket=4, use_pallas=False)
+                           config=CONFIG, rank_bucket=4, use_pallas=False,
+                           pad_ranks=True)
     compact = rank_scan_klnmf(
         X, range(2, 5), n_restarts=6, seed=0, config=CONFIG, rank_bucket=4,
-        use_pallas=False, compact=True, compact_min_bucket=2,
+        use_pallas=False, pad_ranks=True, compact=True, compact_min_bucket=2,
     )
     for k in base:
         np.testing.assert_array_equal(compact[k].n_iterations,
@@ -348,3 +352,36 @@ def test_rank_scan_pad_false_respects_explicit_compact_false(monkeypatch):
         compact=False, use_pallas=False,
     )
     assert set(results) == {2, 3}
+
+
+def test_rank_scan_pad_auto_resolves_against_compaction(monkeypatch):
+    """pad_ranks=None must resolve to per-rank programs (pad off) exactly
+    when compaction triggers - the measured fast path on TPU - and to
+    padded buckets when it does not (e.g. fixed-length schedules)."""
+    from salamander_tpu.parallel import compaction, restarts
+
+    monkeypatch.setattr(restarts, "resolve_compact",
+                        lambda compact, *a: True if compact is None
+                        else bool(compact))
+    seen = []
+    real = compaction.fit_klnmf_restarts_compacting
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(compaction, "fit_klnmf_restarts_compacting", spy)
+    X = _counts()
+    config = FitConfig(min_iterations=10, max_iterations=60,
+                       conv_test_freq=10, tol=1e-6)
+    restarts.rank_scan_klnmf(X, [2, 3], 4, seed=0, config=config,
+                             use_pallas=False, compact_min_bucket=2)
+    # compaction on -> pad resolved off -> one compacting call per rank
+    assert len(seen) == 2
+
+    seen.clear()
+    restarts.rank_scan_klnmf(X, [2, 3], 4, seed=0, config=config,
+                             use_pallas=False, compact=False)
+    # compaction off -> pad resolved on -> the padded bucket path, no
+    # compacting calls
+    assert seen == []
