@@ -361,18 +361,25 @@ def resolve_compact(compact, config: FitConfig, mesh,
     per-block wall scales with lane count at EVERY measured size: warm
     speedups 5.1x (96x10k) to 19.3x (96x500) for default-config
     convergence fits at R=100 (BENCHMARKS.md). Auto therefore enables
-    compaction exactly where it is legal and can trigger: single device,
-    a convergence rule (fixed-length runs never free a lane), and enough
-    restarts that at least one halving exists. CPU stays opt-in: the
-    split-program driver differs from the monolithic runner by f32
-    fusion ulps (see CLAUDE.md), and CPU is the bit-exactness reference.
+    compaction exactly where it is legal and can pay: single device, a
+    convergence rule (fixed-length runs never free a lane), and enough
+    restarts for at least TWO halvings (n_restarts >= 4 * min_bucket).
+    The two-halving floor is measured, not aesthetic: the driver's
+    per-segment done-mask fetch costs ~100ms of tunnel latency, and when
+    runs are cap-bound (no lane frees early - e.g. a low max_iterations
+    ceiling) that overhead is the whole effect, so a one-halving R=8
+    CorrNMF scan measured 1.5x SLOWER compacted while the same driver at
+    R=32 was a wash and dispersing fits won 2.0-2.5x (BENCHMARKS.md
+    "Lane compaction"). CPU stays opt-in: the split-program driver
+    differs from the monolithic runner by f32 fusion ulps (see
+    CLAUDE.md), and CPU is the bit-exactness reference.
     """
     if compact is not None:
         return bool(compact)
     return (
         mesh is None
         and config.min_iterations < config.max_iterations
-        and n_restarts >= 2 * min_bucket
+        and n_restarts >= 4 * min_bucket
         and jax.default_backend() in ("tpu", "axon")
     )
 

@@ -158,7 +158,7 @@ def fit_klnmf_restarts(
     runner=None,
     use_pallas: bool = False,
     compact: bool | None = None,
-    compact_min_bucket: int = 16,
+    compact_min_bucket: int = 8,
 ) -> RestartResult:
     """Fit `n_restarts` random-initialized KLNMF models at once on device.
 
@@ -175,7 +175,7 @@ def fit_klnmf_restarts(
     TPU backend (blocks are HBM-bound, so per-block wall scales with the
     lane count at every size; BENCHMARKS.md). Auto enables it on TPU for
     single-device convergence-based fits with n_restarts >=
-    2*compact_min_bucket; per-lane results match within f32
+    4*compact_min_bucket (two halvings; see resolve_compact); per-lane results match within f32
     program-boundary accumulation order (bit-identical schedules).
     """
     config = config or FitConfig()
@@ -372,7 +372,7 @@ def rank_scan_klnmf(
     pallas_interpret: bool = False,
     pack_points: bool | None = None,
     compact: bool | None = None,
-    compact_min_bucket: int = 16,
+    compact_min_bucket: int = 8,
 ) -> dict[int, RestartResult]:
     """Multi-start KLNMF over a range of ranks (the model-selection scan the
     reference tutorial runs as a nested Python loop, tutorial.ipynb cell 70).
@@ -617,7 +617,7 @@ def rank_scan_mvnmf(
     rank_bucket: int = 4,
     pack_points: bool | None = None,
     compact: bool | None = None,
-    compact_min_bucket: int = 16,
+    compact_min_bucket: int = 8,
 ) -> dict[int, RestartResult]:
     """Multi-start minimum-volume NMF over a range of ranks.
 

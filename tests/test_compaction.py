@@ -385,3 +385,33 @@ def test_rank_scan_pad_auto_resolves_against_compaction(monkeypatch):
     # compaction off -> pad resolved on -> the padded bucket path, no
     # compacting calls
     assert seen == []
+
+
+def test_resolve_compact_auto_policy(monkeypatch):
+    """Auto compaction needs: single device, a convergence rule, TPU
+    backend, and room for at least TWO halvings (n_restarts >=
+    4 * min_bucket) - one-halving calls measured overhead-bound when
+    runs are cap-bound (BENCHMARKS.md 'Lane compaction', R=8 CorrNMF
+    scan 1.5x slower compacted)."""
+    from salamander_tpu.parallel import compaction
+
+    conv = FitConfig(min_iterations=10, max_iterations=100,
+                     conv_test_freq=10, tol=1e-6)
+    fixed = FitConfig(min_iterations=100, max_iterations=100,
+                      conv_test_freq=10, tol=1e-6)
+
+    # explicit always wins, any backend
+    assert compaction.resolve_compact(True, conv, None, 4, 4) is True
+    assert compaction.resolve_compact(False, conv, None, 64, 4) is False
+    # CPU backend: auto stays off (bit-exactness reference path)
+    assert compaction.resolve_compact(None, conv, None, 64, 4) is False
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert compaction.resolve_compact(None, conv, None, 16, 4) is True
+    # one halving only: off (measured overhead-bound at R=8, bucket 4)
+    assert compaction.resolve_compact(None, conv, None, 15, 4) is False
+    assert compaction.resolve_compact(None, conv, None, 8, 4) is False
+    # fixed-length schedule never frees a lane: off
+    assert compaction.resolve_compact(None, fixed, None, 64, 4) is False
+    # mesh: the restart axis is already sharded: off
+    assert compaction.resolve_compact(None, conv, object(), 64, 4) is False
