@@ -154,6 +154,38 @@ def embedding_hessian(embedding, embeddings_other, scaling, scalings_other,
     )
 
 
+# Reference-named twins (models/_utils_corrnmf.py:182-351). The objective
+# shares the reference signature exactly; the reference's gradient/hessian
+# take PRECOMPUTED per-row terms (summand_grad = aux_vector @
+# embeddings_other; outer_prods = per-row o_i o_i^T) because its host EM
+# cycle reuses them across Newton iterations - on TPU the fused recompute
+# inside embedding_gradient/_hessian is cheaper than materializing a
+# (rows, m, m) tensor, so these adapters exist for API parity and porting.
+objective_function_embedding = embedding_objective
+
+
+def gradient_embedding(embedding, embeddings_other, scaling, scalings_other,
+                       variance, summand_grad):
+    """Reference-convention gradient (models/_utils_corrnmf.py:242-293):
+    `summand_grad` is the precomputed linear term aux_vector @
+    embeddings_other of this row."""
+    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
+    return -summand_grad + embeddings_other.T @ rates + embedding / variance
+
+
+def hessian_embedding(embedding, embeddings_other, scaling, scalings_other,
+                      variance, outer_prods_embeddings_other):
+    """Reference-convention Hessian (models/_utils_corrnmf.py:296-351):
+    `outer_prods_embeddings_other` is the precomputed
+    (rows, dim, dim) stack of o_i o_i^T outer products."""
+    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
+    dim = embedding.shape[0]
+    return (
+        jnp.einsum("i,ijk->jk", rates, outer_prods_embeddings_other)
+        + jnp.eye(dim, dtype=embedding.dtype) / variance
+    )
+
+
 def _cholesky_solve_unrolled(hess, grad):
     """SPD solve by a fully UNROLLED scalar Cholesky + two substitutions.
 

@@ -381,3 +381,41 @@ def test_unrolled_cholesky_indefinite_stays_finite():
         _cholesky_solve_unrolled(jnp.asarray(hess), jnp.asarray(grad))
     )
     assert np.all(np.isfinite(x))
+
+
+def test_reference_named_embedding_adapters():
+    """objective_function_embedding / gradient_embedding / hessian_embedding
+    accept the reference's precomputed-term conventions
+    (models/_utils_corrnmf.py:182-351) and match the fused kernels."""
+    rng = np.random.default_rng(7)
+    m, M = 3, 6
+    embedding = rng.normal(size=m)
+    others = rng.normal(size=(M, m)) * 0.5
+    scaling = -0.1
+    scalings_other = rng.normal(size=M) * 0.2
+    aux_vec = np.abs(rng.normal(size=M)) + 0.5
+    variance = 2.0
+
+    np.testing.assert_array_equal(
+        corrnmf.objective_function_embedding(
+            embedding, others, scaling, scalings_other, variance, aux_vec),
+        corrnmf.embedding_objective(
+            embedding, others, scaling, scalings_other, variance, aux_vec))
+
+    summand_grad = aux_vec @ others  # the reference precomputes this per row
+    np.testing.assert_allclose(
+        corrnmf.gradient_embedding(
+            embedding, others, scaling, scalings_other, variance,
+            summand_grad),
+        corrnmf.embedding_gradient(
+            embedding, others, scaling, scalings_other, variance, aux_vec),
+        rtol=1e-12)
+
+    outer_prods = np.einsum("ij,ik->ijk", others, others)
+    np.testing.assert_allclose(
+        corrnmf.hessian_embedding(
+            embedding, others, scaling, scalings_other, variance,
+            outer_prods),
+        corrnmf.embedding_hessian(
+            embedding, others, scaling, scalings_other, variance),
+        rtol=1e-12)
