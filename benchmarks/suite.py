@@ -542,6 +542,49 @@ def config3d_corrnmf_multistart_compaction():
     emit({"config": "3d_corrnmf_multistart_compaction_64", **results})
 
 
+def config2c_scan_compaction_boundary():
+    """Compaction on/off for the MvNMF and CorrNMF scan drivers at the
+    auto-policy boundary (warm, interleaved). The recorded lesson
+    (BENCHMARKS.md 'Lane compaction'): MvNMF lanes disperse
+    (1,700..5,300 iterations) so compaction wins ~2x at R=32, while the
+    CorrNMF case here is CAP-BOUND (max_iterations=500; most lanes never
+    free) so compaction is pure per-segment fetch overhead - the
+    measurement behind resolve_compact's two-halving floor."""
+    from salamander_tpu.parallel import rank_scan_corrnmf, rank_scan_mvnmf
+
+    sbs = datasets.load_pcawg_sbs()  # (D, V) sample orientation
+    mv_cfg = FitConfig(min_iterations=500, max_iterations=8000,
+                       conv_test_freq=10, tol=1e-7)
+    co_cfg = FitConfig(min_iterations=50, max_iterations=500,
+                       conv_test_freq=10, tol=1e-7)
+
+    def mv(n_restarts, compact):
+        return rank_scan_mvnmf(sbs.T, range(5, 9), n_restarts, seed=0,
+                               config=mv_cfg, compact=compact,
+                               compact_min_bucket=4)
+
+    def co(n_restarts, compact):
+        return rank_scan_corrnmf(sbs.copy(), range(2, 6), dim_embeddings=2,
+                                 n_restarts=n_restarts, base_seed=0,
+                                 config=co_cfg, build_models=False,
+                                 compact=compact, compact_min_bucket=4)
+
+    results = {}
+    for family, fn in (("mvnmf", mv), ("corrnmf_cap_bound", co)):
+        for n_restarts in (8, 32):
+            for label, compact in (("plain", False), ("compacting", True)):
+                fn(n_restarts, compact)  # warm compile
+                walls = []
+                for _ in range(2):
+                    start = time.perf_counter()
+                    fn(n_restarts, compact)
+                    walls.append(time.perf_counter() - start)
+                key = f"{family}_R{n_restarts}_{label}"
+                results[key] = round(min(walls), 2)
+                log(f"config2c {key}: {results[key]}s")
+    emit({"config": "2c_scan_compaction_boundary", **results})
+
+
 def config5c_rank_scan_pallas():
     """K-padded KLNMF rank scan through the rank-masked fused Pallas
     kernels vs the XLA path (96 x 10k; the D-tiled masked kernel). Warm
@@ -580,6 +623,7 @@ CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
     "2b": config2b_mvnmf_rank_scan_padded,
+    "2c": config2c_scan_compaction_boundary,
     "3": config3_corrnmf,
     "3b": config3b_corrnmf_multistart,
     "3c": config3c_corrnmf_svi,
