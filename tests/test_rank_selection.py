@@ -1,0 +1,99 @@
+"""Stability-based rank selection (tools.signature_stability /
+rank_selection_table / suggest_rank).
+
+Beyond-reference subsystem: the reference leaves choosing n_signatures to
+the user (its tutorial loops fits over ranks and eyeballs losses). The
+invariants pinned here: matched-cosine stability is permutation- and
+scale-invariant, identical restarts are perfectly stable, and on planted
+synthetic data the contiguous-stable-prefix rule recovers the true rank
+while raw best-loss alone would not (it keeps improving past the truth).
+"""
+
+import numpy as np
+import pytest
+
+from salamander_tpu import tl
+from salamander_tpu.engine import FitConfig
+from salamander_tpu.parallel import rank_scan_klnmf
+
+
+def _random_signatures(rng, V, k):
+    W = rng.dirichlet(np.ones(V) * 0.3, size=k).T
+    return W / W.sum(axis=0)
+
+
+def test_stability_permutation_and_scale_invariant():
+    rng = np.random.default_rng(1)
+    V, k, R = 12, 4, 6
+    W = _random_signatures(rng, V, k)
+    stack = []
+    for r in range(R):
+        perm = rng.permutation(k)
+        scales = rng.uniform(0.5, 2.0, size=k)
+        stack.append(W[:, perm] * scales)
+    per_sig, matched = tl.signature_stability(np.stack(stack))
+    np.testing.assert_allclose(per_sig, 1.0, atol=1e-12)
+    np.testing.assert_allclose(matched, 1.0, atol=1e-12)
+
+
+def test_stability_detects_noise_component():
+    rng = np.random.default_rng(2)
+    V, k, R = 24, 3, 8
+    W = _random_signatures(rng, V, k)
+    stack = []
+    for r in range(R):
+        noisy = W.copy()
+        # the last column is restart-specific noise; the others reproduce
+        noisy[:, -1] = rng.dirichlet(np.ones(V))
+        stack.append(noisy)
+    per_sig, _ = tl.signature_stability(np.stack(stack))
+    assert np.all(per_sig[:-1] > 0.999)
+    assert per_sig[-1] < 0.9
+
+
+def test_stability_single_restart_is_nan():
+    rng = np.random.default_rng(3)
+    per_sig, matched = tl.signature_stability(
+        _random_signatures(rng, 10, 2)[None]
+    )
+    assert np.isnan(per_sig).all()
+    np.testing.assert_array_equal(matched, 1.0)
+
+
+def test_stability_rejects_2d():
+    with pytest.raises(ValueError, match="n_restarts"):
+        tl.signature_stability(np.ones((4, 3)))
+
+
+@pytest.fixture(scope="module")
+def planted_scan():
+    rng = np.random.default_rng(0)
+    V, D, k_true = 24, 150, 3
+    W = rng.dirichlet(np.ones(V) * 0.3, size=k_true).T
+    H = rng.gamma(2.0, 120.0, size=(k_true, D))
+    X = rng.poisson(W @ H).astype(np.float64) + 1e-9
+    cfg = FitConfig(min_iterations=100, max_iterations=2000,
+                    conv_test_freq=10, tol=1e-6)
+    return rank_scan_klnmf(X, range(2, 6), 8, seed=0, config=cfg,
+                           use_pallas=False)
+
+
+def test_rank_selection_table_shape_and_loss(planted_scan):
+    table = tl.rank_selection_table(planted_scan)
+    assert list(table.index) == [2, 3, 4, 5]
+    # more parameters always fit better: best_loss strictly decreases,
+    # which is exactly why loss alone cannot pick the rank
+    assert np.all(np.diff(table["best_loss"].to_numpy()) < 0)
+    assert np.isnan(table["loss_improvement"].iloc[0])
+    assert table["loss_improvement"].iloc[1] > table["loss_improvement"].iloc[2]
+    # the planted rank is the stability optimum
+    assert table["min_stability"].idxmax() == 3
+
+
+def test_suggest_rank_recovers_planted_truth(planted_scan):
+    assert tl.suggest_rank(planted_scan) == 3
+
+
+def test_suggest_rank_raises_when_first_rank_unstable(planted_scan):
+    with pytest.raises(ValueError, match="smallest scanned rank"):
+        tl.suggest_rank(planted_scan, min_stability=0.9999)
