@@ -90,6 +90,9 @@ class CorrScanResult(NamedTuple):
     model: Any = None  # fitted model holding the winning restart
     history: Any = None   # (n_restarts, max_evals) objective traces
     n_evals: Any = None   # (n_restarts,)
+    signatures: Any = None  # (n_restarts, k, n_features) all restarts'
+    # signature matrices, padding stripped - feeds
+    # tools.signature_stability / rank_selection_table
 
     @property
     def best_loss(self) -> float:
@@ -325,6 +328,9 @@ def rank_scan_corrnmf(
                 model=model,
                 history=np.asarray(result.history[sl]),
                 n_evals=np.asarray(result.n_evals[sl]),
+                signatures=np.asarray(
+                    result.params["signatures"][sl]
+                )[:, :k, :],
             )
 
     from .restarts import _resolve_pack

@@ -197,27 +197,48 @@ def signature_stability(W_stack: np.ndarray,
     return matched[others].mean(axis=0), matched
 
 
-def rank_selection_table(results: dict) -> pd.DataFrame:
-    """Summarize a rank scan (parallel.rank_scan_klnmf / rank_scan_mvnmf
-    output: {k: RestartResult}) for model selection.
+def _scan_point_signatures(res) -> tuple[np.ndarray, float, int]:
+    """Normalize one scan point to ((R, V, K) signature stack, best loss,
+    sign): RestartResult carries W as (R, V, K) with losses MINIMIZED;
+    CorrScanResult carries signatures as (R, K, V) rows with ELBO
+    MAXIMIZED (sign -1 so 'improvement' keeps one direction)."""
+    if hasattr(res, "W") and res.W is not None:
+        return np.asarray(res.W), float(np.min(res.losses)), 1.0
+    if getattr(res, "signatures", None) is not None:
+        return (
+            np.asarray(res.signatures).transpose(0, 2, 1),
+            float(np.max(res.losses)),
+            -1.0,
+        )
+    raise TypeError(
+        "scan point carries neither .W (RestartResult) nor .signatures "
+        "(CorrScanResult) - cannot compute stability"
+    )
 
-    Columns per rank: best_loss, mean/min per-signature stability across
-    restarts (signature_stability vs the best restart), and
-    loss_improvement - the relative best-loss drop vs the previous rank
-    (NaN for the first; losses are assumed MINIMIZED, as both drivers').
+
+def rank_selection_table(results: dict) -> pd.DataFrame:
+    """Summarize a rank scan for model selection. Accepts the output of
+    parallel.rank_scan_klnmf / rank_scan_mvnmf ({k: RestartResult},
+    losses minimized) and parallel.rank_scan_corrnmf
+    ({k | (k, m): CorrScanResult}, ELBO maximized).
+
+    Columns per rank: best_loss (in the family's own direction),
+    mean/min per-signature stability across restarts
+    (signature_stability vs the best restart), and loss_improvement -
+    the relative best-loss improvement vs the previous rank (NaN for the
+    first; positive always means 'fits better').
     """
     ranks = sorted(results)
     rows = []
-    prev_loss = None
+    prev = None
     for k in ranks:
-        res = results[k]
-        stab, _ = signature_stability(np.asarray(res.W), res.best_index)
-        best_loss = float(np.min(res.losses))
+        W_stack, best_loss, sign = _scan_point_signatures(results[k])
+        stab, _ = signature_stability(W_stack, results[k].best_index)
         improvement = (
-            np.nan if prev_loss is None
-            else (prev_loss - best_loss) / abs(prev_loss)
+            np.nan if prev is None
+            else sign * (prev - best_loss) / abs(prev)
         )
-        prev_loss = best_loss
+        prev = best_loss
         rows.append({
             "n_signatures": k,
             "best_loss": best_loss,
@@ -247,6 +268,11 @@ def suggest_rank(results: dict, min_stability: float = 0.9) -> int:
     elbow. Raises if the smallest scanned rank already fails (scan
     smaller ranks, add restarts, or lower the threshold).
     """
+    if any(not np.isscalar(k) for k in results):
+        raise ValueError(
+            "suggest_rank needs a scalar-keyed scan ({k: result}); for a "
+            "(k, m) grid inspect rank_selection_table() per m instead"
+        )
     table = rank_selection_table(results)
     passes = (table["min_stability"] >= min_stability).to_numpy()
     if not passes[0]:

@@ -97,3 +97,37 @@ def test_suggest_rank_recovers_planted_truth(planted_scan):
 def test_suggest_rank_raises_when_first_rank_unstable(planted_scan):
     with pytest.raises(ValueError, match="smallest scanned rank"):
         tl.suggest_rank(planted_scan, min_stability=0.9999)
+
+
+def test_rank_selection_corrnmf_scan():
+    """CorrScanResult flavor: the scan exposes every restart's signature
+    matrix, rank_selection_table handles ELBO maximization (positive
+    loss_improvement still means 'fits better'), and suggest_rank works
+    on scalar-keyed CorrNMF scans."""
+    from salamander_tpu.parallel import rank_scan_corrnmf
+
+    rng = np.random.default_rng(5)
+    V, D, k_true = 16, 60, 2
+    W = rng.dirichlet(np.ones(V) * 0.3, size=k_true).T
+    H = rng.gamma(2.0, 60.0, size=(k_true, D))
+    X = rng.poisson(W @ H).astype(np.float64).T + 1e-9  # (D, V) samples-rows
+
+    cfg = FitConfig(min_iterations=30, max_iterations=200,
+                    conv_test_freq=10, tol=1e-5)
+    res = rank_scan_corrnmf(X, range(2, 4), dim_embeddings=2, n_restarts=4,
+                            base_seed=0, config=cfg, build_models=False)
+
+    for k, point in res.items():
+        assert point.signatures.shape == (4, k, V)
+    table = tl.rank_selection_table(res)
+    assert list(table.index) == [2, 3]
+    # ELBO is maximized: best_loss must increase with rank, and the
+    # improvement column must still read positive
+    assert table["best_loss"].iloc[1] > table["best_loss"].iloc[0]
+    assert table["loss_improvement"].iloc[1] > 0
+    assert ((table["min_stability"] >= -1)
+            & (table["min_stability"] <= 1 + 1e-12)).all()
+    assert tl.suggest_rank(res, min_stability=0.0) in (2, 3)
+
+    with pytest.raises(ValueError, match="grid"):
+        tl.suggest_rank({(2, 2): res[2]})
