@@ -52,6 +52,16 @@ print("MvNMF rank scan (penalized KL, minimize):")
 for k, result in sorted(mv.items()):
     print(f"  k={k}: best {result.best_loss:12.1f}")
 
+# -- 2b. stability-based rank selection over the scan ----------------------
+# best-loss always improves with rank; signature stability across the
+# restarts (matched cosine vs the best restart) marks where extra
+# components start fitting restart-specific noise.
+from salamander_tpu import tl  # noqa: E402
+
+table = tl.rank_selection_table(mv)
+print(table.to_string())
+print("suggested n_signatures:", tl.suggest_rank(mv, min_stability=0.8))
+
 # -- 3. streaming minibatch fit: X host-resident ---------------------------
 # (Bitwise-equal to the resident path at the same seed; at real scale the
 # host matrix may exceed HBM - see benchmarks/streaming_demo.py for 45M

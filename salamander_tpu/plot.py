@@ -494,3 +494,38 @@ def stacked_barplot(
     ax.get_yaxis().set_visible(False)
     ax.legend(loc="center left", bbox_to_anchor=(0.975, 0.5), ncol=ncol_legend)
     return ax
+
+
+# --------------------------------------------------------------------------
+# rank selection (companion to tl.rank_selection_table; beyond-reference)
+# --------------------------------------------------------------------------
+
+def rank_selection(table, min_stability: float | None = 0.9, ax=None,
+                   **kwargs) -> "Axes":
+    """Plot a rank-selection table (tl.rank_selection_table output):
+    best loss on the left axis, per-rank min/mean signature stability on
+    the right (0..1, with the suggestion threshold as a dashed rule).
+    The standard read: pick the largest rank whose stability stays above
+    the rule before the loss elbow flattens."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 4))
+    ranks = np.asarray(table.index)
+    ax.plot(ranks, table["best_loss"], marker="o", color="black",
+            label="best loss", **kwargs)
+    ax.set(xlabel="n_signatures", ylabel="best loss")
+    ax.set_xticks(ranks)
+    ax2 = ax.twinx()
+    ax2.plot(ranks, table["mean_stability"], marker="s", color="tab:blue",
+             label="mean stability")
+    ax2.plot(ranks, table["min_stability"], marker="^", color="tab:red",
+             label="min stability")
+    if min_stability is not None:
+        ax2.axhline(min_stability, color="tab:red", linestyle="--",
+                    linewidth=1, alpha=0.6)
+    ax2.set_ylabel("signature stability")
+    ax2.set_ylim(min(0.5, float(table["min_stability"].min()) - 0.05), 1.02)
+    handles1, labels1 = ax.get_legend_handles_labels()
+    handles2, labels2 = ax2.get_legend_handles_labels()
+    ax.legend(handles1 + handles2, labels1 + labels2, loc="center right",
+              fontsize=8)
+    return ax

@@ -131,3 +131,19 @@ def test_rank_selection_corrnmf_scan():
 
     with pytest.raises(ValueError, match="grid"):
         tl.suggest_rank({(2, 2): res[2]})
+
+
+def test_plot_rank_selection_smoke(planted_scan):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from salamander_tpu import pl
+
+    table = tl.rank_selection_table(planted_scan)
+    ax = pl.rank_selection(table)
+    assert ax.get_xlabel() == "n_signatures"
+    # twin axis carries the stability curves
+    assert len(ax.figure.axes) == 2
+    import matplotlib.pyplot as plt
+
+    plt.close(ax.figure)
