@@ -495,6 +495,57 @@ def config4b_multimodal_multistart():
     emit({"config": "4b_multimodal_multistart", "per_restarts": results})
 
 
+def config4c_multimodal_multistart_compaction():
+    """Lane compaction on multimodal multi-start: the joint EM cycle is
+    the package's most expensive block and lanes disperse hard, so this
+    is compaction's largest measured ratio (4.4-10x at R=16)."""
+    from salamander_tpu.models import MultimodalCorrNMF
+    from salamander_tpu.parallel import fit_best_of
+
+    mods = {
+        "sbs": datasets.load_pcawg_sbs(),
+        "indel": datasets.load_pcawg_indel(),
+        "sv": datasets.load_pcawg_sv(),
+    }
+
+    def fresh():
+        return MultimodalCorrNMF(
+            ns_signatures=[5, 4, 3], dim_embeddings=3, init_method="random",
+            min_iterations=100, max_iterations=2000, tol=1e-7,
+        )
+
+    def mdata():
+        return MuData({k: AnnData(v.copy()) for k, v in mods.items()})
+
+    n_restarts = 16
+    results = {}
+    for label, compact in (("plain", False), ("compacting", True)):
+        fit_best_of(fresh(), mdata(), n_restarts, base_seed=100,
+                    compact=compact, compact_min_bucket=4,
+                    batched_init=True)  # warm
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            summary = fit_best_of(fresh(), mdata(), n_restarts, base_seed=0,
+                                  compact=compact, compact_min_bucket=4,
+                                  batched_init=True)
+            best = min(best or np.inf, time.perf_counter() - start)
+        total = int(np.sum(summary.n_iterations))
+        results[label] = {
+            "steady_seconds": round(best, 2),
+            "aggregate_em_cycles_per_sec": round(total / best, 1),
+            "best_elbo": round(float(summary.losses[summary.best_index]), 1),
+            "iteration_spread": [int(summary.n_iterations.min()),
+                                 int(summary.n_iterations.max())],
+        }
+        log(f"config4c {label}: {results[label]}")
+    results["speedup"] = round(
+        results["plain"]["steady_seconds"]
+        / results["compacting"]["steady_seconds"], 2
+    )
+    emit({"config": "4c_multimodal_multistart_compaction_16", **results})
+
+
 def config3d_corrnmf_multistart_compaction():
     """Lane compaction on CorrNMF multi-start convergence fits: restarts
     disperse hard under the default convergence rule (the Newton embedding
@@ -630,6 +681,7 @@ CONFIGS = {
     "3d": config3d_corrnmf_multistart_compaction,
     "4": config4_multimodal,
     "4b": config4b_multimodal_multistart,
+    "4c": config4c_multimodal_multistart_compaction,
     "5": config5_rank_scan,
     "5b": config5b_rank_scan_padded,
     "5d": config5d_rank_scan_auto,
