@@ -249,7 +249,7 @@ def rank_selection_table(results: dict) -> pd.DataFrame:
     return pd.DataFrame(rows).set_index("n_signatures")
 
 
-def suggest_rank(results: dict, min_stability: float = 0.9) -> int:
+def suggest_rank(results: dict, min_stability: float = 0.9):
     """Suggest n_signatures from a rank scan: the largest rank reachable
     through a CONTIGUOUS stable prefix - every scanned rank up to the
     suggestion must have all its signatures reproduce across restarts
@@ -267,12 +267,27 @@ def suggest_rank(results: dict, min_stability: float = 0.9) -> int:
     alongside; the loss_improvement column should corroborate with an
     elbow. Raises if the smallest scanned rank already fails (scan
     smaller ranks, add restarts, or lower the threshold).
+
+    A (k, m)-keyed CorrNMF grid (rank_scan_corrnmf with
+    dim_embeddings_range) returns {m: suggested_k} - the stability rule
+    runs over k separately per embedding dimension (stability measures
+    signature reproducibility, which is comparable within an m but
+    confounded across m's differently-regularized posteriors).
     """
-    if any(not np.isscalar(k) for k in results):
-        raise ValueError(
-            "suggest_rank needs a scalar-keyed scan ({k: result}); for a "
-            "(k, m) grid inspect rank_selection_table() per m instead"
-        )
+    if any(not isinstance(k, (int, np.integer)) for k in results):
+        if not all(
+            isinstance(key, tuple) and len(key) == 2 for key in results
+        ):
+            raise ValueError(
+                "suggest_rank takes {k: result} or {(k, m): result} scans"
+            )
+        by_m: dict = {}
+        for (k, m), res in results.items():
+            by_m.setdefault(m, {})[k] = res
+        return {
+            m: suggest_rank(points, min_stability)
+            for m, points in sorted(by_m.items())
+        }
     table = rank_selection_table(results)
     passes = (table["min_stability"] >= min_stability).to_numpy()
     if not passes[0]:

@@ -129,8 +129,14 @@ def test_rank_selection_corrnmf_scan():
             & (table["min_stability"] <= 1 + 1e-12)).all()
     assert tl.suggest_rank(res, min_stability=0.0) in (2, 3)
 
-    with pytest.raises(ValueError, match="grid"):
-        tl.suggest_rank({(2, 2): res[2]})
+    # (k, m) grid keys: the rule runs per m and returns {m: suggested_k}
+    grid = {(2, 2): res[2], (3, 2): res[3], (2, 3): res[2]}
+    per_m = tl.suggest_rank(grid, min_stability=0.0)
+    assert set(per_m) == {2, 3}
+    assert per_m[2] in (2, 3) and per_m[3] == 2
+
+    with pytest.raises(ValueError, match="takes"):
+        tl.suggest_rank({"not-a-key": res[2]})
 
 
 def test_plot_rank_selection_smoke(planted_scan):
