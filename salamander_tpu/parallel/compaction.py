@@ -108,7 +108,7 @@ class CompactingRunner:
         config: FitConfig,
         objective_fn: Callable[[Any, Any], jnp.ndarray],
         make_block_update: Callable[[Any, int], Callable[[Any, Any], Any]],
-        min_bucket: int = 16,
+        min_bucket: int = 8,
     ):
         self.config = config
         self.objective_fn = objective_fn
@@ -393,7 +393,7 @@ def fit_klnmf_restarts_compacting(
     weights_kl=None,
     weights_lhalf=None,
     dtype=jnp.float32,
-    min_bucket: int = 16,
+    min_bucket: int = 8,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
 ):

@@ -507,6 +507,11 @@ def rank_selection(table, min_stability: float | None = 0.9, ax=None,
     the right (0..1, with the suggestion threshold as a dashed rule).
     The standard read: pick the largest rank whose stability stays above
     the rule before the loss elbow flattens."""
+    if isinstance(table.index, pd.MultiIndex):
+        raise ValueError(
+            "plot one embedding dimension at a time: "
+            "pl.rank_selection(table.xs(m, level='dim_embeddings'))"
+        )
     if ax is None:
         _, ax = plt.subplots(figsize=(5, 4))
     ranks = np.asarray(table.index)

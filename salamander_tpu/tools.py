@@ -226,8 +226,33 @@ def rank_selection_table(results: dict) -> pd.DataFrame:
     mean/min per-signature stability across restarts
     (signature_stability vs the best restart), and loss_improvement -
     the relative best-loss improvement vs the previous rank (NaN for the
-    first; positive always means 'fits better').
+    first; positive always means 'fits better'; NaN when the previous
+    best loss is exactly zero, where a relative change is undefined).
+
+    A (k, m)-keyed grid returns a (n_signatures, dim_embeddings)
+    MultiIndex with loss_improvement chained over k WITHIN each m only -
+    ELBOs across different embedding dimensions are differently
+    regularized, so a cross-m 'improvement' would be meaningless.
     """
+    if any(not isinstance(k, (int, np.integer)) for k in results):
+        if not all(
+            isinstance(key, tuple) and len(key) == 2 for key in results
+        ):
+            raise ValueError(
+                "rank_selection_table takes {k: result} or "
+                "{(k, m): result} scans"
+            )
+        by_m: dict = {}
+        for (k, m), res in results.items():
+            by_m.setdefault(m, {})[k] = res
+        parts = []
+        for m, points in sorted(by_m.items()):
+            part = rank_selection_table(points)
+            part["dim_embeddings"] = m
+            parts.append(part.reset_index())
+        return pd.concat(parts, ignore_index=True).set_index(
+            ["n_signatures", "dim_embeddings"]
+        )
     ranks = sorted(results)
     rows = []
     prev = None
@@ -235,7 +260,7 @@ def rank_selection_table(results: dict) -> pd.DataFrame:
         W_stack, best_loss, sign = _scan_point_signatures(results[k])
         stab, _ = signature_stability(W_stack, results[k].best_index)
         improvement = (
-            np.nan if prev is None
+            np.nan if prev is None or prev == 0.0
             else sign * (prev - best_loss) / abs(prev)
         )
         prev = best_loss
@@ -289,6 +314,12 @@ def suggest_rank(results: dict, min_stability: float = 0.9):
             for m, points in sorted(by_m.items())
         }
     table = rank_selection_table(results)
+    if table["min_stability"].isna().any():
+        raise ValueError(
+            "signature stability is undefined with a single restart - "
+            "rerun the scan with n_restarts >= 2 (more restarts sharpen "
+            "the criterion)"
+        )
     passes = (table["min_stability"] >= min_stability).to_numpy()
     if not passes[0]:
         raise ValueError(

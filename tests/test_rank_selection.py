@@ -153,3 +153,52 @@ def test_plot_rank_selection_smoke(planted_scan):
     import matplotlib.pyplot as plt
 
     plt.close(ax.figure)
+
+
+def test_grid_table_multiindex_and_per_m_improvement(planted_scan):
+    """(k, m) grid tables use a (n_signatures, dim_embeddings) MultiIndex
+    and chain loss_improvement within each m only - cross-m ELBO deltas
+    are differently regularized and must never appear as 'improvement'."""
+    grid = {(2, 2): planted_scan[2], (3, 2): planted_scan[3],
+            (2, 3): planted_scan[2], (3, 3): planted_scan[3]}
+    table = tl.rank_selection_table(grid)
+    assert list(table.index.names) == ["n_signatures", "dim_embeddings"]
+    for m in (2, 3):
+        part = table.xs(m, level="dim_embeddings")
+        assert np.isnan(part["loss_improvement"].iloc[0])  # first k of each m
+        assert part["loss_improvement"].iloc[1] > 0
+
+    from salamander_tpu import pl
+
+    with pytest.raises(ValueError, match="one embedding dimension"):
+        pl.rank_selection(table)
+
+
+def test_table_zero_previous_loss_is_nan():
+    """A rank whose predecessor reached best_loss == 0 (exact
+    reconstruction) reports NaN improvement instead of crashing."""
+    from salamander_tpu.parallel.restarts import RestartResult
+
+    rng = np.random.default_rng(9)
+
+    def point(k, losses):
+        W = np.stack([rng.dirichlet(np.ones(10), size=k).T for _ in range(3)])
+        return RestartResult(W=W, H=None, losses=np.asarray(losses),
+                             n_iterations=np.ones(3, int), best_index=0)
+
+    table = tl.rank_selection_table(
+        {2: point(2, [0.0, 1.0, 2.0]), 3: point(3, [5.0, 6.0, 7.0])}
+    )
+    assert table["best_loss"].iloc[0] == 0.0
+    assert np.isnan(table["loss_improvement"].iloc[1])
+
+
+def test_suggest_rank_single_restart_diagnosis():
+    from salamander_tpu.parallel.restarts import RestartResult
+
+    rng = np.random.default_rng(11)
+    W = rng.dirichlet(np.ones(10), size=2).T[None]  # one restart
+    res = RestartResult(W=W, H=None, losses=np.asarray([1.0]),
+                        n_iterations=np.ones(1, int), best_index=0)
+    with pytest.raises(ValueError, match="n_restarts >= 2"):
+        tl.suggest_rank({2: res})
