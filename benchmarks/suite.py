@@ -440,15 +440,19 @@ def config2b_mvnmf_rank_scan_padded():
                             config=config, pad_ranks=False)
     plain_wall = time.perf_counter() - start
 
-    agree = all(
-        np.allclose(padded[k].losses, plain[k].losses, rtol=1e-3)
+    # best-loss agreement only: cross-LAYOUT per-lane equality is a CPU
+    # invariant (different contraction widths shift convergence blocks for
+    # borderline lanes by f32 fusion ulps; see .claude/skills/verify)
+    best_rel = max(
+        abs(float(np.min(padded[k].losses)) - float(np.min(plain[k].losses)))
+        / abs(float(np.min(plain[k].losses)))
         for k in padded
     )
     emit({
         "config": "2b_mvnmf_rank_scan_padded_k5_10_x8",
         "padded_steady_seconds": round(padded_wall, 2),
         "per_rank_steady_seconds": round(plain_wall, 2),
-        "losses_agree_rtol1e3": bool(agree),
+        "best_loss_max_rel_diff": float(f"{best_rel:.2e}"),
         "best_losses": {
             int(k): round(float(r.best_loss), 1) for k, r in padded.items()
         },
