@@ -9,24 +9,29 @@ default-config 100-restart KLNMF fit, per-lane iteration counts span
 batch FLOPs advance already-converged lanes.
 
 Compaction recovers most of that waste without touching the convergence
-semantics: the loop runs as host-driven SEGMENTS
-(engine.fit.run_lockstep_segment) that exit as soon as at most half the
-lanes are still unconverged; the survivors are then gathered into a batch
-of HALF the size and resumed there, halving every subsequent block's cost.
-Dropped lanes are finished, so their state is simply scattered into the
-full-size result buffers. Per-lane trajectories are unchanged - a lane's
-updates never depend on its co-tenants (the invariant already pinned by
-the pack_points tests) - so results are bit-identical to the uncompacted
-loop on CPU and match within f32 batch-size kernel selection on TPU
-(tests/test_compaction.py).
+semantics: the loop runs as SEGMENTS (engine.fit.run_lockstep_segment)
+that exit as soon as at most half the lanes are still unconverged; the
+survivors are then gathered into a batch of HALF the size and resumed
+there, halving every subsequent block's cost. Dropped lanes are finished,
+so their state is simply scattered into the full-size result buffers.
+Per-lane trajectories are unchanged - a lane's updates never depend on
+its co-tenants (the invariant already pinned by the pack_points tests) -
+so results are bit-identical to the uncompacted loop on CPU and match
+within f32 batch-size kernel selection on TPU (tests/test_compaction.py).
+
+The halving schedule is STATIC given (n_restarts, min_bucket), so the
+whole fit runs as a fixed chain of fused level programs (segment +
+scatter + on-device survivor gather via stable argsort of the done mask,
+lane ids carried as device state) with ZERO intermediate device->host
+fetches. The first implementation fetched a done mask per segment to
+decide the gather on the host - ~100ms of tunnel latency each, ~0.4-0.5s
+of pure latency per compacted call on this platform.
 
 Cost model: ~log2(n_restarts / min_bucket) extra compiled programs (one
-segment program per occupancy level, cached across calls with the same
-config), one small done-mask fetch (~100ms tunnel latency) per segment,
-and one on-device gather per compaction. This pays when per-block compute
-dominates dispatch: at 96x10k-scale a block's MU updates are MXU-bound
-and halving the batch halves its wall; the 96x192 headline shape is
-dispatch-bound (~0.4ms/block regardless of batch) and does NOT benefit.
+fused level program per occupancy size, cached across calls with the
+same config) and one on-device gather per compaction. This pays when
+per-block compute dominates dispatch: at 96x10k-scale a block's MU
+updates are MXU-bound and halving the batch halves its wall.
 Single-device only: under a mesh the restart axis is already sharded and
 gathering lanes across devices would serialize it.
 
@@ -115,7 +120,7 @@ class CompactingRunner:
         self.make_block_update = make_block_update
         self.min_bucket = max(1, int(min_bucket))
         self._programs: dict[str, dict] = {
-            "init": {}, "segment": {}, "take": {}, "scatter": {}, "loss": {},
+            "init": {}, "level": {}, "loss": {},
         }
 
     # -- jitted pieces, cached per lane count ------------------------------
@@ -135,37 +140,40 @@ class CompactingRunner:
             cache[n_lanes] = jax.jit(init)
         return cache[n_lanes]
 
-    def _segment_fn(self, n_lanes: int):
-        cache = self._programs["segment"]
-        if n_lanes not in cache:
-            def segment(state, data, alive_floor):
+    def _level_fn(self, n_lanes: int, is_last: bool):
+        """One fused device program per occupancy level: advance the
+        segment to the halving point (or to completion on the last
+        level), scatter the lanes into the full-size buffers, and - on
+        non-final levels - gather the half-size survivor batch ON DEVICE
+        (stable argsort of the done mask keeps alive lanes first in
+        original order, finished passengers padding after, exactly the
+        host driver's former selection). Lane ids ride as device state,
+        so the whole compacted fit is a FIXED chain of device programs
+        with zero intermediate device->host fetches - the former
+        per-segment done-mask fetch cost ~100ms of tunnel latency each,
+        ~0.4-0.5s of pure latency per compacted call."""
+        cache = self._programs["level"]
+        key = (n_lanes, is_last)
+        if key not in cache:
+            half = n_lanes // 2
+
+            def level(out, state, ids, data):
                 batched = self._batched_objective(data)
                 block = self.make_block_update(data, n_lanes)
                 new_state = run_lockstep_segment(
                     lambda p: batched(p, data), self.config, block,
-                    state, alive_floor,
+                    state, 0 if is_last else half,
                 )
-                # int32 twin of the done mask for the host fetch: the
-                # FIRST device->host copy of a bool array compiles a
-                # conversion program remotely (measured 427s in a slow
-                # window for 100 bools); int32 copies are direct
-                return new_state, new_state.done.astype(jnp.int32)
+                out = _scatter_lanes(out, ids, new_state)
+                if is_last:
+                    return out
+                pos = jnp.argsort(
+                    new_state.done.astype(jnp.int32), stable=True
+                )[:half]
+                return out, _take_lanes(new_state, pos), jnp.take(ids, pos)
 
-            cache[n_lanes] = jax.jit(segment)
-        return cache[n_lanes]
-
-    def _take_fn(self, from_lanes: int, to_lanes: int):
-        cache = self._programs["take"]
-        key = (from_lanes, to_lanes)
-        if key not in cache:
-            cache[key] = jax.jit(_take_lanes)
+            cache[key] = jax.jit(level)
         return cache[key]
-
-    def _scatter_fn(self, n_lanes: int):
-        cache = self._programs["scatter"]
-        if n_lanes not in cache:
-            cache[n_lanes] = jax.jit(_scatter_lanes)
-        return cache[n_lanes]
 
     def _loss_fn(self, n_lanes: int):
         cache = self._programs["loss"]
@@ -191,8 +199,6 @@ class CompactingRunner:
         lockstep loop's."""
         n_restarts = int(jax.tree.leaves(params0)[0].shape[0])
         config = self.config
-        freq = int(config.conv_test_freq)
-        full_blocks = (int(config.max_iterations) // freq) * freq
         # the driver owns the once-per-fit tolerance warning (segments
         # never warn); dtype via eval_shape to avoid an eager objective
         of_shape = jax.eval_shape(
@@ -203,34 +209,23 @@ class CompactingRunner:
         state = self._init_fn(n_restarts)(params0, data)
         initial_objective = state.of_prev  # (R,) of0, device-resident
         out = state  # full-size accumulation buffers (device)
-        ids = np.arange(n_restarts)  # global lane id per bucket position
-        bucket = n_restarts
+        ids = jnp.arange(n_restarts, dtype=jnp.int32)
 
-        while True:
-            half = bucket // 2
-            floor = half if half >= self.min_bucket else 0
-            state, done_i32 = self._segment_fn(bucket)(
-                state, data, jnp.asarray(floor, jnp.int32)
+        # The halving schedule is static given (n_restarts, min_bucket),
+        # so the fit runs as a fixed chain of fused level programs with
+        # all gather decisions made on device - no host round-trips. If
+        # every lane converges before the schedule bottoms out, the
+        # remaining levels' segment while_loops exit on their first
+        # condition check (dispatch cost only; frozen lanes never
+        # advance, so trajectories and results are unchanged vs the
+        # former host loop's early break).
+        bucket = n_restarts
+        while bucket // 2 >= self.min_bucket:
+            out, state, ids = self._level_fn(bucket, False)(
+                out, state, ids, data
             )
-            out = self._scatter_fn(bucket)(out, jnp.asarray(ids), state)
-            # two direct tiny fetches, NOT fetch_pytree: its packer jits a
-            # program per leaf-structure, and every bucket size is a new
-            # structure - a fresh remote compile (minutes in slow windows)
-            # to save one ~100ms round-trip (measured 2026-08-17: 260s of
-            # a 270s fit was three first-touch packer compiles)
-            done = np.asarray(done_i32).astype(bool)
-            iteration = np.asarray(state.iteration)
-            n_alive = int((~done).sum())
-            if floor == 0 or n_alive == 0 or int(iteration) >= full_blocks:
-                break
-            # compact: survivors first, then finished passengers to pad the
-            # half-size bucket (frozen, so passengers stay bit-identical)
-            alive_pos = np.flatnonzero(~done)
-            pad_pos = np.flatnonzero(done)[: half - len(alive_pos)]
-            pos = np.concatenate([alive_pos, pad_pos])
-            state = self._take_fn(bucket, half)(state, jnp.asarray(pos))
-            ids = ids[pos]
-            bucket = half
+            bucket //= 2
+        out = self._level_fn(bucket, True)(out, state, ids, data)
 
         return self._loss_fn(n_restarts)(out, data, initial_objective)
 
@@ -361,25 +356,26 @@ def resolve_compact(compact, config: FitConfig, mesh,
     per-block wall scales with lane count at EVERY measured size: warm
     speedups 5.1x (96x10k) to 19.3x (96x500) for default-config
     convergence fits at R=100 (BENCHMARKS.md). Auto therefore enables
-    compaction exactly where it is legal and can pay: single device, a
-    convergence rule (fixed-length runs never free a lane), and enough
-    restarts for at least TWO halvings (n_restarts >= 4 * min_bucket).
-    The two-halving floor is measured, not aesthetic: the driver's
-    per-segment done-mask fetch costs ~100ms of tunnel latency, and when
-    runs are cap-bound (no lane frees early - e.g. a low max_iterations
-    ceiling) that overhead is the whole effect, so a one-halving R=8
-    CorrNMF scan measured 1.5x SLOWER compacted while the same driver at
-    R=32 was a wash and dispersing fits won 2.0-2.5x (BENCHMARKS.md
-    "Lane compaction"). CPU stays opt-in: the split-program driver
-    differs from the monolithic runner by f32 fusion ulps (see
-    CLAUDE.md), and CPU is the bit-exactness reference.
+    compaction exactly where it is legal and at least one halving exists
+    (n_restarts >= 2 * min_bucket): single device and a convergence rule
+    (fixed-length runs never free a lane). The floor history is measured:
+    the first HOST-driven driver fetched a done mask per segment (~100ms
+    tunnel latency each), which made one-halving cap-bound calls a 1.5x
+    LOSS and briefly forced a two-halving floor; the device-scheduled
+    driver (fused level programs, on-device gathers, zero intermediate
+    fetches) cut the worst case to a ~6% wash on the same cap-bound R=8
+    CorrNMF scan while one-halving MvNMF R=8 wins 1.6x - so one halving
+    is again worth taking (BENCHMARKS.md "Lane compaction"). CPU stays
+    opt-in: the split-program driver differs from the monolithic runner
+    by f32 fusion ulps (see CLAUDE.md), and CPU is the bit-exactness
+    reference.
     """
     if compact is not None:
         return bool(compact)
     return (
         mesh is None
         and config.min_iterations < config.max_iterations
-        and n_restarts >= 4 * min_bucket
+        and n_restarts >= 2 * min_bucket
         and jax.default_backend() in ("tpu", "axon")
     )
 

@@ -389,10 +389,10 @@ def test_rank_scan_pad_auto_resolves_against_compaction(monkeypatch):
 
 def test_resolve_compact_auto_policy(monkeypatch):
     """Auto compaction needs: single device, a convergence rule, TPU
-    backend, and room for at least TWO halvings (n_restarts >=
-    4 * min_bucket) - one-halving calls measured overhead-bound when
-    runs are cap-bound (BENCHMARKS.md 'Lane compaction', R=8 CorrNMF
-    scan 1.5x slower compacted)."""
+    backend, and room for at least one halving (n_restarts >=
+    2 * min_bucket) - the device-scheduled fetch-free driver made
+    one-halving calls worth taking (BENCHMARKS.md 'Lane compaction':
+    cap-bound worst case ~6% wash, dispersing R=8 MvNMF 1.6x win)."""
     from salamander_tpu.parallel import compaction
 
     conv = FitConfig(min_iterations=10, max_iterations=100,
@@ -408,9 +408,9 @@ def test_resolve_compact_auto_policy(monkeypatch):
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert compaction.resolve_compact(None, conv, None, 16, 4) is True
-    # one halving only: off (measured overhead-bound at R=8, bucket 4)
-    assert compaction.resolve_compact(None, conv, None, 15, 4) is False
-    assert compaction.resolve_compact(None, conv, None, 8, 4) is False
+    # one halving suffices (fetch-free driver); below that, off
+    assert compaction.resolve_compact(None, conv, None, 8, 4) is True
+    assert compaction.resolve_compact(None, conv, None, 7, 4) is False
     # fixed-length schedule never frees a lane: off
     assert compaction.resolve_compact(None, fixed, None, 64, 4) is False
     # mesh: the restart axis is already sharded: off
