@@ -395,8 +395,35 @@ def fit_klnmf_restarts_compacting(
 ):
     """Compacting twin of parallel.restarts.fit_klnmf_restarts (same seeds,
     same per-lane results; single device). Returns a RestartResult."""
+    result, losses = klnmf_restarts_compacting_device(
+        X, n_signatures, n_restarts, seed=seed, config=config,
+        weights_kl=weights_kl, weights_lhalf=weights_lhalf, dtype=dtype,
+        min_bucket=min_bucket, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
+    )
+    return finalize_compacting_restarts(result, losses)
+
+
+def klnmf_restarts_compacting_device(
+    X,
+    n_signatures: int,
+    n_restarts: int,
+    seed: int = 0,
+    config: FitConfig | None = None,
+    weights_kl=None,
+    weights_lhalf=None,
+    dtype=jnp.float32,
+    min_bucket: int = 8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
+    """Dispatch-only body of fit_klnmf_restarts_compacting: returns the
+    DEVICE (FitResult, losses) without any device->host fetch. The
+    compacting schedule itself is fetch-free, so callers fitting many
+    points (rank scans) can dispatch every point's whole fit before the
+    first synchronizing fetch - consecutive points' programs pipeline on
+    the device instead of the host stalling on each point's result."""
     from ..initialization.methods import random_init_batch
-    from .restarts import RestartResult
 
     config = config or FitConfig()
     X = jnp.asarray(X, dtype)
@@ -410,7 +437,14 @@ def fit_klnmf_restarts_compacting(
     runner = _cached_compacting_runner(
         config, False, use_pallas, pallas_interpret, min_bucket
     )
-    result, losses = runner.run({"W": W0, "H": H0}, data)
+    return runner.run({"W": W0, "H": H0}, data)
+
+
+def finalize_compacting_restarts(result, losses):
+    """Fetch a device (FitResult, losses) pair and build a RestartResult
+    (small fetch: per-lane losses + iteration counts; W/H stay device)."""
+    from .restarts import RestartResult
+
     losses_host, n_iterations = fetch_pytree((losses, result.n_iterations))
     losses_host = np.asarray(losses_host)
     return RestartResult(

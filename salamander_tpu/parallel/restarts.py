@@ -453,16 +453,28 @@ def rank_scan_klnmf(
 
     if not pad_ranks:
         if compact:
-            from .compaction import fit_klnmf_restarts_compacting
+            from .compaction import (
+                finalize_compacting_restarts,
+                klnmf_restarts_compacting_device,
+            )
 
-            for offset, k in enumerate(ranks):
-                results[k] = fit_klnmf_restarts_compacting(
+            # dispatch EVERY rank's (fetch-free) compacting fit before the
+            # first synchronizing fetch: rank r+1's host-side init and
+            # dispatch overlap rank r's device compute, and the small
+            # per-rank losses fetch happens once the device is already
+            # working down the queue
+            device_runs = {
+                k: klnmf_restarts_compacting_device(
                     X, k, n_restarts,
                     seed=seed + 1000 * offset,
                     config=config, dtype=dtype, use_pallas=use_pallas,
                     pallas_interpret=pallas_interpret,
                     min_bucket=compact_min_bucket,
                 )
+                for offset, k in enumerate(ranks)
+            }
+            for k, (result, losses) in device_runs.items():
+                results[k] = finalize_compacting_restarts(result, losses)
             return results
         for offset, k in enumerate(ranks):
             # compact already resolved above - pass the decision through so

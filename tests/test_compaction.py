@@ -364,19 +364,22 @@ def test_rank_scan_pad_auto_resolves_against_compaction(monkeypatch):
                         lambda compact, *a: True if compact is None
                         else bool(compact))
     seen = []
-    real = compaction.fit_klnmf_restarts_compacting
+    real = compaction.klnmf_restarts_compacting_device
 
     def spy(*args, **kwargs):
         seen.append(kwargs)
         return real(*args, **kwargs)
 
-    monkeypatch.setattr(compaction, "fit_klnmf_restarts_compacting", spy)
+    monkeypatch.setattr(
+        compaction, "klnmf_restarts_compacting_device", spy
+    )
     X = _counts()
     config = FitConfig(min_iterations=10, max_iterations=60,
                        conv_test_freq=10, tol=1e-6)
     restarts.rank_scan_klnmf(X, [2, 3], 4, seed=0, config=config,
                              use_pallas=False, compact_min_bucket=2)
-    # compaction on -> pad resolved off -> one compacting call per rank
+    # compaction on -> pad resolved off -> one (dispatch-only) compacting
+    # run per rank, fetched after all ranks are in flight
     assert len(seen) == 2
 
     seen.clear()
