@@ -275,8 +275,10 @@ def rank_scan_corrnmf(
         else:
             result = run(params0, data)
             final_losses = losses_fn(result.params, data)
-        # one batched device->host transfer for everything
-        return fetch_pytree((result, final_losses))
+        # DEVICE handles - the caller defers the synchronizing fetch
+        # until every group is dispatched, so the next group's host-side
+        # per-restart init overlaps this group's device compute
+        return result, final_losses
 
     def build_model(k, m, best_params, seed):
         model = model_factory(k, m)
@@ -338,6 +340,7 @@ def rank_scan_corrnmf(
     pack = _resolve_pack(pack_points, config)
     n_samples, n_features = X.shape
     try:
+        in_flight = []
         for (padded_k, padded_m), group in sorted(buckets.items()):
             per_lane = (
                 3 * n_samples * n_features + 2 * n_samples * padded_k
@@ -351,8 +354,13 @@ def rank_scan_corrnmf(
                 # program (the klnmf twin's HBM guard)
                 chunks = [[entry] for entry in group]
             for chunk in chunks:
-                result, final_losses = run_group(padded_k, padded_m, chunk)
-                absorb(result, final_losses, chunk)
+                in_flight.append(
+                    (chunk, run_group(padded_k, padded_m, chunk))
+                )
+        for chunk, (result, final_losses) in in_flight:
+            # one batched device->host transfer per chunk
+            result, final_losses = fetch_pytree((result, final_losses))
+            absorb(result, final_losses, chunk)
     finally:
         np.random.set_state(rng_state)
     return results

@@ -520,6 +520,7 @@ def rank_scan_klnmf(
         )
     cpu_device = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
     X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
+    in_flight: list = []
     for padded, members in sorted(buckets.items()):
         groups = (
             [members] if pack and len(members) * n_restarts <= lanes_cap
@@ -565,19 +566,24 @@ def rank_scan_klnmf(
                 n_iterations = c_result.n_iterations
             else:
                 params, losses, n_iterations = runner(params0, data)
-            losses, n_iterations, W, H = fetch_pytree(
-                (losses, n_iterations, params["W"], params["H"])
+            # defer the synchronizing fetch: dispatch the next group's
+            # host init + device run first (the fetch below would
+            # otherwise block until this group's whole fit completes)
+            in_flight.append((group, losses, n_iterations, params))
+    for group, losses, n_iterations, params in in_flight:
+        losses, n_iterations, W, H = fetch_pytree(
+            (losses, n_iterations, params["W"], params["H"])
+        )
+        for i, (offset, k) in enumerate(group):
+            lanes = slice(i * n_restarts, (i + 1) * n_restarts)
+            losses_k = losses[lanes]
+            results[k] = RestartResult(
+                W=W[lanes][:, :, :k],
+                H=H[lanes][:, :k, :],
+                losses=losses_k,
+                n_iterations=n_iterations[lanes],
+                best_index=int(np.argmin(losses_k)),
             )
-            for i, (offset, k) in enumerate(group):
-                lanes = slice(i * n_restarts, (i + 1) * n_restarts)
-                losses_k = losses[lanes]
-                results[k] = RestartResult(
-                    W=W[lanes][:, :, :k],
-                    H=H[lanes][:, :k, :],
-                    losses=losses_k,
-                    n_iterations=n_iterations[lanes],
-                    best_index=int(np.argmin(losses_k)),
-                )
     return results
 
 
@@ -704,6 +710,7 @@ def rank_scan_mvnmf(
         jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
     )
     X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
+    in_flight: list = []
     for padded, members in sorted(buckets.items()):
         groups = (
             [members] if pack and len(members) * n_restarts <= lanes_cap
@@ -751,17 +758,21 @@ def rank_scan_mvnmf(
                 n_iterations = c_result.n_iterations
             else:
                 params, losses, n_iterations = runner(params0, data)
-            losses, n_iterations, W, H = fetch_pytree(
-                (losses, n_iterations, params["W"], params["H"])
+            # defer the synchronizing fetch: dispatch the next group's
+            # host init + device run first (see rank_scan_klnmf)
+            in_flight.append((group, losses, n_iterations, params))
+    for group, losses, n_iterations, params in in_flight:
+        losses, n_iterations, W, H = fetch_pytree(
+            (losses, n_iterations, params["W"], params["H"])
+        )
+        for i, (offset, k) in enumerate(group):
+            lanes = slice(i * n_restarts, (i + 1) * n_restarts)
+            losses_k = losses[lanes]
+            results[k] = RestartResult(
+                W=W[lanes][:, :, :k],
+                H=H[lanes][:, :k, :],
+                losses=losses_k,
+                n_iterations=n_iterations[lanes],
+                best_index=int(np.argmin(losses_k)),
             )
-            for i, (offset, k) in enumerate(group):
-                lanes = slice(i * n_restarts, (i + 1) * n_restarts)
-                losses_k = losses[lanes]
-                results[k] = RestartResult(
-                    W=W[lanes][:, :, :k],
-                    H=H[lanes][:, :k, :],
-                    losses=losses_k,
-                    n_iterations=n_iterations[lanes],
-                    best_index=int(np.argmin(losses_k)),
-                )
     return results
