@@ -274,7 +274,7 @@ class LockstepState(NamedTuple):
     """Resumable state of the natively-batched convergence loop.
 
     Every leaf except `eval_idx`/`iteration` carries the leading restart
-    (lane) axis, which is what makes host-driven lane compaction possible:
+    (lane) axis, which is what makes device-scheduled lane compaction possible:
     gathering a subset of lanes out of a LockstepState yields a valid
     smaller-batch LockstepState mid-fit (parallel/compaction.py). The two
     scalars are shared because every lane advances in lockstep blocks -
@@ -439,7 +439,7 @@ def fit_loop_lockstep(
     iteration counts).
 
     Composed from init_lockstep_state / run_lockstep_segment /
-    finish_lockstep so host-driven lane compaction (parallel/compaction.py)
+    finish_lockstep so device-scheduled lane compaction (parallel/compaction.py)
     reuses the exact same loop semantics segment by segment.
     """
     # trigger the tolerance warning once, exactly as before the refactor

@@ -1,4 +1,4 @@
-"""Host-driven lane compaction for convergence-based multi-start fits.
+"""Device-scheduled lane compaction for convergence-based multi-start fits.
 
 A lockstep multi-start fit runs every restart until the SLOWEST one
 converges, and frozen (converged) lanes still burn full FLOPs every block
@@ -97,7 +97,7 @@ def _scatter_lanes(out: LockstepState, ids,
 
 
 class CompactingRunner:
-    """Compiled-program cache + host driver for one compacting fit flavor.
+    """Compiled-program cache + schedule driver for one compacting fit flavor.
 
     objective_fn(params, data) -> scalar is the PER-LANE objective;
     make_block_update(data, n_lanes) -> block_update_fn(params, steps)
@@ -190,7 +190,7 @@ class CompactingRunner:
             cache[n_lanes] = jax.jit(final_loss)
         return cache[n_lanes]
 
-    # -- host driver -------------------------------------------------------
+    # -- schedule driver (fixed chain of device programs) -------------------
 
     def run(self, params0, data):
         """Fit all lanes to their own convergence, compacting the batch as

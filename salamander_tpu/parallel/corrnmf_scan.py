@@ -339,6 +339,15 @@ def rank_scan_corrnmf(
 
     pack = _resolve_pack(pack_points, config)
     n_samples, n_features = X.shape
+    from .restarts import _INFLIGHT_BUDGET_BYTES, _pytree_nbytes
+
+    def drain(in_flight):
+        for chunk, pair in in_flight:
+            # one batched device->host transfer per chunk
+            result, final_losses = fetch_pytree(pair)
+            absorb(result, final_losses, chunk)
+        in_flight.clear()
+
     try:
         in_flight = []
         for (padded_k, padded_m), group in sorted(buckets.items()):
@@ -357,10 +366,12 @@ def rank_scan_corrnmf(
                 in_flight.append(
                     (chunk, run_group(padded_k, padded_m, chunk))
                 )
-        for chunk, (result, final_losses) in in_flight:
-            # one batched device->host transfer per chunk
-            result, final_losses = fetch_pytree((result, final_losses))
-            absorb(result, final_losses, chunk)
+                # byte-bounded deferral: every in-flight chunk retains its
+                # full device FitResult until fetched
+                if sum(_pytree_nbytes(p) for _, p in in_flight) > \
+                        _INFLIGHT_BUDGET_BYTES:
+                    drain(in_flight)
+        drain(in_flight)
     finally:
         np.random.set_state(rng_state)
     return results

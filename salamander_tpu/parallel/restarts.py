@@ -63,6 +63,42 @@ def _extract_lane(stacked, index):
     return stacked[index]
 
 
+# Deferred-fetch budget: scan drivers dispatch every point's fit before the
+# first synchronizing fetch (the next point's host init overlaps the
+# previous point's device compute), but each in-flight point retains its
+# full device result until fetched - so the queue flushes once the retained
+# bytes exceed this cap, keeping peak HBM bounded at COSMIC scales where
+# the per-call lane budgets alone used to be the guard.
+_INFLIGHT_BUDGET_BYTES = 2 * 1024**3
+
+
+def _pytree_nbytes(tree) -> int:
+    return sum(
+        getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(tree)
+    )
+
+
+def _drain_scan_fetches(in_flight, n_restarts: int, results: dict) -> None:
+    """Fetch each deferred (group, losses, n_iterations, params) entry and
+    slice per-rank RestartResults out of it (shared by the K-padded KLNMF
+    and MvNMF scan drivers). Clears `in_flight`."""
+    for group, losses, n_iterations, params in in_flight:
+        losses, n_iterations, W, H = fetch_pytree(
+            (losses, n_iterations, params["W"], params["H"])
+        )
+        for i, (offset, k) in enumerate(group):
+            lanes = slice(i * n_restarts, (i + 1) * n_restarts)
+            losses_k = losses[lanes]
+            results[k] = RestartResult(
+                W=W[lanes][:, :, :k],
+                H=H[lanes][:, :k, :],
+                losses=losses_k,
+                n_iterations=n_iterations[lanes],
+                best_index=int(np.argmin(losses_k)),
+            )
+    in_flight.clear()
+
+
 def _lockstep_run(update_fn, objective_fn, config: FitConfig):
     """The shared natively-batched fit: one lockstep while_loop over all
     restarts, per-lane convergence, final losses evaluated on device."""
@@ -458,23 +494,35 @@ def rank_scan_klnmf(
                 klnmf_restarts_compacting_device,
             )
 
-            # dispatch EVERY rank's (fetch-free) compacting fit before the
-            # first synchronizing fetch: rank r+1's host-side init and
-            # dispatch overlap rank r's device compute, and the small
-            # per-rank losses fetch happens once the device is already
-            # working down the queue
-            device_runs = {
-                k: klnmf_restarts_compacting_device(
+            # one device upload of X, shared by every rank's run (passing
+            # host X would re-upload ~10-20s worth of data PER RANK at
+            # COSMIC scale and hold N duplicate copies while deferred)
+            X = jnp.asarray(X, dtype)
+            # dispatch (fetch-free) compacting fits before the first
+            # synchronizing fetch: rank r+1's host-side init and dispatch
+            # overlap rank r's device compute. The in-flight queue is
+            # byte-bounded: every queued run retains its full device
+            # FitResult until fetched.
+            in_flight: list = []
+            retained = 0
+            for offset, k in enumerate(ranks):
+                run_out = klnmf_restarts_compacting_device(
                     X, k, n_restarts,
                     seed=seed + 1000 * offset,
                     config=config, dtype=dtype, use_pallas=use_pallas,
                     pallas_interpret=pallas_interpret,
                     min_bucket=compact_min_bucket,
                 )
-                for offset, k in enumerate(ranks)
-            }
-            for k, (result, losses) in device_runs.items():
-                results[k] = finalize_compacting_restarts(result, losses)
+                in_flight.append((k, run_out))
+                retained += _pytree_nbytes(run_out)
+                if retained > _INFLIGHT_BUDGET_BYTES:
+                    for k_done, (result, losses) in in_flight:
+                        results[k_done] = finalize_compacting_restarts(
+                            result, losses
+                        )
+                    in_flight, retained = [], 0
+            for k_done, (result, losses) in in_flight:
+                results[k_done] = finalize_compacting_restarts(result, losses)
             return results
         for offset, k in enumerate(ranks):
             # compact already resolved above - pass the decision through so
@@ -566,24 +614,13 @@ def rank_scan_klnmf(
                 n_iterations = c_result.n_iterations
             else:
                 params, losses, n_iterations = runner(params0, data)
-            # defer the synchronizing fetch: dispatch the next group's
-            # host init + device run first (the fetch below would
-            # otherwise block until this group's whole fit completes)
+            # defer the synchronizing fetch (byte-bounded): dispatch the
+            # next group's host init + device run first
             in_flight.append((group, losses, n_iterations, params))
-    for group, losses, n_iterations, params in in_flight:
-        losses, n_iterations, W, H = fetch_pytree(
-            (losses, n_iterations, params["W"], params["H"])
-        )
-        for i, (offset, k) in enumerate(group):
-            lanes = slice(i * n_restarts, (i + 1) * n_restarts)
-            losses_k = losses[lanes]
-            results[k] = RestartResult(
-                W=W[lanes][:, :, :k],
-                H=H[lanes][:, :k, :],
-                losses=losses_k,
-                n_iterations=n_iterations[lanes],
-                best_index=int(np.argmin(losses_k)),
-            )
+            if sum(_pytree_nbytes(e) for e in in_flight) > \
+                    _INFLIGHT_BUDGET_BYTES:
+                _drain_scan_fetches(in_flight, n_restarts, results)
+    _drain_scan_fetches(in_flight, n_restarts, results)
     return results
 
 
@@ -758,21 +795,11 @@ def rank_scan_mvnmf(
                 n_iterations = c_result.n_iterations
             else:
                 params, losses, n_iterations = runner(params0, data)
-            # defer the synchronizing fetch: dispatch the next group's
-            # host init + device run first (see rank_scan_klnmf)
+            # defer the synchronizing fetch (byte-bounded; see
+            # rank_scan_klnmf / _drain_scan_fetches)
             in_flight.append((group, losses, n_iterations, params))
-    for group, losses, n_iterations, params in in_flight:
-        losses, n_iterations, W, H = fetch_pytree(
-            (losses, n_iterations, params["W"], params["H"])
-        )
-        for i, (offset, k) in enumerate(group):
-            lanes = slice(i * n_restarts, (i + 1) * n_restarts)
-            losses_k = losses[lanes]
-            results[k] = RestartResult(
-                W=W[lanes][:, :, :k],
-                H=H[lanes][:, :k, :],
-                losses=losses_k,
-                n_iterations=n_iterations[lanes],
-                best_index=int(np.argmin(losses_k)),
-            )
+            if sum(_pytree_nbytes(e) for e in in_flight) > \
+                    _INFLIGHT_BUDGET_BYTES:
+                _drain_scan_fetches(in_flight, n_restarts, results)
+    _drain_scan_fetches(in_flight, n_restarts, results)
     return results
