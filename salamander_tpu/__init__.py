@@ -23,7 +23,7 @@ from .containers import AnnData, MuData
 from .io import load_model, save_model
 from .parallel import bootstrap_stability, fit_best_of
 
-__version__ = "0.2.1"
+__version__ = "0.3.0"
 
 __all__ = [
     "__version__",
