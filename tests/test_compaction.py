@@ -418,3 +418,36 @@ def test_resolve_compact_auto_policy(monkeypatch):
     assert compaction.resolve_compact(None, fixed, None, 64, 4) is False
     # mesh: the restart axis is already sharded: off
     assert compaction.resolve_compact(None, conv, object(), 64, 4) is False
+
+
+def test_deferred_fetch_budget_flush(monkeypatch):
+    """Scan results are identical when the in-flight byte budget forces
+    mid-scan drains (several small flushes) vs one deferred drain."""
+    from salamander_tpu.parallel import restarts
+
+    from salamander_tpu.parallel import rank_scan_corrnmf
+
+    X = _counts(seed=8)
+    config = FitConfig(min_iterations=10, max_iterations=200,
+                       conv_test_freq=10, tol=1e-6)
+    kwargs = dict(seed=0, config=config, use_pallas=False, pad_ranks=True)
+    co_cfg = FitConfig(min_iterations=10, max_iterations=60,
+                       conv_test_freq=10, tol=1e-5)
+
+    base = restarts.rank_scan_klnmf(X, range(2, 5), 4, **kwargs)
+    co_base = rank_scan_corrnmf(X.T.copy(), range(2, 4), dim_embeddings=2,
+                                n_restarts=3, base_seed=0, config=co_cfg,
+                                build_models=False)
+
+    monkeypatch.setattr(restarts, "_INFLIGHT_BUDGET_BYTES", 1)  # flush always
+    tiny = restarts.rank_scan_klnmf(X, range(2, 5), 4, **kwargs)
+    for k in base:
+        np.testing.assert_array_equal(tiny[k].losses, base[k].losses)
+        np.testing.assert_array_equal(np.asarray(tiny[k].W),
+                                      np.asarray(base[k].W))
+    # the CorrNMF scan reads the budget at call time from restarts
+    co_tiny = rank_scan_corrnmf(X.T.copy(), range(2, 4), dim_embeddings=2,
+                                n_restarts=3, base_seed=0, config=co_cfg,
+                                build_models=False)
+    for k in co_base:
+        np.testing.assert_array_equal(co_tiny[k].losses, co_base[k].losses)
