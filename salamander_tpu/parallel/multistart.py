@@ -27,6 +27,26 @@ class MultiStartSummary(NamedTuple):
     best_index: int
     history: np.ndarray       # (R, max_evals) objective traces (NaN-padded)
     n_evals: np.ndarray       # (R,)
+    signatures: Any = None    # (R, n_features, k) every restart's signature
+    # matrix ({mod: stack} for MultimodalCorrNMF) - feeds
+    # tools.signature_stability directly
+
+
+def _signature_stack(params) -> Any:
+    """Every restart's signature matrix as (R, n_features, k), from the
+    fetched multi-start result pytree: W/H families store W as (R, V, K);
+    CorrNMF stores signatures as (R, K, V) rows; multimodal nests
+    per-modality dicts."""
+    if "W" in params:
+        return np.asarray(params["W"])
+    if "signatures" in params:
+        return np.asarray(params["signatures"]).transpose(0, 2, 1)
+    if "mods" in params:
+        return {
+            name: np.asarray(mod["signatures"]).transpose(0, 2, 1)
+            for name, mod in params["mods"].items()
+        }
+    return None
 
 
 def _stack_pytrees(trees):
@@ -300,4 +320,5 @@ def fit_best_of(
         best_index=best,
         history=np.asarray(result.history),
         n_evals=n_evals,
+        signatures=_signature_stack(result.params),
     )

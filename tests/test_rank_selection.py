@@ -202,3 +202,45 @@ def test_suggest_rank_single_restart_diagnosis():
                         n_iterations=np.ones(1, int), best_index=0)
     with pytest.raises(ValueError, match="n_restarts >= 2"):
         tl.suggest_rank({2: res})
+
+
+def test_multistart_summary_signature_stack():
+    """fit_best_of exposes every restart's signatures as (R, V, K) for all
+    families ({mod: stack} for multimodal), feeding signature_stability
+    without a rank scan."""
+    from salamander_tpu.containers import AnnData, MuData
+    from salamander_tpu.models import CorrNMFDet, KLNMF, MultimodalCorrNMF
+    from salamander_tpu.parallel import fit_best_of
+
+    rng = np.random.default_rng(4)
+    V, D, k = 12, 40, 3
+    W = rng.dirichlet(np.ones(V) * 0.4, size=k).T
+    H = rng.gamma(2.0, 50.0, size=(k, D))
+    X = rng.poisson(W @ H).astype(np.float64).T + 1e-9  # samples as rows
+
+    klnmf = KLNMF(n_signatures=k, init_method="random", min_iterations=10,
+                  max_iterations=100, conv_test_freq=10, tol=1e-5)
+    summary = fit_best_of(klnmf, AnnData(X.copy()), 4, base_seed=0)
+    assert summary.signatures.shape == (4, V, k)
+    per_sig, _ = tl.signature_stability(summary.signatures,
+                                        summary.best_index)
+    assert per_sig.shape == (k,)
+    assert np.all((per_sig >= -1) & (per_sig <= 1 + 1e-12))
+    # the best lane's stack column matches the fitted model's signatures
+    np.testing.assert_allclose(
+        summary.signatures[summary.best_index].T,
+        klnmf.signatures.values, rtol=1e-6)
+
+    corr = CorrNMFDet(n_signatures=2, dim_embeddings=2, init_method="random",
+                      min_iterations=10, max_iterations=60,
+                      conv_test_freq=10, tol=1e-5)
+    summary = fit_best_of(corr, AnnData(X.copy()), 3, base_seed=0)
+    assert summary.signatures.shape == (3, V, 2)
+
+    mm = MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
+                           init_method="random", min_iterations=10,
+                           max_iterations=60, conv_test_freq=10, tol=1e-5)
+    mdata = MuData({"a": AnnData(X.copy()), "b": AnnData(X.copy())})
+    summary = fit_best_of(mm, mdata, 3, base_seed=0)
+    assert set(summary.signatures) == {"a", "b"}
+    assert summary.signatures["a"].shape == (3, V, 2)
