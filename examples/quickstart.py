@@ -3,7 +3,12 @@
 Run from the repo root:  python examples/quickstart.py
 """
 
+import sys
+from pathlib import Path
+
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import salamander_tpu as sal
 from salamander_tpu import datasets
