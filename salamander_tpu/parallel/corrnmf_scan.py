@@ -90,9 +90,10 @@ class CorrScanResult(NamedTuple):
     model: Any = None  # fitted model holding the winning restart
     history: Any = None   # (n_restarts, max_evals) objective traces
     n_evals: Any = None   # (n_restarts,)
-    signatures: Any = None  # (n_restarts, k, n_features) all restarts'
-    # signature matrices, padding stripped - feeds
-    # tools.signature_stability / rank_selection_table
+    signatures: Any = None  # (n_restarts, n_features, k) all restarts'
+    # signature matrices (features x signature COLUMNS - the same
+    # orientation as RestartResult.W and MultiStartSummary.signatures),
+    # padding stripped - feeds tools.signature_stability directly
 
     @property
     def best_loss(self) -> float:
@@ -332,7 +333,7 @@ def rank_scan_corrnmf(
                 n_evals=np.asarray(result.n_evals[sl]),
                 signatures=np.asarray(
                     result.params["signatures"][sl]
-                )[:, :k, :],
+                )[:, :k, :].transpose(0, 2, 1),
             )
 
     from .restarts import _resolve_pack

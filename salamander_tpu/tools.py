@@ -177,6 +177,11 @@ def signature_stability(W_stack: np.ndarray,
     """
     from scipy.optimize import linear_sum_assignment
 
+    if W_stack is None:
+        raise ValueError(
+            "got None for W_stack - this result type exposes no "
+            "per-restart signature stack"
+        )
     W_stack = np.asarray(W_stack, dtype=np.float64)
     if W_stack.ndim != 3:
         raise ValueError("W_stack must be (n_restarts, n_features, k)")
@@ -200,13 +205,14 @@ def signature_stability(W_stack: np.ndarray,
 def _scan_point_signatures(res) -> tuple[np.ndarray, float, int]:
     """Normalize one scan point to ((R, V, K) signature stack, best loss,
     sign): RestartResult carries W as (R, V, K) with losses MINIMIZED;
-    CorrScanResult carries signatures as (R, K, V) rows with ELBO
-    MAXIMIZED (sign -1 so 'improvement' keeps one direction)."""
+    CorrScanResult carries .signatures in the SAME (R, V, K) orientation
+    but with ELBO MAXIMIZED (sign -1 so 'improvement' keeps one
+    direction)."""
     if hasattr(res, "W") and res.W is not None:
         return np.asarray(res.W), float(np.min(res.losses)), 1.0
     if getattr(res, "signatures", None) is not None:
         return (
-            np.asarray(res.signatures).transpose(0, 2, 1),
+            np.asarray(res.signatures),
             float(np.max(res.losses)),
             -1.0,
         )

@@ -451,3 +451,7 @@ def test_deferred_fetch_budget_flush(monkeypatch):
                                 build_models=False)
     for k in co_base:
         np.testing.assert_array_equal(co_tiny[k].losses, co_base[k].losses)
+        # fitted parameters survive mid-scan drains too (the budget is
+        # read at call time from restarts, so the monkeypatch applies)
+        np.testing.assert_array_equal(np.asarray(co_tiny[k].signatures),
+                                      np.asarray(co_base[k].signatures))

@@ -118,7 +118,7 @@ def test_rank_selection_corrnmf_scan():
                             base_seed=0, config=cfg, build_models=False)
 
     for k, point in res.items():
-        assert point.signatures.shape == (4, k, V)
+        assert point.signatures.shape == (4, V, k)  # same orientation as W
     table = tl.rank_selection_table(res)
     assert list(table.index) == [2, 3]
     # ELBO is maximized: best_loss must increase with rank, and the
