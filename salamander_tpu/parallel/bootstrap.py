@@ -35,7 +35,12 @@ class BootstrapResult(NamedTuple):
 
     stability: pd.Series        # mean matched cosine per signature
     similarities: pd.DataFrame  # (n_bootstraps, n_signatures) matched cosines
-    signatures: np.ndarray      # (B, K, V) matched bootstrap signatures
+    signatures: np.ndarray      # (B, K, V) matched bootstrap signatures in
+    # the MODEL's row orientation (signatures x features, aligned to
+    # model.signatures) - already Hungarian-matched, with per-replicate
+    # cosines in `similarities`. NOT the raw (R, V, K) restart stacks
+    # that RestartResult.W / CorrScanResult.signatures /
+    # MultiStartSummary.signatures feed into tl.signature_stability.
                                 # (multimodal: {mod_name: (B, K_mod, V_mod)})
     losses: np.ndarray          # (B,) final objective per replicate
 

@@ -174,6 +174,11 @@ def signature_stability(W_stack: np.ndarray,
     Returns (per_signature (K,), matched (R, K)) cosine similarities;
     matched[best_index] is identically 1. With a single restart the
     per-signature stabilities are NaN (undefined, not perfect).
+
+    Do NOT pass parallel.bootstrap_stability's result.signatures here:
+    those are already Hungarian-matched replicates in the model's
+    transposed (B, K, V) row orientation, with their cosines
+    precomputed in result.similarities.
     """
     from scipy.optimize import linear_sum_assignment
 
