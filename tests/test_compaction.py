@@ -37,11 +37,12 @@ CONFIG = FitConfig(min_iterations=20, max_iterations=3000,
                    conv_test_freq=10, tol=1e-6)
 
 
-def test_compacting_matches_plain_restarts():
+@pytest.mark.parametrize("n_restarts", [8, 7])  # odd R: 7 -> 3 schedule
+def test_compacting_matches_plain_restarts(n_restarts):
     X = _counts()
-    base = fit_klnmf_restarts(X, 3, 8, seed=0, config=CONFIG)
+    base = fit_klnmf_restarts(X, 3, n_restarts, seed=0, config=CONFIG)
     compact = fit_klnmf_restarts_compacting(
-        X, 3, 8, seed=0, config=CONFIG, min_bucket=2
+        X, 3, n_restarts, seed=0, config=CONFIG, min_bucket=2
     )
     # dispersion sanity: the test only exercises compaction if lanes
     # actually finish at different blocks
