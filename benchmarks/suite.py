@@ -5,6 +5,7 @@
   3. CorrNMF dim=2, PCAWG-breast SBS
   4. Multimodal CorrNMF over {sbs, indel, sv}
   5. KLNMF rank scan k=2..20 x 100 restarts on a 96 x 10k synthetic catalog
+  6. ARDNMF rank inference (one K_max=20 fit) on the same synthetic catalog
 
 Each config reports TPU wall time / throughput and, where a faithful
 CPU stand-in of the reference hot path is feasible in-process, the speedup
@@ -674,6 +675,54 @@ def config5c_rank_scan_pallas():
     })
 
 
+def config6_ardnmf():
+    """ARD rank inference vs the 19-rank scan (config 5): ONE over-complete
+    ARDNMF fit (K_max=20) on the planted-k=8 96x10k cohort infers the rank
+    the scan searches for. Reports steady single-fit wall + an R=8
+    multi-start (lockstep engine, device-batched init), and whether the
+    inferred rank hits the planted 8."""
+    from salamander_tpu import fit_best_of
+    from salamander_tpu.models import ARDNMF
+
+    X = datasets.synthetic_catalog(n_features=96, n_samples=10_000,
+                                   n_signatures=8, seed=0)
+    adata = AnnData(X.T)
+
+    def fresh():
+        return ARDNMF(n_signatures=20, a=5.0, min_iterations=500,
+                      max_iterations=20000)
+
+    fresh().fit(adata.copy(), init_kwargs={"seed": 7})  # warm compile
+    t0 = time.perf_counter()
+    model = fresh().fit(adata.copy(), init_kwargs={"seed": 1})
+    single_wall = time.perf_counter() - t0
+    n_iter = model.history["n_iterations"]
+    log(f"config6 single fit: {single_wall:.2f}s steady, {n_iter} iterations,"
+        f" active {model.n_active_signatures}/20 (truth 8)")
+
+    multi = ARDNMF(n_signatures=20, a=5.0, init_method="random",
+                   min_iterations=500, max_iterations=20000)
+    fit_best_of(multi, adata.copy(), n_restarts=8, base_seed=100,
+                batched_init=True)  # warm the batched programs
+    t0 = time.perf_counter()
+    summary = fit_best_of(multi, adata.copy(), n_restarts=8,
+                          batched_init=True)
+    multi_wall = time.perf_counter() - t0
+    log(f"config6 R=8 multi-start: {multi_wall:.2f}s steady, active "
+        f"{multi.n_active_signatures}/20")
+    emit({
+        "config": "6_ardnmf_rank_inference_96x10k",
+        "single_fit_steady_seconds": round(single_wall, 2),
+        "single_fit_iterations": int(n_iter),
+        "single_fit_iterations_per_sec": round(n_iter / single_wall, 1),
+        "inferred_rank_single": int(model.n_active_signatures),
+        "multistart8_steady_seconds": round(multi_wall, 2),
+        "multistart8_total_iterations": int(np.sum(summary.n_iterations)),
+        "inferred_rank_multistart": int(multi.n_active_signatures),
+        "planted_rank": 8,
+    })
+
+
 CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
@@ -690,6 +739,7 @@ CONFIGS = {
     "5b": config5b_rank_scan_padded,
     "5d": config5d_rank_scan_auto,
     "5c": config5c_rank_scan_pallas,
+    "6": config6_ardnmf,
 }
 
 

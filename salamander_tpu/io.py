@@ -23,6 +23,9 @@ from . import containers
 _HYPERPARAM_KEYS = {
     "KLNMF": ["n_signatures", "init_method", "min_iterations", "max_iterations",
               "conv_test_freq", "tol", "dtype"],
+    "ARDNMF": ["n_signatures", "prior", "a", "b", "init_method",
+               "min_iterations", "max_iterations", "conv_test_freq", "tol",
+               "dtype"],
     "MvNMF": ["n_signatures", "init_method", "lam", "delta", "min_iterations",
               "max_iterations", "conv_test_freq", "tol", "dtype"],
     "CorrNMFDet": ["n_signatures", "init_method", "dim_embeddings",
@@ -35,6 +38,7 @@ _HYPERPARAM_KEYS = {
 
 _EXTRA_STATE = {
     "KLNMF": [],
+    "ARDNMF": ["b_resolved_"],
     "MvNMF": ["_gamma"],
     "CorrNMFDet": ["variance"],
     "MultimodalCorrNMF": ["variance"],

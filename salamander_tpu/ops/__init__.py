@@ -7,5 +7,5 @@ instead of in-place mutation, and shapes/static arguments chosen so that
 `jax.jit` / `jax.vmap` / sharded `pjit` all compose.
 """
 
-from . import corrnmf, klnmf, mvnmf, svi  # noqa: F401
+from . import ardnmf, corrnmf, klnmf, mvnmf, svi  # noqa: F401
 from .klnmf import EPSILON  # noqa: F401

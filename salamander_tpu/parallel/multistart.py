@@ -59,7 +59,7 @@ def _index_pytree(tree, index: int):
 
 # families with a device-side batched 'random' initializer
 _DEVICE_INIT_FAMILIES = (
-    "KLNMF", "MvNMF", "CorrNMFDet", "MultimodalCorrNMF",
+    "KLNMF", "MvNMF", "CorrNMFDet", "MultimodalCorrNMF", "ARDNMF",
 )
 
 # compacting runners shared across fit_best_of calls (FIFO-bounded; each
@@ -80,10 +80,16 @@ def _device_init_batch(model, data, n_restarts: int, base_seed: int):
 
     key = jax.random.PRNGKey(base_seed)
     name = type(model).__name__
-    if name in ("KLNMF", "MvNMF"):
+    if name in ("KLNMF", "MvNMF", "ARDNMF"):
         X = data["X"]  # (V, D) kernel orientation
         W0, H0 = random_init_batch(key, X, model.n_signatures, n_restarts,
                                    X.dtype)
+        if name == "ARDNMF":
+            from ..ops.ardnmf import init_params
+
+            return jax.vmap(
+                lambda w, h: init_params(w, h, data["ard_ab"], model.prior)
+            )(W0, H0)
         params = {"W": W0, "H": H0}
         if name == "MvNMF":
             params["gamma"] = jnp.ones((n_restarts,), X.dtype)
@@ -276,6 +282,7 @@ def fit_best_of(
                 type(model).__name__, config, compact_min_bucket,
                 shape_key(params0), shape_key(data),
                 getattr(model, "lam", None), getattr(model, "delta", None),
+                getattr(model, "prior", None),
                 bool(jax.config.jax_enable_x64),
             )
         runner = _RUNNER_CACHE.get(cache_key) if cache_key is not None else None
