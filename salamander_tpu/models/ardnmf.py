@@ -227,6 +227,18 @@ class ARDNMF(StandardNMF):
         """The inferred signature count (at the default active_tol)."""
         return int(self.active_signatures_mask().sum())
 
+    def plot_relevance(self, active_tol: float = 1e-2,
+                       outfile: str | None = None, **kwargs):
+        """Bar plot of the relevance spectrum (log scale) with the
+        active/pruned threshold - the visual rank readout."""
+        from .. import plot as pl
+        import matplotlib.pyplot as plt
+
+        ax = pl.relevance(self, active_tol=active_tol, **kwargs)
+        if outfile is not None:
+            plt.savefig(outfile, bbox_inches="tight")
+        return ax
+
     def prune(self, active_tol: float = 1e-2, normalize: bool = True
               ) -> "ARDNMF":
         """Drop pruned components from the containers in place (signatures,

@@ -534,3 +534,34 @@ def rank_selection(table, min_stability: float | None = 0.9, ax=None,
     ax.legend(handles1 + handles2, labels1 + labels2, loc="center right",
               fontsize=8)
     return ax
+
+
+def relevance(model_or_series, active_tol: float = 1e-2, ax=None,
+              **kwargs) -> "Axes":
+    """ARD relevance spectrum: per-signature relevance excess (log scale,
+    sorted descending) with the active/pruned threshold as a dashed rule.
+
+    Accepts a fitted ARDNMF model (uses `.relevance` and marks the
+    `active_tol`-relative threshold) or any pd.Series of relevance values.
+    The standard read: data-supported signatures sit orders of magnitude
+    above the pruned floor; the count left of the rule is the inferred
+    rank (model.n_active_signatures).
+    """
+    if hasattr(model_or_series, "relevance"):
+        values = model_or_series.relevance
+    else:
+        values = pd.Series(model_or_series)
+    values = values.sort_values(ascending=False)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 3.5))
+    positions = np.arange(len(values))
+    ax.bar(positions, np.maximum(values.to_numpy(), 1e-300), **kwargs)
+    ax.set_yscale("log")
+    ax.set_xticks(positions)
+    ax.set_xticklabels(values.index, rotation=90, fontsize=8)
+    ax.set(ylabel="relevance excess (f(w)+f(h))/b")
+    threshold = active_tol * float(values.iloc[0])
+    ax.axhline(threshold, color="tab:red", linestyle="--", linewidth=1,
+               alpha=0.6, label=f"active threshold ({active_tol:g} x max)")
+    ax.legend(fontsize=8)
+    return ax

@@ -270,3 +270,23 @@ def test_engine_history_contract(fitted):
     assert np.all(np.isfinite(values))
     # engine trace is the same objective the host computes
     assert np.isclose(values[-1], model.objective_function(), rtol=1e-9)
+
+
+def test_plot_relevance(fitted):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    model, _ = fitted
+    ax = model.plot_relevance()
+    assert ax.get_yscale() == "log"
+    # one bar per signature plus the threshold rule
+    assert len(ax.patches) == K_MAX
+    plt.close("all")
+
+    from salamander_tpu import plot as pl
+
+    ax = pl.relevance(model.relevance)  # plain-Series entry
+    assert len(ax.patches) == K_MAX
+    plt.close("all")
