@@ -27,7 +27,7 @@ from ..engine import FitConfig, make_fit_function
 from ..engine.transfer import fetch_pytree
 from ..utils import match_signatures_pair
 
-_SUPPORTED = ("KLNMF", "MvNMF", "CorrNMFDet", "MultimodalCorrNMF")
+_SUPPORTED = ("KLNMF", "MvNMF", "ARDNMF", "CorrNMFDet", "MultimodalCorrNMF")
 
 
 class BootstrapResult(NamedTuple):
@@ -90,6 +90,14 @@ def bootstrap_stability(
     MultimodalCorrNMF resamples the shared sample axis (the same bootstrap
     indices across all modalities), refits the joint model, and matches
     per modality; `signatures` is then a per-modality dict.
+
+    ARDNMF replicates refit at the model's CURRENT n_signatures with the
+    per-replicate moment-matched b (each resampled cohort sets its own
+    prior scale, like the original fit did) - call `model.prune()` first
+    so replicates run at the inferred rank. On an unpruned model, pruned
+    components sit at the constant EPSILON floor in every replicate and
+    therefore match each other at cosine ~1: read their "stability" as
+    'consistently pruned', not as signature evidence.
     """
     class_name = type(model).__name__
     if class_name not in _SUPPORTED:

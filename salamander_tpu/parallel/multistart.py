@@ -5,7 +5,7 @@ fit_best_of runs them as ONE device program: per-restart initial parameter
 pytrees are stacked on a leading axis, the model's own (update, objective)
 step functions are vmapped inside the jitted convergence engine, and the
 best restart (by the model's objective direction) is absorbed back into the
-model's containers. Works for KLNMF, MvNMF, CorrNMFDet and - because the
+model's containers. Works for KLNMF, MvNMF, ARDNMF, CorrNMFDet and - because the
 parameters are just pytrees - MultimodalCorrNMF.
 """
 

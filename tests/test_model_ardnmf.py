@@ -290,3 +290,22 @@ def test_plot_relevance(fitted):
     ax = pl.relevance(model.relevance)  # plain-Series entry
     assert len(ax.patches) == K_MAX
     plt.close("all")
+
+
+def test_bootstrap_stability_after_prune(fitted):
+    import copy
+
+    from salamander_tpu.engine import FitConfig
+    from salamander_tpu.parallel import bootstrap_stability
+
+    model, _ = fitted
+    model = copy.deepcopy(model)
+    model.prune()
+    boot = bootstrap_stability(
+        model, n_bootstraps=3, seed=0,
+        config=FitConfig(min_iterations=100, max_iterations=600),
+    )
+    assert boot.similarities.shape == (3, K_TRUE)
+    assert np.all(np.isfinite(boot.losses))
+    # planted signatures are strongly supported -> near-1 matched cosines
+    assert float(boot.stability.min()) > 0.9

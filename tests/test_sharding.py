@@ -174,3 +174,27 @@ def test_stop_on_nonfinite_through_fit(reference_data_path):
     model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=50)
     model.fit(AnnData(counts), stop_on_nonfinite=True)
     assert np.all(np.isfinite(model.history["objective_function"]))
+
+def test_fit_best_of_ardnmf_with_mesh_matches_unsharded():
+    """Restart-sharded ARDNMF multi-start must equal the unsharded run
+    (the lam leaf shards on its restart axis like W/H)."""
+    from salamander_tpu.models import ARDNMF
+
+    rng = np.random.default_rng(0)
+    W = rng.dirichlet(np.full(20, 0.5), size=3).T
+    H = rng.gamma(2.0, 20.0, size=(3, 48))
+    X = np.clip(rng.poisson(W @ H), np.finfo(np.float32).eps, None)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=1)
+
+    def run(mesh_arg):
+        model = ARDNMF(n_signatures=6, init_method="random",
+                       min_iterations=50, max_iterations=200)
+        summary = fit_best_of(model, AnnData(X.T), n_restarts=8,
+                              base_seed=0, mesh=mesh_arg)
+        return model, summary
+
+    model_a, summary_a = run(None)
+    model_b, summary_b = run(mesh)
+    np.testing.assert_allclose(summary_b.losses, summary_a.losses, rtol=1e-10)
+    assert summary_b.best_index == summary_a.best_index
+    assert model_b.n_active_signatures == model_a.n_active_signatures
