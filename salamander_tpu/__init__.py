@@ -19,6 +19,7 @@ from . import (
     profiling,
     utils,
 )
+from .assign import AssignmentResult, assign_exposures, assign_signatures
 from .containers import AnnData, MuData
 from .io import load_model, save_model
 from .parallel import bootstrap_stability, fit_best_of
@@ -28,7 +29,10 @@ __version__ = "0.3.0"
 __all__ = [
     "__version__",
     "AnnData",
+    "AssignmentResult",
     "MuData",
+    "assign_exposures",
+    "assign_signatures",
     "bootstrap_stability",
     "consts",
     "containers",

@@ -1,0 +1,225 @@
+"""Signature assignment: refit a cohort's exposures against a FIXED,
+known signature catalog (e.g. COSMIC), densely or sparsely.
+
+The reference covers the dense case only, one model at a time, via
+``fit(given_parameters={"asignatures": ...})`` (reference
+src/salamander/models/klnmf.py:83-121); the sparse per-sample support
+search is the job of external host-loop tools (SigProfilerAssignment).
+Here both are single batched device programs (ops/assign.py): the dense
+refit is one masked MU solve over the whole cohort, and the sparse search
+is greedy backward elimination with all (sample, candidate-removal) pairs
+evaluated as one vmapped lane axis per round, zero host round-trips.
+
+Typical use::
+
+    catalog = sal.datasets.load_cosmic_sbs_catalog()   # signatures x 96
+    res = sal.assign_signatures(adata, catalog, rel_tol=0.02)
+    res.exposures     # samples x signatures, exact zeros off-support
+    res.active        # bool samples x signatures
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .engine.transfer import fetch_pytree
+from .ops import assign as ops
+from .ops.klnmf import EPSILON
+
+__all__ = ["AssignmentResult", "assign_exposures", "assign_signatures"]
+
+
+def _extract_counts(data) -> tuple[np.ndarray, pd.Index, pd.Index]:
+    """Counts as (V, D) float plus (obs_names, var_names).
+
+    Accepts the package/scverse AnnData duck type (samples x features) or
+    a samples-x-features DataFrame. The input is never modified.
+    """
+    if hasattr(data, "obsm") and hasattr(data, "X"):
+        X = np.asarray(data.X, dtype=np.float64)
+        return X.T.copy(), pd.Index(data.obs_names), pd.Index(data.var_names)
+    if isinstance(data, pd.DataFrame):
+        return (
+            data.to_numpy(dtype=np.float64).T.copy(),
+            pd.Index(data.index.astype(str)),
+            pd.Index(data.columns.astype(str)),
+        )
+    raise TypeError(
+        "data must be an AnnData-like container or a samples-x-features "
+        f"DataFrame, got {type(data).__name__}."
+    )
+
+
+def _align_catalog(catalog, var_names: pd.Index) -> tuple[np.ndarray, list[str]]:
+    """Catalog -> column-stochastic W (V, K) aligned to the data's feature
+    order, plus signature names.
+
+    Accepts a signatures-x-features DataFrame (the datasets loader
+    convention), a features-x-signatures DataFrame (auto-detected via the
+    index), or an AnnData-like of signatures. Features must match the
+    data's as a set; order is realigned here. Columns are EPSILON-floored
+    and renormalized to sum one (the package-wide signature convention).
+    """
+    if hasattr(catalog, "obsm") and hasattr(catalog, "X"):
+        catalog = pd.DataFrame(
+            np.asarray(catalog.X),
+            index=pd.Index(catalog.obs_names),
+            columns=pd.Index(catalog.var_names),
+        )
+    if not isinstance(catalog, pd.DataFrame):
+        raise TypeError(
+            "catalog must be a DataFrame or an AnnData-like of signatures, "
+            f"got {type(catalog).__name__}."
+        )
+    features = set(var_names)
+    if set(catalog.columns.astype(str)) == features:
+        frame = catalog
+    elif set(catalog.index.astype(str)) == features:
+        frame = catalog.T
+    else:
+        raise ValueError(
+            "catalog features do not match the data's var_names: "
+            f"{len(features)} data features, catalog is "
+            f"{catalog.shape[0]} x {catalog.shape[1]}."
+        )
+    frame = frame.loc[:, var_names]
+    W = np.maximum(frame.to_numpy(dtype=np.float64).T, EPSILON)
+    W = W / W.sum(axis=0, keepdims=True)
+    return W, [str(name) for name in frame.index]
+
+
+@dataclass
+class AssignmentResult:
+    """Sparse catalog assignment of a cohort.
+
+    exposures: (samples x signatures) refit exposures, exact zeros off the
+      per-sample support. active: bool (samples x signatures) supports.
+    kl_dense / kl_sparse: per-sample KL of the full-catalog refit vs the
+      sparse one. n_active: per-sample support sizes.
+    """
+
+    exposures: pd.DataFrame
+    active: pd.DataFrame
+    kl_dense: pd.Series
+    kl_sparse: pd.Series
+    n_active: pd.Series
+    meta: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def signature_names(self) -> list[str]:
+        return list(self.exposures.columns)
+
+    def assigned_signatures(self) -> list[str]:
+        """Catalog signatures active in at least one sample."""
+        return list(self.active.columns[self.active.to_numpy().any(axis=0)])
+
+
+def assign_exposures(data, catalog, max_iterations: int = 10_000,
+                     tol: float = 1e-7) -> pd.DataFrame:
+    """Dense catalog refit: exposures for every sample over the FULL
+    catalog (all signatures active), KLNMF H-updates to convergence.
+
+    One batched device program for the whole cohort. Equivalent to the
+    reference's fit(given_parameters={'asignatures': catalog}) exposures,
+    without learning anything. Returns a samples x signatures DataFrame.
+    """
+    X, obs_names, var_names = _extract_counts(data)
+    W, sig_names = _align_catalog(catalog, var_names)
+    mask = jnp.ones((W.shape[1], X.shape[1]), dtype=bool)
+    H, _ = ops.refit_exposures(
+        jnp.asarray(X), jnp.asarray(W), mask,
+        max_iterations=max_iterations, tol=tol,
+    )
+    return pd.DataFrame(
+        fetch_pytree(H).T, index=obs_names, columns=sig_names
+    )
+
+
+def assign_signatures(
+    data,
+    catalog,
+    rel_tol: float = 0.02,
+    abs_tol: float = 0.0,
+    candidate_iters: int = 50,
+    polish_iterations: int = 200,
+    max_iterations: int = 10_000,
+    tol: float = 1e-7,
+    batch_size: int | None = None,
+) -> AssignmentResult:
+    """Sparse per-sample signature assignment against a fixed catalog.
+
+    Greedy backward elimination from the dense refit: each sample keeps
+    the (greedily) smallest signature subset whose KL stays within
+    ``(1 + rel_tol) * kl_dense + abs_tol`` of its full-catalog refit.
+    All samples and all candidate removals evaluate in parallel on device
+    (ops/assign.py:eliminate_signatures).
+
+    ``batch_size`` bounds device memory (the candidate tensor is
+    O(K^2 * batch) floats): samples are processed in equal-shape chunks
+    sharing one compiled program (the tail chunk is padded and trimmed).
+    Samples are mathematically independent; the only chunking effect is
+    that the convergence test aggregates the objective per chunk, so
+    refits may stop a block earlier/later — results agree to the
+    convergence tolerance, supports are identical in practice.
+    """
+    X, obs_names, var_names = _extract_counts(data)
+    W, sig_names = _align_catalog(catalog, var_names)
+    D = X.shape[1]
+    W_dev = jnp.asarray(W)
+
+    def run(chunk: np.ndarray) -> dict[str, np.ndarray]:
+        out = ops.eliminate_signatures(
+            jnp.asarray(chunk), W_dev, rel_tol, abs_tol,
+            candidate_iters=candidate_iters,
+            polish_iterations=polish_iterations,
+            max_polish_iterations=max_iterations,
+            polish_tol=tol,
+        )
+        out = dict(out)
+        n_rounds = out.pop("n_rounds")
+        fetched = fetch_pytree(out)
+        fetched["n_rounds"] = int(n_rounds)
+        return fetched
+
+    if batch_size is None or batch_size >= D:
+        parts = [run(X)]
+    else:
+        parts = []
+        for start in range(0, D, batch_size):
+            chunk = X[:, start:start + batch_size]
+            pad = batch_size - chunk.shape[1]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[:, :1], pad, axis=1)], axis=1
+                )
+            out = run(chunk)
+            if pad:
+                out = {
+                    key: value[..., :-pad] if np.ndim(value) else value
+                    for key, value in out.items()
+                }
+            parts.append(out)
+
+    def cat(key):
+        return np.concatenate([part[key] for part in parts], axis=-1)
+
+    active = cat("mask").astype(bool)
+    return AssignmentResult(
+        exposures=pd.DataFrame(cat("H").T, index=obs_names, columns=sig_names),
+        active=pd.DataFrame(active.T, index=obs_names, columns=sig_names),
+        kl_dense=pd.Series(cat("kl_dense"), index=obs_names, name="kl_dense"),
+        kl_sparse=pd.Series(cat("kl_sparse"), index=obs_names,
+                            name="kl_sparse"),
+        n_active=pd.Series(cat("n_active"), index=obs_names, name="n_active"),
+        meta={
+            "rel_tol": rel_tol,
+            "abs_tol": abs_tol,
+            "candidate_iters": candidate_iters,
+            "n_rounds": max(part["n_rounds"] for part in parts),
+        },
+    )

@@ -33,7 +33,6 @@ import numpy as np
 import pandas as pd
 
 from ..ops import ardnmf as ops
-from ..ops.klnmf import samplewise_kl_divergence
 from .standard_nmf import StandardNMF
 
 _LAMBDA_KEY = "ard_lambda"
@@ -103,13 +102,6 @@ class ARDNMF(StandardNMF):
     @property
     def objective(self) -> Literal["minimize", "maximize"]:
         return "minimize"
-
-    def compute_reconstruction_errors(self) -> None:
-        errors = samplewise_kl_divergence(
-            self.adata.X.T, self.asignatures.X.T,
-            self.adata.obsm["exposures"].T,
-        )
-        self.adata.obs["reconstruction_error"] = np.asarray(errors)
 
     def objective_function(self) -> float:
         params, data = self._device_state()
@@ -188,9 +180,14 @@ class ARDNMF(StandardNMF):
     # ------------------------------------------------------------------ #
     # relevance / rank inference
     # ------------------------------------------------------------------ #
+    def _require_fitted(self, what: str) -> None:
+        if not getattr(self, "_is_fitted", False):
+            raise ValueError(f"{what} requires a fitted model.")
+
     @property
     def lambdas(self) -> pd.Series:
         """Per-signature relevance parameter lambda_k."""
+        self._require_fitted("lambdas")
         return pd.Series(
             np.asarray(self.asignatures.obs[_LAMBDA_KEY]),
             index=self.signature_names, name="lambda",
@@ -200,23 +197,25 @@ class ARDNMF(StandardNMF):
     def relevance(self) -> pd.Series:
         """Normalized relevance excess (f(w_k)+f(h_k))/b: ~0 for pruned
         components, O(1) or larger for data-supported ones."""
+        self._require_fitted("relevance")
         excess = ops.relevance_excess(
             np.asarray(self.asignatures.obs[_LAMBDA_KEY]),
             np.array([self.a, self.b_resolved_]),
             self.prior, self.adata.n_vars, self.adata.n_obs,
         )
-        return pd.Series(np.asarray(excess), index=self.signature_names,
+        return pd.Series(excess, index=self.signature_names,
                          name="relevance")
 
     def active_signatures_mask(self, active_tol: float = 1e-2) -> np.ndarray:
         """Boolean (K,) mask of data-supported signatures: relevance excess
         at least `active_tol` times the most relevant component's."""
-        return np.asarray(ops.active_components(
+        self._require_fitted("active_signatures_mask()")
+        return ops.active_components(
             np.asarray(self.asignatures.obs[_LAMBDA_KEY]),
             np.array([self.a, self.b_resolved_]),
             self.prior, self.adata.n_vars, self.adata.n_obs,
             active_tol=active_tol,
-        ))
+        )
 
     def active_signatures(self, active_tol: float = 1e-2) -> list[str]:
         mask = self.active_signatures_mask(active_tol)
@@ -251,8 +250,7 @@ class ARDNMF(StandardNMF):
         models feed plotting/matching/stability tooling like any other
         model's. Returns self.
         """
-        if not getattr(self, "_is_fitted", False):
-            raise ValueError("prune() requires a fitted model.")
+        self._require_fitted("prune()")
         mask = self.active_signatures_mask(active_tol)
         keep = np.flatnonzero(mask)
         self.asignatures = self.asignatures[keep, :].copy()
@@ -265,6 +263,22 @@ class ARDNMF(StandardNMF):
             self.adata.obsm["exposures"] = (
                 self.adata.obsm["exposures"] * scale[None, :]
             )
+            # the rescale moves each component's mass between w_k and h_k,
+            # so the stored lambdas must be re-minimized at the new point
+            # (closed form (f(w_k)+f(h_k)+b)/c; host numpy on purpose) -
+            # otherwise lambdas/relevance/objective_function go stale
+            W = self.asignatures.X.T
+            H = self.adata.obsm["exposures"].T
+            if self.prior == "L1":
+                f_norms = W.sum(axis=0) + H.sum(axis=1)
+            else:
+                f_norms = 0.5 * ((W**2).sum(axis=0) + (H**2).sum(axis=1))
+            c = ops.prior_constant(
+                self.prior, self.adata.n_vars, self.adata.n_obs, self.a
+            )
+            self.asignatures.obs[_LAMBDA_KEY] = (
+                (f_norms + self.b_resolved_) / c
+            )
         # stale caches of the pre-prune rank
-        self.adata.obsm.pop("X_reconstructed", None)
+        self._invalidate_derived(self.adata)
         return self

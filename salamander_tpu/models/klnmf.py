@@ -48,12 +48,6 @@ class KLNMF(StandardNMF):
     def objective(self) -> Literal["minimize", "maximize"]:
         return "minimize"
 
-    def compute_reconstruction_errors(self) -> None:
-        errors = ops.samplewise_kl_divergence(
-            self.adata.X.T, self.asignatures.X.T, self.adata.obsm["exposures"].T
-        )
-        self.adata.obs["reconstruction_error"] = np.asarray(errors)
-
     def objective_function(self) -> float:
         return float(
             ops.klnmf_objective(

@@ -35,6 +35,7 @@ from ..utils import (
     compute_exposures_numpy, dict_checker, type_checker, value_checker,
 )
 from .corrnmf_det import SAMPLE_NEWTON_ITERS, SIGNATURE_NEWTON_ITERS
+from .signature_nmf import SignatureNMF
 from .signature_nmf import promote_objective, resolve_dtype
 
 
@@ -227,6 +228,7 @@ class MultimodalCorrNMF:
                     "The sample names of the different modalities are not identical."
                 )
         for adata in mdata.mod.values():
+            SignatureNMF._invalidate_derived(adata)
             adata.X = adata.X.clip(EPSILON)
         self.mdata = mdata
 
@@ -249,6 +251,7 @@ class MultimodalCorrNMF:
                     "The sample names of the different modalities are not identical."
                 )
         for adata in mdata.mod.values():
+            SignatureNMF._invalidate_derived(adata)
             # dtype without materializing (lazily-backed X stays on disk)
             x_dtype = getattr(adata.X, "dtype", None)
             if x_dtype is None:

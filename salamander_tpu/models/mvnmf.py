@@ -47,12 +47,6 @@ class MvNMF(StandardNMF):
     def objective(self) -> Literal["minimize", "maximize"]:
         return "minimize"
 
-    def compute_reconstruction_errors(self) -> None:
-        errors = klnmf_ops.samplewise_kl_divergence(
-            self.adata.X.T, self.asignatures.X.T, self.adata.obsm["exposures"].T
-        )
-        self.adata.obs["reconstruction_error"] = np.asarray(errors)
-
     def objective_function(self) -> float:
         return float(
             ops.kl_divergence_penalized(

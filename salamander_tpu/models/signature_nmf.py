@@ -240,11 +240,25 @@ class SignatureNMF(ABC):
     # ------------------------------------------------------------------ #
     # fitting
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _invalidate_derived(adata) -> None:
+        """Drop lazily-derived caches a new fit invalidates.
+
+        `reconstruction_error` / `X_reconstructed` are computed on demand by
+        the model properties and only when absent - a container carrying
+        them from an earlier fit (e.g. `other_model.adata.copy()`) would
+        otherwise silently serve the OLD model's values after this fit."""
+        if hasattr(adata.obs, "drop"):
+            adata.obs.drop(columns=["reconstruction_error"],
+                           errors="ignore", inplace=True)
+        adata.obsm.pop("X_reconstructed", None)
+
     def _setup_adata(self, adata) -> None:
         """Validate the count container and clip zeros (EPSILON floor)."""
         if not hasattr(adata, "obsm") or not hasattr(adata, "X"):
             type_checker("adata", adata, containers.AnnData)
         self.adata = adata
+        self._invalidate_derived(self.adata)
         self.adata.X = self.adata.X.clip(EPSILON)
 
     def _setup_adata_streaming(self, adata) -> None:
@@ -261,6 +275,7 @@ class SignatureNMF(ABC):
         if not hasattr(adata, "obsm") or not hasattr(adata, "X"):
             type_checker("adata", adata, containers.AnnData)
         self.adata = adata
+        self._invalidate_derived(self.adata)
         # read the dtype WITHOUT materializing: np.asarray on a
         # lazily-backed X would load the whole matrix just to inspect it
         x_dtype = getattr(adata.X, "dtype", None)

@@ -31,6 +31,18 @@ class StandardNMF(SignatureNMF):
             **init_kwargs,
         )
 
+    def compute_reconstruction_errors(self) -> None:
+        """Per-sample generalized KL between X and W @ H - the shared
+        reconstruction error of every W/H-parameterized family (reference
+        models/klnmf.py:54-62 semantics)."""
+        from ..ops.klnmf import samplewise_kl_divergence
+
+        errors = samplewise_kl_divergence(
+            self.adata.X.T, self.asignatures.X.T,
+            self.adata.obsm["exposures"].T,
+        )
+        self.adata.obs["reconstruction_error"] = np.asarray(errors)
+
     @staticmethod
     def _n_given_signatures(given_parameters: dict[str, Any] | None) -> int:
         if given_parameters and "asignatures" in given_parameters:

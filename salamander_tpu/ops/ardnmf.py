@@ -210,21 +210,26 @@ def make_step_functions(prior: str, n_given_signatures: int = 0):
 
 
 def relevance_excess(lam, ard_ab, prior: str, n_features: int,
-                     n_samples: int):
+                     n_samples: int) -> np.ndarray:
     """Per-component relevance above the prior's resting value, normalized:
 
         e_k = (c * lam_k - b) / b = (f(w_k) + f(h_k)) / b
 
     A pruned component's W/H sit at the EPSILON floor, so e_k ~ (V+D)*eps/b
-    (orders of magnitude below any data-supported component's e_k)."""
-    a, b = ard_ab[0], ard_ab[1]
+    (orders of magnitude below any data-supported component's e_k).
+
+    HOST path on purpose (plain numpy, K-element inputs): rank readout runs
+    post-fit on container data, and eager jnp on the remote-TPU backend
+    costs seconds per op (CLAUDE.md)."""
+    lam = np.asarray(lam)
+    a, b = float(np.asarray(ard_ab)[0]), float(np.asarray(ard_ab)[1])
     c = prior_constant(prior, n_features, n_samples, a)
-    return (c * jnp.asarray(lam) - b) / b
+    return (c * lam - b) / b
 
 
 def active_components(lam, ard_ab, prior: str, n_features: int,
-                      n_samples: int, active_tol: float = 1e-2):
+                      n_samples: int, active_tol: float = 1e-2) -> np.ndarray:
     """Boolean (K,) mask of data-supported components: relevance excess at
-    least `active_tol` times the largest component's."""
+    least `active_tol` times the largest component's. Host/numpy path."""
     excess = relevance_excess(lam, ard_ab, prior, n_features, n_samples)
-    return excess >= active_tol * jnp.max(excess)
+    return excess >= active_tol * np.max(excess)

@@ -1,0 +1,194 @@
+"""Catalog assignment: dense refit + sparse greedy backward elimination.
+
+The reference only covers the dense case (fit with given asignatures,
+reference src/salamander/models/klnmf.py:83-121); the sparse per-sample
+search is beyond-reference, so these tests pin the feature's own contract:
+exact-zero off-support exposures, the KL acceptance budget, support
+recovery on well-separated synthetic data, and chunking invariance.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import salamander_tpu as sal
+from salamander_tpu.assign import assign_exposures, assign_signatures
+from salamander_tpu.containers import AnnData
+from salamander_tpu.ops.klnmf import EPSILON
+
+
+def _synthetic(seed=0, n_features=24, n_samples=8, n_catalog=6,
+               active_per_sample=2, scale=2_000.0):
+    """Exactly factorizable counts over a well-separated catalog with a
+    KNOWN sparse per-sample support."""
+    rng = np.random.default_rng(seed)
+    # near-orthogonal catalog: disjoint dominant blocks + small background
+    W = np.full((n_features, n_catalog), 0.01)
+    block = n_features // n_catalog
+    for k in range(n_catalog):
+        W[k * block:(k + 1) * block, k] += 1.0
+    W /= W.sum(axis=0, keepdims=True)
+    H = np.zeros((n_catalog, n_samples))
+    supports = []
+    for d in range(n_samples):
+        active = rng.choice(n_catalog, size=active_per_sample, replace=False)
+        supports.append(np.sort(active))
+        H[active, d] = scale * (0.5 + rng.random(active_per_sample))
+    X = W @ H
+    return X, W, H, supports
+
+
+def _frames(X, W):
+    n_features, n_samples = X.shape
+    features = [f"f{v}" for v in range(n_features)]
+    data = pd.DataFrame(
+        X.T, index=[f"s{d}" for d in range(n_samples)], columns=features
+    )
+    catalog = pd.DataFrame(
+        W.T, index=[f"Sig{k}" for k in range(W.shape[1])], columns=features
+    )
+    return data, catalog
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return _synthetic()
+
+
+def test_dense_refit_reaches_exact_factorization(problem):
+    X, W, H_true, _ = problem
+    data, catalog = _frames(X, W)
+    exposures = assign_exposures(
+        data, catalog, tol=1e-12, max_iterations=50_000
+    )
+    assert list(exposures.index) == list(data.index)
+    assert list(exposures.columns) == list(catalog.index)
+    recon = exposures.to_numpy() @ W.T
+    # X = W @ H_true exactly, so the dense KL optimum is ~0; MU's tail is
+    # O(1/t), hence the generous iteration budget for a 1e-4 pin
+    np.testing.assert_allclose(recon, X.T, rtol=1e-4)
+
+
+def test_sparse_assignment_recovers_known_supports(problem):
+    X, W, _, supports = problem
+    data, catalog = _frames(X, W)
+    res = assign_signatures(data, catalog, rel_tol=0.02)
+    active = res.active.to_numpy()
+    for d, true_support in enumerate(supports):
+        assert list(np.flatnonzero(active[d])) == list(true_support)
+    assert (res.n_active.to_numpy() == [len(s) for s in supports]).all()
+
+
+def test_exposures_exact_zero_off_support_epsilon_on(problem):
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    res = assign_signatures(data, catalog, rel_tol=0.02)
+    exposures = res.exposures.to_numpy()
+    active = res.active.to_numpy()
+    assert (exposures[~active] == 0.0).all()
+    assert (exposures[active] >= EPSILON).all()
+
+
+def test_kl_budget_holds_per_sample(problem):
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    rel_tol, abs_tol = 0.05, 1e-9
+    res = assign_signatures(data, catalog, rel_tol=rel_tol, abs_tol=abs_tol)
+    kl_dense = res.kl_dense.to_numpy()
+    kl_sparse = res.kl_sparse.to_numpy()
+    # tiny slack: the final polish runs to tol, not to the exact optimum
+    budget = (1.0 + rel_tol) * kl_dense + abs_tol
+    assert (kl_sparse <= budget + 1e-6 * np.abs(kl_dense).max()).all()
+    assert res.meta["rel_tol"] == rel_tol
+
+
+def test_noisy_counts_still_within_budget():
+    X, W, _, _ = _synthetic(seed=3)
+    X = np.random.default_rng(5).poisson(X).astype(np.float64) + EPSILON
+    data, catalog = _frames(X, W)
+    res = assign_signatures(data, catalog, rel_tol=0.02)
+    assert (res.kl_sparse.to_numpy()
+            <= 1.02 * res.kl_dense.to_numpy() * (1 + 1e-6)).all()
+    # sparser than dense for at least some samples at this tolerance
+    assert res.n_active.min() < W.shape[1]
+
+
+def test_chunked_equals_unchunked(problem):
+    """Samples are independent; a non-divisible batch_size (with a padded
+    tail chunk) must reproduce the one-shot result."""
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    whole = assign_signatures(data, catalog, rel_tol=0.02)
+    chunked = assign_signatures(data, catalog, rel_tol=0.02, batch_size=3)
+    pd.testing.assert_frame_equal(whole.active, chunked.active)
+    np.testing.assert_allclose(
+        whole.exposures.to_numpy(), chunked.exposures.to_numpy(),
+        rtol=1e-6, atol=1e-9,
+    )
+    # exactly-factorizable data: kl_sparse is float jitter around 0, and
+    # the convergence test aggregates per chunk, so stopping blocks may
+    # differ — compare with an absolute floor
+    np.testing.assert_allclose(
+        whole.kl_sparse.to_numpy(), chunked.kl_sparse.to_numpy(),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_catalog_orientation_and_feature_order_invariance(problem):
+    """features-x-signatures catalogs and shuffled feature columns must
+    align back to the data's var_names."""
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    res = assign_signatures(data, catalog, rel_tol=0.02)
+
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(catalog.shape[1])
+    shuffled_T = catalog.iloc[:, perm].T  # features x signatures, reordered
+    res_shuffled = assign_signatures(data, shuffled_T, rel_tol=0.02)
+    pd.testing.assert_frame_equal(res.active, res_shuffled.active)
+    np.testing.assert_allclose(
+        res.exposures.to_numpy(), res_shuffled.exposures.to_numpy(),
+        rtol=1e-10,
+    )
+
+
+def test_anndata_inputs_and_package_export(problem):
+    X, W, _, supports = problem
+    data, catalog = _frames(X, W)
+    adata = AnnData(data)
+    acatalog = AnnData(catalog)
+    res = sal.assign_signatures(adata, acatalog, rel_tol=0.02)
+    assert isinstance(res, sal.AssignmentResult)
+    active = res.active.to_numpy()
+    for d, true_support in enumerate(supports):
+        assert list(np.flatnonzero(active[d])) == list(true_support)
+    assert set(res.assigned_signatures()) == {
+        f"Sig{k}" for s in supports for k in s
+    }
+    # dense helper exported too
+    dense = sal.assign_exposures(adata, acatalog)
+    assert dense.shape == res.exposures.shape
+
+
+def test_input_validation(problem):
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    with pytest.raises(TypeError, match="AnnData-like container"):
+        assign_signatures([[1.0]], catalog)
+    with pytest.raises(TypeError, match="DataFrame or an AnnData-like"):
+        assign_signatures(data, np.asarray(W))
+    with pytest.raises(ValueError, match="do not match"):
+        assign_signatures(data, catalog.iloc[:, :-1])
+    # the input data must never be mutated
+    before = data.copy()
+    assign_exposures(data, catalog, max_iterations=20)
+    pd.testing.assert_frame_equal(data, before)
+
+
+def test_abs_tol_only_budget():
+    """rel_tol=0 with a generous abs_tol still sparsifies (the acceptance
+    rule is the sum of both budgets)."""
+    X, W, _, supports = _synthetic(seed=11)
+    data, catalog = _frames(X, W)
+    res = assign_signatures(data, catalog, rel_tol=0.0, abs_tol=1.0)
+    assert res.n_active.max() <= max(len(s) for s in supports) + 1

@@ -223,3 +223,32 @@ def test_transform_works_for_user_subclass(adata):
     projector = model.transform(adata[:3, :].copy())
     assert type(projector) is MyKLNMF
     assert projector.exposures.shape == (3, 2)
+
+
+def test_fit_invalidates_stale_derived_caches(adata):
+    """A container carrying another model's derived columns must not leak
+    them through the lazy reconstruction_error / data_reconstructed
+    properties (regression: a copy of a fitted model's adata previously
+    served the OLD model's reconstruction error after a fresh fit)."""
+    first = KLNMF(n_signatures=1, min_iterations=10, max_iterations=10)
+    first.fit(adata)
+    stale_total = first.reconstruction_error
+    assert "reconstruction_error" in first.adata.obs
+    _ = first.data_reconstructed
+    assert "X_reconstructed" in first.adata.obsm
+
+    carried = adata.copy()
+    assert "reconstruction_error" in carried.obs
+
+    second = KLNMF(n_signatures=3, min_iterations=200, max_iterations=200)
+    second.fit(carried)
+    assert "reconstruction_error" not in carried.obs  # dropped at setup
+    fresh_total = second.reconstruction_error
+    assert fresh_total < stale_total  # k=3/200 iters beats k=1/10 iters
+    errors = np.asarray(second.adata.obs["reconstruction_error"])
+    W = second.asignatures.X.T
+    H = second.adata.obsm["exposures"].T
+    from salamander_tpu.ops.klnmf import samplewise_kl_divergence
+
+    assert np.allclose(errors, np.asarray(
+        samplewise_kl_divergence(second.adata.X.T, W, H)))
