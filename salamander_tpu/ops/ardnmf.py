@@ -39,6 +39,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from .precision import mm
+
 EPSILON = float(np.finfo(np.float32).eps)
 
 PRIORS = ("L1", "L2")
@@ -116,7 +118,7 @@ def update_H(X, W, H, lam, prior: str):
     L1: H <- H * (W^T (X/WH)) / (colsum(W) + 1/lam)          (exponent 1)
     L2: H <- H * sqrt((W^T (X/WH)) / (colsum(W) + H/lam))    (exponent 1/2)
     """
-    numerator = W.T @ (X / (W @ H))
+    numerator = mm(W.T, X / mm(W, H))
     col_w = jnp.sum(W, axis=0)[:, None]
     if prior == "L1":
         H_new = H * numerator / (col_w + (1.0 / lam)[:, None])
@@ -132,7 +134,7 @@ def update_W(X, W, H, lam, prior: str, n_given_signatures: int = 0):
     n_signatures = W.shape[1]
     if n_given_signatures == n_signatures:
         return W
-    numerator = (X / (W @ H)) @ H.T
+    numerator = mm(X / mm(W, H), H.T)
     row_h = jnp.sum(H, axis=1)[None, :]
     if prior == "L1":
         W_new = W * numerator / (row_h + (1.0 / lam)[None, :])

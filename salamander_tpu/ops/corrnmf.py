@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .klnmf import EPSILON, poisson_llh
+from .precision import omm
 
 # scipy.optimize's Newton-CG 'avextol' default; threshold is dim * XTOL.
 XTOL = 1e-5
@@ -43,7 +44,7 @@ XTOL = 1e-5
 # pushed below zero, while the identical program was clean on CPU. These
 # are (M, m) x (m,) sized products with m = dim_embeddings <= ~10 - full
 # precision costs nothing measurable.
-_HIGHEST = jax.lax.Precision.HIGHEST
+from .precision import OBJECTIVE_PRECISION as _HIGHEST  # noqa: E402
 
 
 def compute_exposures(signature_scalings, sample_scalings,
@@ -53,7 +54,7 @@ def compute_exposures(signature_scalings, sample_scalings,
     logits = (
         signature_scalings[:, None]
         + sample_scalings[None, :]
-        + signature_embeddings @ sample_embeddings.T
+        + omm(signature_embeddings, sample_embeddings.T)
     )
     return jnp.exp(logits).T
 
@@ -63,8 +64,8 @@ def compute_aux(data_mat, signatures_mat, exposures_mat):
 
     data_mat: (D,V) counts; signatures_mat: (K,V); exposures_mat: (D,K).
     """
-    ratios = data_mat / (exposures_mat @ signatures_mat)  # (D, V)
-    return exposures_mat.T * (signatures_mat @ ratios.T)  # (K, D)
+    ratios = data_mat / omm(exposures_mat, signatures_mat)  # (D, V)
+    return exposures_mat.T * omm(signatures_mat, ratios.T)  # (K, D)
 
 
 def elbo_corrnmf(data_mat, signatures_mat, exposures_mat,
@@ -91,7 +92,7 @@ def update_signature_scalings(aux, sample_scalings,
     observed = jnp.sum(aux, axis=1)
     predicted = jnp.sum(
         jnp.exp(sample_scalings[None, :]
-                + signature_embeddings @ sample_embeddings.T),
+                + omm(signature_embeddings, sample_embeddings.T)),
         axis=1,
     )
     return jnp.log(observed) - jnp.log(predicted)
@@ -106,7 +107,7 @@ def update_sample_scalings(data_mat, signature_scalings,
     observed = jnp.sum(data_mat, axis=1)
     predicted = jnp.sum(
         jnp.exp(signature_scalings[:, None]
-                + signature_embeddings @ sample_embeddings.T),
+                + omm(signature_embeddings, sample_embeddings.T)),
         axis=0,
     )
     return jnp.log(observed) - jnp.log(predicted)
@@ -127,29 +128,29 @@ def embedding_objective(embedding, embeddings_other, scaling, scalings_other,
     'scaling' may be a scalar or, for multimodal sample embeddings, a vector
     aligned with 'scalings_other'.
     """
-    products = embeddings_other @ embedding
-    value = jnp.dot(products, aux_vector)
+    products = omm(embeddings_other, embedding)
+    value = jnp.dot(products, aux_vector, precision=_HIGHEST)
     value -= jnp.sum(jnp.exp(scaling + scalings_other + products))
-    value -= jnp.dot(embedding, embedding) / (2.0 * variance)
+    value -= jnp.dot(embedding, embedding, precision=_HIGHEST) / (2.0 * variance)
     return -value
 
 
 def embedding_gradient(embedding, embeddings_other, scaling, scalings_other,
                        variance, aux_vector):
     """Gradient of the NEGATIVE surrogate objective (reference :242-293)."""
-    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
-    linear_term = aux_vector @ embeddings_other
-    return -linear_term + embeddings_other.T @ rates + embedding / variance
+    rates = jnp.exp(scaling + scalings_other + omm(embeddings_other, embedding))
+    linear_term = omm(aux_vector, embeddings_other)
+    return -linear_term + omm(embeddings_other.T, rates) + embedding / variance
 
 
 def embedding_hessian(embedding, embeddings_other, scaling, scalings_other,
                       variance, aux_vector=None):
     """Hessian of the NEGATIVE surrogate objective (reference :296-351):
     sum_i e_i o_i o_i^T + I/var - symmetric positive definite."""
-    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
+    rates = jnp.exp(scaling + scalings_other + omm(embeddings_other, embedding))
     dim = embedding.shape[0]
     return (
-        (embeddings_other * rates[:, None]).T @ embeddings_other
+        omm((embeddings_other * rates[:, None]).T, embeddings_other)
         + jnp.eye(dim, dtype=embedding.dtype) / variance
     )
 
@@ -169,8 +170,8 @@ def gradient_embedding(embedding, embeddings_other, scaling, scalings_other,
     """Reference-convention gradient (models/_utils_corrnmf.py:242-293):
     `summand_grad` is the precomputed linear term aux_vector @
     embeddings_other of this row."""
-    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
-    return -summand_grad + embeddings_other.T @ rates + embedding / variance
+    rates = jnp.exp(scaling + scalings_other + omm(embeddings_other, embedding))
+    return -summand_grad + omm(embeddings_other.T, rates) + embedding / variance
 
 
 def hessian_embedding(embedding, embeddings_other, scaling, scalings_other,
@@ -178,10 +179,11 @@ def hessian_embedding(embedding, embeddings_other, scaling, scalings_other,
     """Reference-convention Hessian (models/_utils_corrnmf.py:296-351):
     `outer_prods_embeddings_other` is the precomputed
     (rows, dim, dim) stack of o_i o_i^T outer products."""
-    rates = jnp.exp(scaling + scalings_other + embeddings_other @ embedding)
+    rates = jnp.exp(scaling + scalings_other + omm(embeddings_other, embedding))
     dim = embedding.shape[0]
     return (
-        jnp.einsum("i,ijk->jk", rates, outer_prods_embeddings_other)
+        jnp.einsum("i,ijk->jk", rates, outer_prods_embeddings_other,
+                   precision=_HIGHEST)
         + jnp.eye(dim, dtype=embedding.dtype) / variance
     )
 
@@ -266,7 +268,7 @@ def _solve_spd_small(hess, grad):
              hess[0, 1] * hess[2, 0] - hess[0, 0] * hess[2, 1],
              hess[0, 0] * hess[1, 1] - hess[0, 1] * hess[1, 0]],
         ])
-        return (adjugate @ grad) / det
+        return omm(adjugate, grad) / det
     return _cholesky_solve_unrolled(hess, grad)
 
 
@@ -318,9 +320,10 @@ def _newton_update_single(embedding0, embeddings_other, offsets, linear_term,
             + eye / variance
         )
         direction = -_solve_spd_small(hess, grad)
-        f0 = (-jnp.dot(linear_term, b) + jnp.sum(rates)
-              + jnp.dot(b, b) / (2.0 * variance))
-        slope = jnp.dot(grad, direction)
+        f0 = (-jnp.dot(linear_term, b, precision=_HIGHEST)
+              + jnp.sum(rates)
+              + jnp.dot(b, b, precision=_HIGHEST) / (2.0 * variance))
+        slope = jnp.dot(grad, direction, precision=_HIGHEST)
 
         candidates = b[None, :] + ts[:, None] * direction[None, :]  # (41, m)
         f_cand = (
@@ -634,8 +637,8 @@ def make_masked_corrnmf_step(signature_newton_iters: int = 100,
         # KL signature update with zero-exposure padded columns guarded
         # (klnmf.update_W semantics; padded columns pass through unchanged)
         W, H = signatures.T, exposures.T
-        aux_w = X.T / (W @ H)
-        W_new = W * (aux_w @ H.T)
+        aux_w = X.T / omm(W, H)
+        W_new = W * omm(aux_w, H.T)
         W_new = W_new / jnp.where(mask, jnp.sum(W_new, axis=0), 1.0)
         W_new = jnp.maximum(W_new, EPSILON)
         signatures = jnp.where(mask[:, None], W_new.T, signatures)

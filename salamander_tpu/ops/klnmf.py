@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import gammaln
 
+from .precision import OBJECTIVE_PRECISION, mm, omm
+
 EPSILON = float(np.finfo(np.float32).eps)
 
 
@@ -37,7 +39,7 @@ def kl_divergence(X, W, H, weights=None):
     Terms with X==0 contribute only their +WH part (the x ln x limit), exactly
     as the reference's explicit loop skips them.
     """
-    WH = W @ H
+    WH = omm(W, H)
     nonzero = X != 0
     safe_ratio = jnp.where(nonzero, X / jnp.where(nonzero, WH, 1.0), 1.0)
     summands = jnp.where(nonzero, X * jnp.log(safe_ratio) - X, 0.0) + WH
@@ -56,9 +58,10 @@ def samplewise_kl_divergence(X, W, H, weights=None):
     """
     zero = X == 0
     X_safe = jnp.where(zero, EPSILON, X.astype(jnp.result_type(X, jnp.float32)))
-    WH_safe = jnp.where(zero, EPSILON, W @ H)
-    log_term = jnp.einsum("vd,vd->d", X_safe, jnp.log(X_safe / WH_safe))
-    errors = log_term - jnp.sum(X, axis=0) + H.T @ jnp.sum(W, axis=0)
+    WH_safe = jnp.where(zero, EPSILON, omm(W, H))
+    log_term = jnp.einsum("vd,vd->d", X_safe, jnp.log(X_safe / WH_safe),
+                          precision=OBJECTIVE_PRECISION)
+    errors = log_term - jnp.sum(X, axis=0) + omm(H.T, jnp.sum(W, axis=0))
     if weights is not None:
         errors = errors * weights
     return errors
@@ -66,7 +69,7 @@ def samplewise_kl_divergence(X, W, H, weights=None):
 
 def poisson_llh_wo_factorial(X, W, H):
     """sum X ln(WH) - WH, skipping WH==0 log terms (reference :100-135)."""
-    WH = W @ H
+    WH = omm(W, H)
     nonzero = WH != 0
     log_wh = jnp.log(jnp.where(nonzero, WH, 1.0))
     return jnp.sum(jnp.where(nonzero, X * log_wh, 0.0) - WH)
@@ -95,10 +98,10 @@ def update_W(X, W, H, weights_kl=None, n_given_signatures: int = 0):
     if n_given_signatures == n_signatures:
         return W
 
-    aux = X / (W @ H)
+    aux = X / mm(W, H)
     if weights_kl is not None:
         aux = aux * weights_kl
-    W_new = W * (aux @ H.T)
+    W_new = W * mm(aux, H.T)
     W_new = W_new / jnp.sum(W_new, axis=0)
     clipped = jnp.maximum(W_new, EPSILON)
     if n_given_signatures > 0:
@@ -109,7 +112,7 @@ def update_W(X, W, H, weights_kl=None, n_given_signatures: int = 0):
 
 def _update_H_from_aux(H, W, aux, weights_kl=None, weights_lhalf=None):
     """Shared H update given the precomputed ratio aux = X / (W @ H)."""
-    WtAux = W.T @ aux
+    WtAux = mm(W.T, aux)
     if weights_lhalf is None:
         return jnp.maximum(H * WtAux, EPSILON)
 
@@ -131,7 +134,7 @@ def _update_H_from_aux(H, W, aux, weights_kl=None, weights_lhalf=None):
 def update_H(X, W, H, weights_kl=None, weights_lhalf=None):
     """Multiplicative H update with optional weighted KL and l1/2 sparsity
     closed form (reference :220-278)."""
-    aux = X / (W @ H)
+    aux = X / mm(W, H)
     return _update_H_from_aux(H, W, aux, weights_kl, weights_lhalf)
 
 
@@ -145,13 +148,13 @@ def update_WH(
     given columns - is clipped to EPSILON, as in the reference.
     """
     n_signatures = W.shape[1]
-    aux = X / (W @ H)
+    aux = X / mm(W, H)
 
     if n_given_signatures == n_signatures:
         W_new = W
     else:
         scaled_aux = aux if weights_kl is None else weights_kl * aux
-        W_new = W * (scaled_aux @ H.T)
+        W_new = W * mm(scaled_aux, H.T)
         W_new = W_new / jnp.sum(W_new, axis=0)
         W_new = _freeze_given_columns(W_new, W, n_given_signatures)
         W_new = jnp.maximum(W_new, EPSILON)
@@ -168,7 +171,8 @@ def normalize_wh(W, H):
 
 def lhalf_penalty(H, weights_lhalf):
     """The sparsity penalty term sum_d w_d * sum_k sqrt(H_kd)."""
-    return jnp.dot(weights_lhalf, jnp.sum(jnp.sqrt(H), axis=0))
+    return jnp.dot(weights_lhalf, jnp.sum(jnp.sqrt(H), axis=0),
+                   precision=OBJECTIVE_PRECISION)
 
 
 def klnmf_objective(X, W, H, weights_kl=None, weights_lhalf=None):
@@ -233,12 +237,12 @@ def make_masked_step_functions(n_given_signatures: int = 0):
         weights_lhalf = data.get("weights_lhalf")
         n_signatures = W.shape[1]
 
-        aux = X / (W @ H)
+        aux = X / mm(W, H)
         if n_given_signatures == n_signatures:
             W_new = W
         else:
             scaled_aux = aux if weights_kl is None else weights_kl * aux
-            W_new = W * (scaled_aux @ H.T)
+            W_new = W * mm(scaled_aux, H.T)
             # padded columns have all-zero numerators; keep their sum at 1
             W_new = W_new / jnp.where(mask, jnp.sum(W_new, axis=0), 1.0)
             W_new = _freeze_given_columns(W_new, W, n_given_signatures)

@@ -23,11 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from .klnmf import EPSILON, kl_divergence, normalize_wh
+from .precision import mm, omm
 
 
 def volume_logdet(W, delta: float):
     """log det(W^T W + delta I) - the signature-simplex volume surrogate."""
-    gram = W.T @ W + delta * jnp.eye(W.shape[1], dtype=W.dtype)
+    gram = omm(W.T, W) + delta * jnp.eye(W.shape[1], dtype=W.dtype)
     _, logdet = jnp.linalg.slogdet(gram)
     return logdet
 
@@ -47,16 +48,16 @@ def update_W_unconstrained(X, W, H, lam: float, delta: float,
     # conditioned than LU-based inv; the reference's numba kernel uses
     # np.linalg.inv, mvnmf.py:44)
     eye = jnp.eye(n_signatures, dtype=W.dtype)
-    chol = jax.scipy.linalg.cho_factor(W.T @ W + delta * eye)
+    chol = jax.scipy.linalg.cho_factor(omm(W.T, W) + delta * eye)
     Y = jax.scipy.linalg.cho_solve(chol, eye)
     Y_minus = jnp.maximum(0.0, -Y)
     Y_abs = jnp.abs(Y)
-    WY_minus = W @ Y_minus
-    WY_abs = W @ Y_abs
+    WY_minus = mm(W, Y_minus)
+    WY_abs = mm(W, Y_abs)
 
     rowsums_H = jnp.sum(H, axis=1)
     linear = rowsums_H - 4.0 * lam * WY_minus
-    disc_ratio = 8.0 * lam * WY_abs * ((X / (W @ H)) @ H.T)
+    disc_ratio = 8.0 * lam * WY_abs * mm(X / mm(W, H), H.T)
     root = jnp.sqrt(linear**2 + disc_ratio)
     # numerator = sqrt(linear^2 + d) - linear. The reference evaluates this
     # literally (mvnmf.py:56-60), which catastrophically cancels in float32
@@ -130,7 +131,7 @@ def _masked_gram(W, delta, mask):
     exactly to the active block."""
     n_signatures = W.shape[1]
     eye = jnp.eye(n_signatures, dtype=W.dtype)
-    gram = W.T @ W + delta * eye
+    gram = omm(W.T, W) + delta * eye
     both = mask[:, None] & mask[None, :]
     return jnp.where(both, gram, eye)
 
@@ -165,12 +166,12 @@ def update_W_unconstrained_masked(X, W, H, lam, delta, mask,
     Y = jax.scipy.linalg.cho_solve(chol, eye)
     Y_minus = jnp.maximum(0.0, -Y)
     Y_abs = jnp.abs(Y)
-    WY_minus = W @ Y_minus
-    WY_abs = W @ Y_abs
+    WY_minus = mm(W, Y_minus)
+    WY_abs = mm(W, Y_abs)
 
     rowsums_H = jnp.sum(H, axis=1)
     linear = rowsums_H - 4.0 * lam * WY_minus
-    disc_ratio = 8.0 * lam * WY_abs * ((X / (W @ H)) @ H.T)
+    disc_ratio = 8.0 * lam * WY_abs * mm(X / mm(W, H), H.T)
     root = jnp.sqrt(linear**2 + disc_ratio)
     # cancellation-free form, as update_W_unconstrained (REQUIRED for f32)
     numerator = jnp.where(
@@ -250,10 +251,10 @@ def make_masked_step_functions(lam: float, delta: float,
     def update_fn(params, data):
         X = data["X"]
         W, H, mask = params["W"], params["H"], params["mask"]
-        aux = X / (W @ H)
+        aux = X / mm(W, H)
         H = jnp.where(
             mask[:, None],
-            jnp.maximum(H * (W.T @ aux), klops.EPSILON),
+            jnp.maximum(H * mm(W.T, aux), klops.EPSILON),
             0.0,
         )
         W_unconstrained = update_W_unconstrained_masked(

@@ -33,6 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .klnmf import EPSILON
+# Mosaic supports only DEFAULT/HIGHEST dot precisions (rejects HIGH
+# with 'Unsupported dot precision', observed 2026-08-18), so kernels
+# run their dots at full f32 regardless of the XLA update tier.
+from .precision import OBJECTIVE_PRECISION as _PALLAS_PRECISION
 
 # Conservative VMEM working-set budget for choosing the restart chunk size.
 # Mosaic keeps the fori-loop carries, the (V,D) ratio/product matrices and
@@ -49,14 +53,19 @@ def _mu_block_kernel(steps_ref, x_ref, w_ref, h_ref, w_out, h_out):
 
     def one_update(_, carry):
         W, H = carry
-        WH = jnp.dot(W, H, preferred_element_type=jnp.float32)
+        WH = jnp.dot(W, H, preferred_element_type=jnp.float32,
+                     precision=_PALLAS_PRECISION)
         aux = X / WH
-        W_new = W * jnp.dot(aux, H.T, preferred_element_type=jnp.float32)
+        W_new = W * jnp.dot(aux, H.T,
+                            preferred_element_type=jnp.float32,
+                            precision=_PALLAS_PRECISION)
         W_new = W_new / jnp.sum(W_new, axis=0, keepdims=True)
         W_new = jnp.maximum(W_new, EPSILON)
         # H uses the OLD W and the shared aux (reference update_WH semantics)
         H_new = jnp.maximum(
-            H * jnp.dot(W.T, aux, preferred_element_type=jnp.float32), EPSILON
+            H * jnp.dot(W.T, aux, preferred_element_type=jnp.float32,
+                        precision=_PALLAS_PRECISION),
+            EPSILON,
         )
         return W_new, H_new
 
@@ -103,11 +112,13 @@ def _mu_block_kernel_batched(steps_ref, x_ref, w_ref, h_ref, w_out, h_out):
         WH = jax.lax.dot_general(
             W, H, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         aux = X[None] / WH
         numer_w = jax.lax.dot_general(
             aux, H, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         W_new = W * numer_w
         W_new = W_new / jnp.sum(W_new, axis=1, keepdims=True)
@@ -115,6 +126,7 @@ def _mu_block_kernel_batched(steps_ref, x_ref, w_ref, h_ref, w_out, h_out):
         numer_h = jax.lax.dot_general(
             W, aux, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         H_new = jnp.maximum(H * numer_h, EPSILON)
         return W_new, H_new
@@ -195,6 +207,7 @@ def _mu_block_kernel_batched_weighted(steps_ref, x_ref, wkl_ref, wlh_ref,
         WH = jax.lax.dot_general(
             W, H, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         aux = X[None] / WH
 
@@ -205,6 +218,7 @@ def _mu_block_kernel_batched_weighted(steps_ref, x_ref, wkl_ref, wlh_ref,
                 weights_kl * aux, H,
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=_PALLAS_PRECISION,
             )
             W_new = W * numer_w
             W_new = W_new / jnp.sum(W_new, axis=1, keepdims=True)
@@ -218,6 +232,7 @@ def _mu_block_kernel_batched_weighted(steps_ref, x_ref, wkl_ref, wlh_ref,
         numer_h = jax.lax.dot_general(
             W, aux, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         if use_lhalf:
             # cancellation-free l1/2 closed form (ops.klnmf._update_H_from_aux)
@@ -327,11 +342,13 @@ def _mu_block_kernel_batched_masked(steps_ref, x_ref, mask_w_ref, mask_h_ref,
         WH = jax.lax.dot_general(
             W, H, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         aux = X[None] / WH
         numer_w = jax.lax.dot_general(
             aux, H, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         W_new = W * numer_w
         sums = jnp.sum(W_new, axis=1, keepdims=True)       # (C, 1, K)
@@ -342,6 +359,7 @@ def _mu_block_kernel_batched_masked(steps_ref, x_ref, mask_w_ref, mask_h_ref,
         numer_h = jax.lax.dot_general(
             W, aux, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_PALLAS_PRECISION,
         )
         H_new = jnp.maximum(H * numer_h, EPSILON)
         H_new = H_new * mk_h
@@ -477,12 +495,14 @@ def _mu_iteration_dtile_kernel(x_ref, mask_ref, w_ref, h_ref,
     WH = jax.lax.dot_general(
         W, H, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=_PALLAS_PRECISION,
     )
     aux = X[None] / WH       # (C, V, Dt)
     aux_valid = jnp.where(valid[None], aux, 0.0)
     partial_numer = jax.lax.dot_general(
         aux_valid, H, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=_PALLAS_PRECISION,
     )
 
     @pl.when(d_index == 0)
@@ -493,6 +513,7 @@ def _mu_iteration_dtile_kernel(x_ref, mask_ref, w_ref, h_ref,
     numer_h = jax.lax.dot_general(
         W, aux, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=_PALLAS_PRECISION,
     )
     h_out[:] = jnp.where(valid[None], jnp.maximum(H * numer_h, EPSILON), 1.0)
 

@@ -57,6 +57,7 @@ import jax.numpy as jnp
 from . import corrnmf as ops
 from . import klnmf as klops
 from .klnmf import EPSILON
+from .precision import mm
 
 
 class SVIConfig(NamedTuple):
@@ -256,7 +257,7 @@ def make_svi_batch_step(
         # 4. signature scalings from running-averaged statistics
         observed_hat = scale * jnp.sum(aux_batch, axis=1)
         predicted_hat = scale * jnp.sum(
-            jnp.exp(tau_batch[None, :] + sig_emb @ u_batch.T), axis=1
+            jnp.exp(tau_batch[None, :] + mm(sig_emb, u_batch.T)), axis=1
         )
         stat_observed = (1.0 - rho) * state.stat_observed + rho * observed_hat
         stat_predicted = (
@@ -303,7 +304,7 @@ def make_svi_batch_step(
         # 7. signatures: column-normalized running average of the expected
         # signature counts (the KL multiplicative W update in statistic form)
         counts_hat = (
-            signatures.T * (ratios.T @ exposures_batch) * scale
+            signatures.T * mm(ratios.T, exposures_batch) * scale
         )                                                # (V, K)
         stat_counts = (1.0 - rho) * state.stat_counts + rho * counts_hat
         if not fix_signatures:
@@ -522,15 +523,15 @@ def make_klnmf_svi_batch_step(
 
         # sample-local step: exact multiplicative H updates on the batch
         for _ in range(h_inner_iters):
-            aux = X_batch / (W @ H_batch)
+            aux = X_batch / mm(W, H_batch)
             H_batch = klops._update_H_from_aux(
                 H_batch, W, aux, w_kl_batch, w_lhalf_batch
             )
 
         # W statistic from the refreshed exposures (update_W semantics)
-        aux = X_batch / (W @ H_batch)
+        aux = X_batch / mm(W, H_batch)
         scaled_aux = aux if w_kl_batch is None else w_kl_batch * aux
-        counts_hat = W * (scaled_aux @ H_batch.T) * scale  # (V, K)
+        counts_hat = W * mm(scaled_aux, H_batch.T) * scale  # (V, K)
         stat_counts = (1.0 - rho) * state.stat_counts + rho * counts_hat
 
         n_signatures = W.shape[1]
@@ -842,9 +843,9 @@ def _make_mm_svi_batch_step_cached(
                 m["signature_scalings"], tau_batch,
                 m["signature_embeddings"], U_batch,
             )                                              # (B, K_i)
-            ratios = X_batch / (exposures_batch @ m["signatures"])
+            ratios = X_batch / mm(exposures_batch, m["signatures"])
             aux_batch = (
-                exposures_batch.T * (m["signatures"] @ ratios.T)
+                exposures_batch.T * mm(m["signatures"], ratios.T)
             )                                              # (K_i, B)
             batch[name] = dict(
                 tau=tau_batch, exposures=exposures_batch,
@@ -857,7 +858,7 @@ def _make_mm_svi_batch_step_cached(
             observed_hat = scale * jnp.sum(b["aux"], axis=1)
             predicted_hat = scale * jnp.sum(
                 jnp.exp(b["tau"][None, :]
-                        + m["signature_embeddings"] @ U_batch.T),
+                        + mm(m["signature_embeddings"], U_batch.T)),
                 axis=1,
             )
             s["observed"] = (1.0 - rho) * s["observed"] + rho * observed_hat
@@ -934,7 +935,7 @@ def _make_mm_svi_batch_step_cached(
         for name in mod_names:
             m, f, b, s = mods[name], flags[name], batch[name], stats[name]
             counts_hat = (
-                m["signatures"].T * (b["ratios"].T @ b["exposures"]) * scale
+                m["signatures"].T * mm(b["ratios"].T, b["exposures"]) * scale
             )                                              # (V_i, K_i)
             s["counts"] = (1.0 - rho) * s["counts"] + rho * counts_hat
             if not f["fix_signatures"]:
@@ -1177,7 +1178,7 @@ def klnmf_objective_stream_chunk(carry, params, chunk, indices, valid):
     X = chunk["X"]
     W = params["W"]
     H_cols = jnp.take(params["H"], indices, axis=1)   # (K, C)
-    WH = W @ H_cols
+    WH = mm(W, H_cols)
     nonzero = X != 0
     safe_ratio = jnp.where(nonzero, X / jnp.where(nonzero, WH, 1.0), 1.0)
     summands = jnp.where(nonzero, X * jnp.log(safe_ratio) - X, 0.0) + WH
