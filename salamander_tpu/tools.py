@@ -341,3 +341,129 @@ def suggest_rank(results: dict, min_stability: float = 0.9):
         )
     prefix_end = int(np.argmin(passes)) - 1 if not passes.all() else -1
     return int(table.index[prefix_end])
+
+
+# --------------------------------------------------------------------- #
+# ANNOTATION against a known catalog: name de novo signatures by their
+# closest catalog entry (cosine), the standard step after discovery.
+# --------------------------------------------------------------------- #
+
+
+def _signatures_frame(signatures) -> pd.DataFrame:
+    """Signatures as a (n_signatures, n_features) DataFrame from a fitted
+    model, an AnnData of signatures, or a DataFrame (rows = signatures)."""
+    if hasattr(signatures, "asignatures"):  # fitted model
+        return signatures.signatures
+    if hasattr(signatures, "obsm") and hasattr(signatures, "X"):
+        return signatures.to_df()
+    if isinstance(signatures, pd.DataFrame):
+        return signatures
+    raise TypeError(
+        "signatures must be a fitted model, an AnnData of signatures or a "
+        f"signatures-x-features DataFrame, got {type(signatures).__name__}."
+    )
+
+
+def annotate_signatures(
+    signatures,
+    catalog: pd.DataFrame,
+    min_similarity: float = 0.8,
+    unique: bool = False,
+    rename: bool = False,
+) -> pd.DataFrame:
+    """Match signatures to their closest catalog entries by cosine.
+
+    The step after de novo discovery: name each learned signature by the
+    known catalog signature (e.g. COSMIC) it reproduces. Extends
+    utils.match_to_catalog (reference utils.py:148-170 semantics, which
+    returns only the matched catalog rows) with the similarity values, a
+    runner-up column, a novelty flag, and optional in-place renaming.
+
+    Args:
+      signatures: fitted model, AnnData of signatures, or DataFrame with
+        signatures as rows. Features must equal the catalog's as a set
+        (order is realigned here).
+      catalog: signatures-x-features DataFrame (datasets loader layout).
+      min_similarity: below this cosine a signature is flagged novel
+        (matched name still reported).
+      unique: one-to-one Hungarian assignment instead of independent
+        argmax (requires n_signatures <= catalog size). Use when the model
+        rank is near the expected catalog subset so two learned signatures
+        cannot claim the same catalog entry.
+      rename: only with a fitted model - rename its signatures to the
+        matched catalog names (novel ones keep their current name with
+        "-like" appended to the match, e.g. "SBS3-like"); duplicates get
+        ".1", ".2" suffixes. Renames propagate everywhere the model
+        derives names (exposures columns, plots, checkpoints).
+
+    Returns a DataFrame indexed by the current signature names with
+    columns: matched, similarity, runner_up, runner_up_similarity, novel.
+    """
+    frame = _signatures_frame(signatures)
+    if rename and not hasattr(signatures, "asignatures"):
+        raise ValueError("rename=True requires a fitted model.")
+    if not isinstance(catalog, pd.DataFrame):
+        raise TypeError(
+            f"catalog must be a DataFrame, got {type(catalog).__name__}."
+        )
+    features = set(map(str, frame.columns))
+    if set(map(str, catalog.columns)) == features:
+        cat = catalog
+    elif set(map(str, catalog.index)) == features:
+        cat = catalog.T
+    else:
+        raise ValueError(
+            "catalog features do not match the signatures' features"
+        )
+    cat = cat.loc[:, frame.columns]
+
+    S = frame.to_numpy(dtype=np.float64)
+    C = cat.to_numpy(dtype=np.float64)
+    tiny = np.finfo(np.float64).tiny
+    S = S / np.clip(np.linalg.norm(S, axis=1, keepdims=True), tiny, None)
+    C = C / np.clip(np.linalg.norm(C, axis=1, keepdims=True), tiny, None)
+    similarity = S @ C.T  # (K, M)
+
+    if unique:
+        if frame.shape[0] > cat.shape[0]:
+            raise ValueError(
+                f"unique=True needs n_signatures ({frame.shape[0]}) <= "
+                f"catalog size ({cat.shape[0]})"
+            )
+        from scipy.optimize import linear_sum_assignment
+
+        rows, cols = linear_sum_assignment(1.0 - similarity)
+        best = np.empty(frame.shape[0], dtype=int)
+        best[rows] = cols
+    else:
+        best = np.argmax(similarity, axis=1)
+
+    best_sim = similarity[np.arange(frame.shape[0]), best]
+    runner = similarity.copy()
+    runner[np.arange(frame.shape[0]), best] = -np.inf
+    second = np.argmax(runner, axis=1)
+    second_sim = runner[np.arange(frame.shape[0]), second]
+
+    catalog_names = [str(name) for name in cat.index]
+    novel = best_sim < min_similarity
+    table = pd.DataFrame(
+        {
+            "matched": [catalog_names[j] for j in best],
+            "similarity": best_sim,
+            "runner_up": [catalog_names[j] for j in second],
+            "runner_up_similarity": second_sim,
+            "novel": novel,
+        },
+        index=frame.index,
+    )
+
+    if rename:
+        new_names, seen = [], {}
+        for name, is_novel in zip(table["matched"], table["novel"]):
+            candidate = f"{name}-like" if is_novel else name
+            count = seen.get(candidate, 0)
+            seen[candidate] = count + 1
+            new_names.append(candidate if count == 0 else f"{candidate}.{count}")
+        signatures.asignatures.obs_names = new_names
+        table.index = pd.Index(new_names)
+    return table
