@@ -19,7 +19,13 @@ from . import (
     profiling,
     utils,
 )
-from .assign import AssignmentResult, assign_exposures, assign_signatures
+from .assign import (
+    AssignmentResult,
+    BootstrapExposuresResult,
+    assign_exposures,
+    assign_signatures,
+    bootstrap_exposures,
+)
 from .containers import AnnData, MuData
 from .io import load_model, save_model
 from .parallel import bootstrap_stability, fit_best_of
@@ -31,8 +37,10 @@ __all__ = [
     "AnnData",
     "AssignmentResult",
     "MuData",
+    "BootstrapExposuresResult",
     "assign_exposures",
     "assign_signatures",
+    "bootstrap_exposures",
     "bootstrap_stability",
     "consts",
     "containers",

@@ -31,7 +31,13 @@ from .engine.transfer import fetch_pytree
 from .ops import assign as ops
 from .ops.klnmf import EPSILON
 
-__all__ = ["AssignmentResult", "assign_exposures", "assign_signatures"]
+__all__ = [
+    "AssignmentResult",
+    "BootstrapExposuresResult",
+    "assign_exposures",
+    "assign_signatures",
+    "bootstrap_exposures",
+]
 
 
 def _extract_counts(data) -> tuple[np.ndarray, pd.Index, pd.Index]:
@@ -221,5 +227,140 @@ def assign_signatures(
             "abs_tol": abs_tol,
             "candidate_iters": candidate_iters,
             "n_rounds": max(part["n_rounds"] for part in parts),
+        },
+    )
+
+
+@dataclass
+class BootstrapExposuresResult:
+    """Bootstrap uncertainty of catalog-refit exposures.
+
+    mean/std: (samples x signatures) over replicates (replicate 0, the
+    point estimate on the original counts, is excluded from the moments).
+    quantiles: {q: DataFrame} over replicates. presence: P(relative
+    exposure >= min_fraction) per (sample, signature). point: the
+    original-counts refit.
+    """
+
+    point: pd.DataFrame
+    mean: pd.DataFrame
+    std: pd.DataFrame
+    quantiles: dict[float, pd.DataFrame]
+    presence: pd.DataFrame
+    meta: dict[str, Any] = field(default_factory=dict)
+
+
+def bootstrap_exposures(
+    data,
+    catalog,
+    n_replicates: int = 200,
+    seed: int = 0,
+    method: str = "multinomial",
+    quantiles: tuple[float, ...] = (0.05, 0.5, 0.95),
+    min_fraction: float = 0.05,
+    active=None,
+    max_iterations: int = 10_000,
+    tol: float = 1e-7,
+    replicate_batch: int | None = None,
+) -> BootstrapExposuresResult:
+    """Uncertainty of catalog-refit exposures by count bootstrap.
+
+    Resamples every sample's counts ``n_replicates - 1`` times
+    ('multinomial': redraw each sample's total over features, the
+    SigProfiler-style nonparametric bootstrap; 'poisson': X_b ~ Poisson(X),
+    the parametric bootstrap under the model's own likelihood) and refits
+    exposures against the FIXED catalog - ALL replicates and samples as
+    one batched device program per replicate chunk (ops/assign.py
+    bootstrap_refit), no host loops.
+
+    ``active`` restricts each sample to a support (bool samples x
+    signatures DataFrame/array, e.g. ``AssignmentResult.active``): the
+    bootstrap then quantifies uncertainty of the SPARSE assignment's
+    exposures; off-support entries are exact zeros in every replicate.
+
+    ``replicate_batch`` bounds device memory (the resampled tensor is
+    (B, V, D) floats): replicates run in equal-size chunks sharing one
+    compiled program. Chunking never changes results beyond the usual
+    convergence-tolerance noise (each chunk's refit convergence aggregates
+    its own columns).
+
+    Returns a BootstrapExposuresResult; `presence` is the fraction of
+    replicates where a signature carries at least ``min_fraction`` of the
+    sample's exposure mass - a direct "is this signature really there"
+    probability.
+    """
+    import jax
+
+    X, obs_names, var_names = _extract_counts(data)
+    W, sig_names = _align_catalog(catalog, var_names)
+    K, D = W.shape[1], X.shape[1]
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+
+    if active is None:
+        mask = np.ones((K, D), dtype=bool)
+    else:
+        mask_arr = (
+            active.to_numpy() if hasattr(active, "to_numpy")
+            else np.asarray(active)
+        )
+        if mask_arr.shape != (D, K):
+            raise ValueError(
+                f"active must be (n_samples, n_signatures) = ({D}, {K}), "
+                f"got {mask_arr.shape}"
+            )
+        mask = mask_arr.T.astype(bool)
+
+    X_dev = jnp.asarray(X)
+    W_dev = jnp.asarray(W)
+    mask_dev = jnp.asarray(mask)
+
+    chunk = n_replicates if replicate_batch is None else int(replicate_batch)
+    chunk = max(2, min(chunk, n_replicates))
+    # each chunk runs one compiled program of batch `chunk`: replicate 0
+    # of every chunk is the ORIGINAL X (kept once as the point estimate),
+    # the other chunk-1 are fresh resamples under that chunk's key
+    n_resamples = n_replicates - 1
+    n_chunks = -(-n_resamples // (chunk - 1))
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
+    point_H = None
+    resamples_H = []
+    got = 0
+    for i in range(n_chunks):
+        H = fetch_pytree(ops.bootstrap_refit(
+            X_dev, W_dev, mask_dev, keys[i], chunk, method=method,
+            max_iterations=max_iterations, tol=tol,
+        ))
+        if point_H is None:
+            point_H = H[:1]
+        take = min(chunk - 1, n_resamples - got)
+        resamples_H.append(H[1:1 + take])
+        got += take
+    H_all = np.concatenate([point_H] + resamples_H, axis=0)  # (B, K, D)
+    E = np.swapaxes(H_all, 1, 2)                             # (B, D, K)
+    # exact zeros stay exact zeros off-support by construction
+
+    def frame(a):
+        return pd.DataFrame(a, index=obs_names, columns=sig_names)
+
+    resamples = E[1:]
+    fractions = resamples / np.maximum(
+        resamples.sum(axis=2, keepdims=True), EPSILON
+    )
+    return BootstrapExposuresResult(
+        point=frame(E[0]),
+        mean=frame(resamples.mean(axis=0)),
+        std=frame(resamples.std(axis=0, ddof=1)),
+        quantiles={
+            float(q): frame(np.quantile(resamples, q, axis=0))
+            for q in quantiles
+        },
+        presence=frame((fractions >= min_fraction).mean(axis=0)),
+        meta={
+            "n_replicates": n_replicates,
+            "method": method,
+            "seed": seed,
+            "min_fraction": min_fraction,
+            "sparse": active is not None,
         },
     )

@@ -66,6 +66,7 @@ __all__ = [
     "refit_exposures_fixed",
     "refit_exposures",
     "eliminate_signatures",
+    "bootstrap_refit",
 ]
 
 
@@ -238,3 +239,65 @@ def eliminate_signatures(
         "n_rounds": n_rounds,
         "n_active": jnp.sum(mask, axis=0),
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_replicates", "method", "max_iterations",
+                     "conv_test_freq"),
+)
+def bootstrap_refit(
+    X,
+    W,
+    mask,
+    key,
+    n_replicates: int,
+    method: str = "multinomial",
+    max_iterations: int = 10_000,
+    tol: float = 1e-7,
+    conv_test_freq: int = 10,
+):
+    """Resample the cohort's counts and refit exposures, all replicates in
+    ONE masked-MU program.
+
+    X: (V, D) counts; W: (V, K) catalog; mask: (K, D) activity (tiled over
+    replicates - pass all-ones for dense refits or an AssignmentResult's
+    supports for sparse ones). method:
+      'multinomial' - per sample d, redraw Multinomial(round(n_d), X[:,d]/n_d)
+        (the SigProfiler-style nonparametric count bootstrap);
+      'poisson' - X_b ~ Poisson(X), the parametric bootstrap under the
+        model's own Poisson likelihood (samples' totals vary).
+    Replicate b=0 is the ORIGINAL X (so callers get the point estimate and
+    the resamples from one program). Returns H (B, K, D).
+    """
+    dtype = jnp.result_type(X, W)
+    X = X.astype(dtype)
+    W = W.astype(dtype)
+    V, D = X.shape
+
+    if method == "multinomial":
+        totals = jnp.round(jnp.sum(X, axis=0))          # (D,)
+        probs = (X / jnp.sum(X, axis=0)).T              # (D, V)
+        draws = jax.random.multinomial(
+            key,
+            jnp.broadcast_to(totals, (n_replicates - 1, D)),
+            jnp.broadcast_to(probs, (n_replicates - 1, D, V)),
+        )                                               # (B-1, D, V)
+        X_boot = jnp.swapaxes(draws, -1, -2).astype(dtype)
+    elif method == "poisson":
+        X_boot = jax.random.poisson(
+            key, X, shape=(n_replicates - 1, V, D)
+        ).astype(dtype)
+    else:
+        raise ValueError(f"unknown bootstrap method {method!r}")
+    X_all = jnp.concatenate([X[None], X_boot], axis=0)  # (B, V, D)
+
+    # one flat masked refit: replicates are independent columns
+    X_flat = jnp.reshape(jnp.swapaxes(X_all, 0, 1), (V, n_replicates * D))
+    mask_flat = jnp.tile(mask, (1, n_replicates))
+    H_flat, _ = refit_exposures(
+        X_flat, W, mask_flat, max_iterations=max_iterations, tol=tol,
+        conv_test_freq=conv_test_freq,
+    )
+    K = W.shape[1]
+    return jnp.swapaxes(jnp.reshape(H_flat, (K, n_replicates, D)), 0, 1)

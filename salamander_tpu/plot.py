@@ -565,3 +565,46 @@ def relevance(model_or_series, active_tol: float = 1e-2, ax=None,
                alpha=0.6, label=f"active threshold ({active_tol:g} x max)")
     ax.legend(fontsize=8)
     return ax
+
+
+def exposure_uncertainty(boot, sample, top: int = 12, ax=None,
+                         **kwargs) -> "Axes":
+    """Bootstrap exposure CIs for ONE sample (assign.bootstrap_exposures
+    output): horizontal bars of the point-estimate exposure fractions for
+    the `top` signatures by point mass, with the bootstrap quantile range
+    as error bars and each bar annotated by its presence probability.
+
+    The standard read: a signature whose interval hugs zero or whose
+    presence is well below 1 is not reliably distinguishable from
+    reassignment noise, however nonzero its point exposure looks.
+    """
+    point = boot.point.loc[sample]
+    total = max(float(point.sum()), 1e-300)
+    qs = sorted(boot.quantiles)
+    lo_q, hi_q = boot.quantiles[qs[0]], boot.quantiles[qs[-1]]
+    names = list(point.nlargest(top).index)
+
+    fractions = point[names].to_numpy() / total
+    lo = lo_q.loc[sample, names].to_numpy() / total
+    hi = hi_q.loc[sample, names].to_numpy() / total
+    presence = boot.presence.loc[sample, names].to_numpy()
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 0.35 * len(names) + 1.2))
+    positions = np.arange(len(names))[::-1]
+    err = np.stack([
+        np.maximum(fractions - lo, 0.0), np.maximum(hi - fractions, 0.0)
+    ])
+    ax.barh(positions, fractions, xerr=err, capsize=2.5,
+            color="tab:blue", alpha=0.85, **kwargs)
+    for pos, frac, hi_v, prob in zip(positions, fractions, hi, presence):
+        ax.text(max(hi_v, frac) + 0.01, pos, f"P={prob:.2f}",
+                va="center", fontsize=7)
+    ax.set_yticks(positions)
+    ax.set_yticklabels(names, fontsize=8)
+    ax.set_xlabel("exposure fraction")
+    ax.set_title(
+        f"{sample}: bootstrap {qs[0]:g}-{qs[-1]:g} quantiles", fontsize=9
+    )
+    ax.set_xlim(0, min(1.05, float(np.max(hi)) + 0.12))
+    return ax

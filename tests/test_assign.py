@@ -192,3 +192,114 @@ def test_abs_tol_only_budget():
     data, catalog = _frames(X, W)
     res = assign_signatures(data, catalog, rel_tol=0.0, abs_tol=1.0)
     assert res.n_active.max() <= max(len(s) for s in supports) + 1
+
+
+# --------------------------------------------------------------------- #
+# bootstrap exposure uncertainty
+# --------------------------------------------------------------------- #
+
+
+def test_bootstrap_point_equals_dense_refit(problem):
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    from salamander_tpu.assign import bootstrap_exposures
+
+    res = bootstrap_exposures(data, catalog, n_replicates=8, seed=0)
+    dense = assign_exposures(data, catalog)
+    # replicate 0 is the original counts: the point estimate IS the dense
+    # refit. The shared program's convergence aggregates the resampled
+    # columns too, so refits stop at different blocks - compare per-sample
+    # exposure FRACTIONS with a floor that ignores the noise-floor
+    # entries a stopped-earlier MU leaves at ~1e-5 of the sample mass.
+    def fractions(E):
+        return E / E.sum(axis=1, keepdims=True)
+
+    np.testing.assert_allclose(
+        fractions(res.point.to_numpy()), fractions(dense.to_numpy()),
+        atol=1e-4,
+    )
+    assert res.mean.shape == dense.shape
+    assert set(res.quantiles) == {0.05, 0.5, 0.95}
+    assert res.meta["n_replicates"] == 8
+
+
+def test_bootstrap_concentrates_with_counts():
+    """More counts -> tighter bootstrap: the relative spread of exposures
+    must shrink when every sample's total count is scaled up 100x."""
+    from salamander_tpu.assign import bootstrap_exposures
+
+    X_small, W, _, _ = _synthetic(seed=2, scale=300.0)
+    X_big = X_small * 100.0
+    rels = []
+    for X in (X_small, X_big):
+        data, catalog = _frames(X, W)
+        res = bootstrap_exposures(data, catalog, n_replicates=30, seed=1)
+        mean = res.mean.to_numpy()
+        # spread of the REAL exposures only: noise-floor entries have O(1)
+        # relative spread at any count depth
+        real = mean / mean.sum(axis=1, keepdims=True) > 0.05
+        rels.append(np.median((res.std.to_numpy() / mean)[real]))
+    # multinomial bootstrap: spread ~ 1/sqrt(total), 100x counts ~ 10x
+    assert rels[1] < rels[0] * 0.5
+
+
+def test_bootstrap_respects_sparse_support(problem):
+    X, W, _, supports = problem
+    data, catalog = _frames(X, W)
+    from salamander_tpu.assign import bootstrap_exposures
+
+    assignment = assign_signatures(data, catalog, rel_tol=0.02)
+    res = bootstrap_exposures(
+        data, catalog, n_replicates=10, seed=3, active=assignment.active
+    )
+    off = ~assignment.active.to_numpy()
+    assert (res.point.to_numpy()[off] == 0.0).all()
+    assert (res.mean.to_numpy()[off] == 0.0).all()
+    assert (res.presence.to_numpy()[off] == 0.0).all()
+    # planted signatures are present with probability ~1
+    for d, true_support in enumerate(supports):
+        assert (res.presence.to_numpy()[d, true_support] > 0.9).all()
+    assert res.meta["sparse"] is True
+
+
+def test_bootstrap_chunked_replicates_consistent(problem):
+    """replicate_batch chunks share the compiled program; the point
+    estimate and the moments must agree with the unchunked run at
+    bootstrap-noise level (different keys -> statistically equal)."""
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    from salamander_tpu.assign import bootstrap_exposures
+
+    whole = bootstrap_exposures(data, catalog, n_replicates=21, seed=5)
+    chunked = bootstrap_exposures(
+        data, catalog, n_replicates=21, seed=5, replicate_batch=6
+    )
+
+    def fractions(E):
+        return E / E.sum(axis=1, keepdims=True)
+
+    np.testing.assert_allclose(
+        fractions(whole.point.to_numpy()),
+        fractions(chunked.point.to_numpy()), atol=1e-4,
+    )
+    assert len(chunked.mean) == len(whole.mean)
+    # exact replicate count: ceil(20 / 5) chunks of 5 resamples, last takes 0?
+    assert chunked.meta["n_replicates"] == 21
+
+
+def test_bootstrap_methods_and_validation(problem):
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    from salamander_tpu.assign import bootstrap_exposures
+
+    poisson = bootstrap_exposures(
+        data, catalog, n_replicates=6, seed=2, method="poisson"
+    )
+    assert np.isfinite(poisson.std.to_numpy()).all()
+    with pytest.raises(ValueError, match="n_replicates"):
+        bootstrap_exposures(data, catalog, n_replicates=1)
+    with pytest.raises(ValueError, match="active must be"):
+        bootstrap_exposures(
+            data, catalog, n_replicates=4,
+            active=np.ones((3, 3), dtype=bool),
+        )

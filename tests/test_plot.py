@@ -156,3 +156,32 @@ def test_barplot_with_catalog_matching(fitted_model):
     axes = plot.barplot_pandas(fitted_model.signatures, catalog=catalog)
     assert axes.shape == (3, 2)  # each signature next to its best match
     plt.close("all")
+
+
+def test_exposure_uncertainty_plot():
+    import pandas as pd
+
+    from salamander_tpu import plot as pl
+    from salamander_tpu.assign import BootstrapExposuresResult
+
+    rng = np.random.default_rng(0)
+    samples = [f"s{d}" for d in range(3)]
+    sigs = [f"Sig{k}" for k in range(5)]
+    point = pd.DataFrame(rng.gamma(2.0, 100.0, (3, 5)), index=samples,
+                         columns=sigs)
+    spread = 0.15 * point
+    boot = BootstrapExposuresResult(
+        point=point,
+        mean=point,
+        std=spread,
+        quantiles={0.05: point - spread, 0.95: point + spread},
+        presence=pd.DataFrame(rng.random((3, 5)), index=samples,
+                              columns=sigs),
+    )
+    ax = pl.exposure_uncertainty(boot, "s1", top=4)
+    assert len(ax.get_yticklabels()) == 4
+    labels = {t.get_text() for t in ax.get_yticklabels()}
+    assert labels <= set(sigs)
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
