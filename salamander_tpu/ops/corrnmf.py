@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .klnmf import EPSILON, poisson_llh
-from .precision import omm
+from .precision import mm, omm
 
 # scipy.optimize's Newton-CG 'avextol' default; threshold is dim * XTOL.
 XTOL = 1e-5
@@ -54,7 +54,7 @@ def compute_exposures(signature_scalings, sample_scalings,
     logits = (
         signature_scalings[:, None]
         + sample_scalings[None, :]
-        + omm(signature_embeddings, sample_embeddings.T)
+        + mm(signature_embeddings, sample_embeddings.T)
     )
     return jnp.exp(logits).T
 
@@ -64,8 +64,8 @@ def compute_aux(data_mat, signatures_mat, exposures_mat):
 
     data_mat: (D,V) counts; signatures_mat: (K,V); exposures_mat: (D,K).
     """
-    ratios = data_mat / omm(exposures_mat, signatures_mat)  # (D, V)
-    return exposures_mat.T * omm(signatures_mat, ratios.T)  # (K, D)
+    ratios = data_mat / mm(exposures_mat, signatures_mat)  # (D, V)
+    return exposures_mat.T * mm(signatures_mat, ratios.T)  # (K, D)
 
 
 def elbo_corrnmf(data_mat, signatures_mat, exposures_mat,
@@ -92,7 +92,7 @@ def update_signature_scalings(aux, sample_scalings,
     observed = jnp.sum(aux, axis=1)
     predicted = jnp.sum(
         jnp.exp(sample_scalings[None, :]
-                + omm(signature_embeddings, sample_embeddings.T)),
+                + mm(signature_embeddings, sample_embeddings.T)),
         axis=1,
     )
     return jnp.log(observed) - jnp.log(predicted)
@@ -107,7 +107,7 @@ def update_sample_scalings(data_mat, signature_scalings,
     observed = jnp.sum(data_mat, axis=1)
     predicted = jnp.sum(
         jnp.exp(signature_scalings[:, None]
-                + omm(signature_embeddings, sample_embeddings.T)),
+                + mm(signature_embeddings, sample_embeddings.T)),
         axis=0,
     )
     return jnp.log(observed) - jnp.log(predicted)
@@ -637,8 +637,8 @@ def make_masked_corrnmf_step(signature_newton_iters: int = 100,
         # KL signature update with zero-exposure padded columns guarded
         # (klnmf.update_W semantics; padded columns pass through unchanged)
         W, H = signatures.T, exposures.T
-        aux_w = X.T / omm(W, H)
-        W_new = W * omm(aux_w, H.T)
+        aux_w = X.T / mm(W, H)
+        W_new = W * mm(aux_w, H.T)
         W_new = W_new / jnp.where(mask, jnp.sum(W_new, axis=0), 1.0)
         W_new = jnp.maximum(W_new, EPSILON)
         signatures = jnp.where(mask[:, None], W_new.T, signatures)

@@ -431,14 +431,12 @@ def rank_scan_klnmf(
     use_pallas routes the MU blocks through the rank-masked fused TPU
     kernels (single device; with pad_ranks=False it uses the per-rank fused
     kernel via fit_klnmf_restarts). Numerics match the XLA path within f32
-    accumulation order; the win is ~10x faster cold compiles - exactly the
-    cold rank-scan wall-clock (19 ranks x 100 restarts fresh-process:
-    239 s vs 373 s, BENCHMARKS.md). None (default) auto-enables the
-    kernels for single-device f32 scans on the TPU backend WHEN lane
-    compaction is off (fixed-length schedules): under compaction the XLA
-    path is faster steady-state (measured 15.3 s vs 35.7 s on a 3-rank
-    96x10k scan - the D-tiled masked kernel loses efficiency at
-    compaction's shrinking lane counts), so compact wins the default.
+    accumulation order (pinned on hardware by bench.py's self-checks).
+    None (default) resolves to OFF since the round-3 precision
+    correction: Mosaic supports only full-f32 dots, so the kernels pay
+    bf16x6 MXU passes while the XLA path runs the tiered HIGH update
+    policy - measured 848.8 s vs 66.0 s on the 19-rank 96x10k scan
+    (BENCHMARKS.md config 5c). Opt in only for experiments.
 
     pack_points: whether several ranks of a bucket may share one lockstep
     program call (None = auto: only for fixed-length runs; see
@@ -469,21 +467,18 @@ def rank_scan_klnmf(
         # erratic on the TPU tunnel platform (see docstring)
         pad_ranks = not compact
     if use_pallas is None:
-        # Compaction takes precedence over the fused kernels: measured on
-        # the 96x10k scan shape (warm, 3 ranks x 100 restarts), XLA+compact
-        # 15.3s beats XLA-plain 26.6s, Pallas-plain 30.3s AND
-        # Pallas+compact 35.7s - the D-tiled masked kernel is ~1.1x slower
-        # than XLA steady-state at this size and loses further efficiency
-        # at compaction's shrinking lane counts. Pallas stays auto-on only
-        # for runs compaction skips (fixed-length schedules), where its
-        # ~10x faster cold compile is the whole win and steady-state is
-        # parity (VMEM block kernel shapes).
-        use_pallas = (
-            not compact
-            and mesh is None
-            and jnp.dtype(dtype) == jnp.float32
-            and jax.default_backend() in ("tpu", "axon")
-        )
+        # OFF by default since the round-3 precision correction: Mosaic
+        # only supports DEFAULT/HIGHEST dot precisions, so the fused
+        # kernels run full-f32 dots while the XLA update path runs the
+        # tiered HIGH policy (ops/precision.py) - measured 2026-08-18 on
+        # the 19-rank 96x10k scan, the pallas route walls 848.8s vs 66.0s
+        # for XLA+compaction (config 5c). The kernels remain available
+        # opt-in (identical results within f32 accumulation order, pinned
+        # by bench.py's on-hardware self-checks) but there is no shape
+        # where they currently win. Historical context: at the corrupt
+        # DEFAULT precision they were steady-state parity with ~10x
+        # faster cold compiles, hence the old auto-on.
+        use_pallas = False
     ranks = [int(k) for k in n_signatures_range]
     results: dict[int, RestartResult] = {}
 

@@ -128,16 +128,21 @@ def test_svi_klnmf_step_never_default():
     assert not bad, "svi step: DEFAULT dot_general(s):\n" + "\n".join(bad)
 
 
-def test_corrnmf_em_pieces_are_highest():
-    """The whole CorrNMF family runs at decision precision: its EM-cycle
-    products feed the f32-floored ELBO convergence test and the SPD Newton
-    systems (finite-precision products can push those indefinite)."""
+def _corrnmf_parts():
     rng = np.random.default_rng(1)
     X, W, H = _wh()
     sig_emb = jnp.asarray(rng.normal(size=(K, M)))
     smp_emb = jnp.asarray(rng.normal(size=(D, M)))
     sig_scal = jnp.zeros(K)
     variance = jnp.asarray(1.0)
+    return X, W, sig_scal, sig_emb, smp_emb, variance
+
+
+def test_corrnmf_em_cycle_never_default():
+    """CorrNMF's bulk EM products (exposures, aux statistics, scaling
+    M-steps, the masked W update) run at the update tier; only the
+    decision pieces (Newton systems, ELBO) require HIGHEST."""
+    X, W, sig_scal, sig_emb, smp_emb, variance = _corrnmf_parts()
 
     def em_pieces(X, signatures, sig_scal, sig_emb, smp_emb, variance):
         smp_scal = corrops.update_sample_scalings(
@@ -153,19 +158,56 @@ def test_corrnmf_em_pieces_are_highest():
         sig_emb = corrops.update_embeddings(
             sig_emb, smp_emb, sig_scal, smp_scal, variance, aux, max_iter=2
         )
-        elbo = corrops.elbo_corrnmf(
-            X, signatures, exposures, sig_emb, smp_emb, variance
-        )
-        return sig_emb, elbo
+        return sig_emb
 
     bad = _bad_dots(
         em_pieces,
         (X.T, W.T, sig_scal, sig_emb, smp_emb, variance),
+        ALLOWED_UPDATE,
+    )
+    assert not bad, "corrnmf EM: DEFAULT dot_general(s):\n" + "\n".join(bad)
+
+
+def test_corrnmf_decisions_are_highest():
+    """ELBO and the Newton embedding solves make decisions: HIGHEST only.
+    (update_embeddings internally mixes aux statistics with its HIGHEST
+    solver products, so it is covered by the never-default test above;
+    the pure solver pieces are pinned here.)"""
+    X, W, sig_scal, sig_emb, smp_emb, variance = _corrnmf_parts()
+    exposures = corrops.compute_exposures(
+        sig_scal, jnp.zeros(D), sig_emb, smp_emb
+    )
+
+    def elbo(X, signatures, exposures, sig_emb, smp_emb, variance):
+        return corrops.elbo_corrnmf(
+            X, signatures, exposures, sig_emb, smp_emb, variance
+        )
+
+    bad = _bad_dots(
+        elbo, (X.T, W.T, exposures, sig_emb, smp_emb, variance), {HIGHEST}
+    )
+
+    outer = jnp.asarray(
+        np.einsum("km,kn->kmn", np.asarray(sig_emb), np.asarray(sig_emb))
+    )
+
+    def newton_pieces(embedding, sig_emb, scalings, variance, aux_vec,
+                      outer):
+        summand_grad = jnp.sum(aux_vec[:, None] * sig_emb, axis=0)
+        grad = corrops.gradient_embedding(
+            embedding, sig_emb, 0.0, scalings, variance, summand_grad
+        )
+        hess = corrops.hessian_embedding(
+            embedding, sig_emb, 0.0, scalings, variance, outer
+        )
+        return grad, hess
+
+    bad += _bad_dots(
+        newton_pieces,
+        (smp_emb[0], sig_emb, jnp.zeros(K), variance, jnp.ones(K), outer),
         {HIGHEST},
     )
-    assert not bad, "corrnmf EM: non-HIGHEST dot_general(s):\n" + "\n".join(
-        bad
-    )
+    assert not bad, "corrnmf decisions: non-HIGHEST:\n" + "\n".join(bad)
 
 
 # --------------------------------------------------------------------- #
