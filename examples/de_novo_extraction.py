@@ -1,0 +1,53 @@
+"""De novo consensus signature extraction on the PCAWG breast cohort.
+
+The SigProfilerExtractor-style discovery workflow the reference cannot
+express (its tutorial loops plain restarts on the host and has no
+resampling, clustering or consensus machinery): count-bootstrap the cohort,
+factorize every (rank, replicate) pair as a lane of ONE K-padded device
+program, consensus-cluster the pooled signatures, pick the rank where the
+clusters stay tight, and hand back a fitted consensus model — then annotate
+the discovered signatures against the COSMIC catalog.
+
+Run from the repo root: python examples/de_novo_extraction.py
+(modest sizes so it completes in a few minutes on CPU or one TPU chip).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import salamander_tpu as sal
+from salamander_tpu import datasets
+
+counts = datasets.load_pcawg_sbs()  # (192 samples, 96 SBS channels)
+
+# -- discover: every (rank, replicate) pair is a lane of one program -------
+result = sal.extract_signatures(
+    counts, ranks=range(2, 7), n_bootstraps=10, seed=0,
+    min_stability=0.8,
+)
+print("rank-selection table (best_loss = consensus KL on the real counts):")
+print(result.table.round(4))
+print(f"\nsuggested rank: {result.suggested_rank}")
+
+# the table is pl.rank_selection-compatible:
+#   sal.pl.rank_selection(result.table, min_stability=0.8)
+
+# -- the winner is a fully fitted model -------------------------------------
+model = result.model  # KLNMF, consensus signatures given, exposures refit
+print(f"model: {type(model).__name__}, signatures {model.signatures.shape}, "
+      f"exposures {model.exposures.shape}")
+
+# -- close the loop: name the de novo signatures via COSMIC -----------------
+annotation = sal.tl.annotate_signatures(
+    model, datasets.load_cosmic_sbs_catalog()
+)
+print("\nclosest COSMIC entries:")
+print(annotation[["matched", "similarity"]])
+
+# per-cluster silhouettes of the chosen rank (the stability evidence):
+silhouette = result.silhouettes[result.suggested_rank]
+print("\ncluster silhouettes:", np.round(silhouette, 3))

@@ -27,6 +27,7 @@ from .assign import (
     bootstrap_exposures,
 )
 from .containers import AnnData, MuData
+from .extraction import ExtractionResult, extract_signatures
 from .io import load_model, save_model
 from .parallel import bootstrap_stability, fit_best_of
 
@@ -46,6 +47,8 @@ __all__ = [
     "containers",
     "datasets",
     "engine",
+    "ExtractionResult",
+    "extract_signatures",
     "fit_best_of",
     "initialization",
     "io",

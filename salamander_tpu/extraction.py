@@ -1,0 +1,444 @@
+"""De novo consensus signature extraction.
+
+The field's headline discovery workflow (SigProfilerExtractor-style), which
+the reference cannot express: resample the cohort's counts B times, factorize
+every resample at every candidate rank, cluster the pooled signatures under a
+one-per-replicate matching constraint, and report per-cluster silhouette
+stability next to the consensus solution's reconstruction error — stability,
+not loss, marks the true rank (past it, extra components fit replicate-
+specific noise and their clusters collapse). The reference's own tutorial
+runs plain restarts in a host Python for-loop (reference ``tutorial.ipynb``
+cell 70) and has no resampling, clustering or consensus machinery at all;
+its closest primitive is one ``fit(given_parameters={"asignatures": ...})``
+refit (reference src/salamander/models/klnmf.py:83-121).
+
+TPU-first design — the whole discovery phase is THREE device programs:
+
+1. ``ops.assign.resample_counts`` draws all B count resamples on device
+   (multinomial per sample, SigProfiler's nonparametric bootstrap, or
+   Poisson, the parametric one).
+2. Every (rank, replicate) pair is a LANE of one K-padded lockstep fit:
+   ``ops.klnmf.make_masked_step_functions`` lets rank-k lanes run exactly
+   (padded H rows pinned at zero) inside a shared rank-``max(ranks)``
+   program, so the entire rank range amortizes ONE XLA compilation, and
+   every lane converges under the package's standard rule
+   (``engine.make_fit_function(batched=True, batched_data=True)`` — each
+   lane fits its own resampled counts).
+3. Per-rank consensus exposures refit on the ORIGINAL counts through one
+   shared K-padded ``ops.assign.refit_exposures`` program.
+
+Only the clustering runs on host: it is Hungarian matching on (k x k)
+cosine matrices, microseconds of scipy per replicate, and fetching the
+(lanes, V, K) signature stack is ONE batched transfer
+(``engine.transfer.fetch_pytree``).
+
+Memory note: the lockstep fit materializes per-lane data,
+``len(ranks) * n_bootstraps * V * D`` elements of the fit dtype. At PCAWG
+scale (96 x 192, 9 ranks x 20 replicates) that is ~13 MB; at D = 200k it
+is ~14 GB — split the rank range across calls for very large cohorts.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from . import containers
+from .engine import FitConfig, make_fit_function
+from .engine.transfer import fetch_pytree
+from .ops.assign import refit_exposures, resample_counts
+from .ops.klnmf import EPSILON, make_masked_step_functions
+
+__all__ = ["ExtractionResult", "extract_signatures"]
+
+
+# --------------------------------------------------------------------- #
+# Device phase: resample -> lane init -> one masked lockstep fit
+# --------------------------------------------------------------------- #
+
+
+def _lane_init(key, X_lane, mask):
+    """Random (W, H) init for one masked lane, on device.
+
+    Mirrors initialization.methods.random_init_batch (Dirichlet signatures
+    via normalized exponentials, Dirichlet exposures scaled to per-sample
+    totals, EPSILON clips; reference initialization/methods.py:89-109
+    semantics) restricted to the lane's active signatures: normalizing a
+    subset of iid exponentials over that subset IS a Dirichlet of the
+    subset's size, so a rank-k lane inside a rank-Kp program draws exactly
+    a rank-k random init. Padded H rows are EXACT zero (the masked-step
+    contract); padded W columns are inert and keep their draws.
+    """
+    dtype = X_lane.dtype
+    n_padded = mask.shape[0]
+    n_features, n_samples = X_lane.shape
+    key_w, key_h = jax.random.split(key)
+    # per-signature fold_in keys make a rank-k lane's draws independent of
+    # the PADDED rank, so results are identical no matter which other ranks
+    # share the compiled program (pinned by tests/test_extraction.py)
+    signature_keys = jnp.arange(n_padded)
+    draws_w = jax.vmap(
+        lambda j: jax.random.exponential(
+            jax.random.fold_in(key_w, j), (n_features,), dtype
+        )
+    )(signature_keys)
+    W = (draws_w / jnp.sum(draws_w, axis=-1, keepdims=True)).T
+    draws_h = jax.vmap(
+        lambda j: jax.random.exponential(
+            jax.random.fold_in(key_h, j), (n_samples,), dtype
+        )
+    )(signature_keys).T
+    masked = jnp.where(mask[None, :], draws_h, 0.0)
+    exposures = masked / jnp.sum(masked, axis=-1, keepdims=True)
+    totals = jnp.sum(X_lane, axis=0)
+    H = (exposures * totals[:, None]).T
+    W = jnp.maximum(W, EPSILON)
+    H = jnp.where(mask[:, None], jnp.maximum(H, EPSILON), 0.0)
+    return W, H
+
+
+def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
+                   method, n_padded):
+    """Resample counts and initialize every (rank, replicate) lane.
+
+    Returns (params0, data) for the masked lockstep fit. Lane keys are
+    fold_in(fold_in(key, rank), replicate) with per-signature sub-keys in
+    the init: a lane's draws depend only on (seed, rank, replicate) — never
+    on which OTHER ranks share the call or how far the program is padded.
+    Results are bitwise-reproducible across scans that share a padded rank;
+    across different paddings they agree to fusion ulps only (XLA regroups
+    reductions per contraction width — measured 1e-13 relative on f64 CPU;
+    the same lesson as the package's cross-program equality pins).
+    """
+    X_boot = resample_counts(X, key, n_bootstraps, method)  # (B, V, D)
+    # models clip counts to EPSILON at fit start (reference
+    # signature_nmf.py:269-281); replicate fits follow the same contract
+    X_boot = jnp.maximum(X_boot, EPSILON)
+    X_lanes = X_boot[lane_replicates]                       # (L, V, D)
+    masks = lane_ranks[:, None] > jnp.arange(n_padded)[None, :]
+    lane_keys = jax.vmap(
+        lambda k, b: jax.random.fold_in(jax.random.fold_in(key, k), b)
+    )(lane_ranks, lane_replicates)
+    W0, H0 = jax.vmap(_lane_init)(lane_keys, X_lanes, masks)
+    return {"W": W0, "H": H0, "mask": masks}, {"X": X_lanes}
+
+
+# --------------------------------------------------------------------- #
+# Host phase: Hungarian-constrained consensus clustering + silhouettes
+# --------------------------------------------------------------------- #
+
+
+def _unit_rows(stack):
+    norms = np.linalg.norm(stack, axis=-1, keepdims=True)
+    return stack / np.clip(norms, np.finfo(np.float64).tiny, None)
+
+
+def _consensus_cluster(stack: np.ndarray, best_index: int,
+                       max_iterations: int = 200):
+    """Partition B x k pooled signatures into k clusters, one signature per
+    replicate per cluster (the constraint that makes 'cluster j' mean 'the
+    same signature rediscovered B times', not an arbitrary blob).
+
+    stack: (B, k, V) row signatures. Alternates Hungarian matching of each
+    replicate onto the centroids (cosine) with centroid re-estimation
+    (normalized mean of matched members), seeded from the best-loss
+    replicate; converges when the matching stops changing (k-means-style
+    monotone objective over a finite assignment set).
+
+    Returns (consensus (k, V) rows summing to 1, matched (B, k, V) raw
+    signatures, permutations (B, k) lane->cluster, mean matched cosine to
+    the consensus (k,)).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    n_replicates, k, _ = stack.shape
+    units = _unit_rows(stack.astype(np.float64))
+    centroids = units[best_index]
+    perms = np.tile(np.arange(k), (n_replicates, 1))
+    for _ in range(max_iterations):
+        new_perms = np.empty_like(perms)
+        for b in range(n_replicates):
+            sim = centroids @ units[b].T  # (cluster, signature)
+            rows, cols = linear_sum_assignment(1.0 - sim)
+            new_perms[b, rows] = cols
+        matched_units = units[np.arange(n_replicates)[:, None], new_perms]
+        centroids = _unit_rows(matched_units.mean(axis=0))
+        if np.array_equal(new_perms, perms):
+            break
+        perms = new_perms
+    matched = stack[np.arange(n_replicates)[:, None], perms]
+    consensus = matched.mean(axis=0)
+    consensus = consensus / consensus.sum(axis=-1, keepdims=True)
+    cosines = np.einsum(
+        "bkv,kv->bk", matched_units, _unit_rows(consensus)
+    ).mean(axis=0)
+    return consensus, matched, perms, cosines
+
+
+def _cluster_silhouettes(matched: np.ndarray) -> np.ndarray:
+    """Per-cluster mean silhouette under cosine distance.
+
+    matched: (B, k, V) cluster-aligned signatures (cluster j = [:, j]).
+    Standard silhouette: a(i) = mean distance to own cluster's other
+    members, b(i) = smallest mean distance to another cluster,
+    s = (b - a) / max(a, b). NaN when B < 2 or k < 2 (undefined, not
+    perfect — mirrors tl.signature_stability's single-restart contract).
+    """
+    n_replicates, k, _ = matched.shape
+    if n_replicates < 2 or k < 2:
+        return np.full(k, np.nan)
+    units = _unit_rows(matched.astype(np.float64))
+    points = units.transpose(1, 0, 2).reshape(k * n_replicates, -1)
+    distance = 1.0 - points @ points.T
+    labels = np.repeat(np.arange(k), n_replicates)
+    same = labels[:, None] == labels[None, :]
+    a = np.sum(np.where(same, distance, 0.0), axis=1) / (n_replicates - 1)
+    mean_to = np.empty((k * n_replicates, k))
+    for j in range(k):
+        mean_to[:, j] = distance[:, labels == j].mean(axis=1)
+    mean_to[np.arange(k * n_replicates), labels] = np.inf  # own cluster out
+    b = mean_to.min(axis=1)
+    s = (b - a) / np.maximum(np.maximum(a, b), np.finfo(np.float64).tiny)
+    return s.reshape(k, n_replicates).mean(axis=1)
+
+
+# --------------------------------------------------------------------- #
+# The pipeline
+# --------------------------------------------------------------------- #
+
+
+@dataclass
+class ExtractionResult:
+    """Everything the consensus-extraction pipeline learned.
+
+    ``table`` is `pl.rank_selection`-compatible (index ``n_signatures``;
+    ``best_loss`` = the consensus solution's KL on the ORIGINAL counts,
+    ``mean_stability``/``min_stability`` = per-cluster silhouettes)."""
+
+    table: pd.DataFrame
+    consensus: dict[int, pd.DataFrame]       # rank -> (k, V) row signatures
+    exposures: dict[int, pd.DataFrame]       # rank -> (D, k) consensus refit
+    silhouettes: dict[int, np.ndarray]       # rank -> (k,) cluster silhouette
+    matched: dict[int, np.ndarray]           # rank -> (B, k, V) cluster-
+    # aligned replicate signatures (cluster j = [:, j, :])
+    replicate_losses: dict[int, np.ndarray]  # rank -> (B,) final KL per lane
+    suggested_rank: int | None
+    model: Any = field(default=None)         # fitted KLNMF at the suggestion
+
+
+def extract_signatures(
+    data,
+    ranks,
+    n_bootstraps: int = 20,
+    resample_method: str = "multinomial",
+    seed: int = 0,
+    min_stability: float = 0.8,
+    min_iterations: int = 500,
+    max_iterations: int = 10_000,
+    conv_test_freq: int = 10,
+    tol: float = 1e-7,
+    dtype=np.float32,
+    fit_final: bool = True,
+) -> ExtractionResult:
+    """De novo consensus signature extraction over a rank range.
+
+    data: AnnData-like or samples-x-features DataFrame of counts.
+    ranks: candidate signature counts (e.g. ``range(2, 11)``).
+    n_bootstraps: count resamples per rank (``resample_method``:
+    'multinomial' preserves per-sample totals, 'poisson' is the parametric
+    bootstrap). Each (rank, replicate) pair fits de novo under KLNMF's MU
+    rule with a fresh seeded Dirichlet init, all lanes in ONE K-padded
+    device program; per-rank pooled signatures are consensus-clustered and
+    scored by silhouette (see module docstring).
+
+    suggested_rank follows tl.suggest_rank's transparent prefix rule: the
+    largest rank reachable through scanned ranks whose min cluster
+    silhouette stays >= ``min_stability`` (an isolated pass above an
+    unstable rank is noise, not signal). When even the smallest rank fails,
+    ``suggested_rank`` is None and a warning points at the table — after
+    minutes of device compute you get the evidence, not an exception.
+
+    With ``fit_final=True`` the suggested rank's consensus signatures are
+    refit on the full data as a ``models.KLNMF`` with
+    ``given_parameters={"asignatures": ...}`` (exposure-only fit, W frozen
+    — reference src/salamander/models/klnmf.py:83-121 semantics), so the
+    winner exposes the complete model surface (plots, transform, io).
+    """
+    from .assign import _extract_counts
+
+    ranks = sorted({int(k) for k in ranks})
+    if not ranks or ranks[0] < 1:
+        raise ValueError(f"ranks must be positive integers, got {ranks!r}")
+    if n_bootstraps < 1:
+        raise ValueError("n_bootstraps must be >= 1")
+    X_host, obs_names, var_names = _extract_counts(data)  # (V, D)
+    n_features, n_samples = X_host.shape
+    n_padded = ranks[-1]
+    if n_padded > n_samples or n_padded > n_features:
+        raise ValueError(
+            f"max rank {n_padded} exceeds the data's "
+            f"min(n_samples, n_features) = {min(n_samples, n_features)}"
+        )
+
+    lane_ranks = np.repeat(ranks, n_bootstraps)
+    lane_replicates = np.tile(np.arange(n_bootstraps), len(ranks))
+
+    X = jnp.asarray(np.maximum(X_host, EPSILON), dtype=dtype)
+    key = jax.random.PRNGKey(seed)
+    prepare = jax.jit(
+        _prepare_lanes,
+        static_argnames=("n_bootstraps", "method", "n_padded"),
+    )
+    params0, lane_data = prepare(
+        X, key, jnp.asarray(lane_ranks), jnp.asarray(lane_replicates),
+        n_bootstraps=n_bootstraps, method=resample_method, n_padded=n_padded,
+    )
+
+    update_fn, objective_fn = make_masked_step_functions()
+    from .models.signature_nmf import promote_objective
+
+    promoted = promote_objective(
+        objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
+    )
+    config = FitConfig(
+        min_iterations=min_iterations, max_iterations=max_iterations,
+        conv_test_freq=conv_test_freq, tol=tol,
+    )
+    run = make_fit_function(
+        update_fn, promoted, config, batched=True, batched_data=True,
+    )
+    result = run(params0, lane_data)
+    losses_device = jax.jit(jax.vmap(promoted, in_axes=(0, 0)))(
+        result.params, lane_data
+    )
+    W_lanes, losses = fetch_pytree((result.params["W"], losses_device))
+    W_lanes = np.asarray(W_lanes)  # (L, V, Kp)
+    losses = np.asarray(losses)
+
+    # one shared K-padded refit program evaluates every rank's consensus
+    # on the ORIGINAL counts (padded mask rows are inactive -> exact rank-k)
+    refit = jax.jit(
+        refit_exposures, static_argnames=("max_iterations", "conv_test_freq")
+    )
+
+    rows = []
+    consensus_by_rank: dict[int, pd.DataFrame] = {}
+    exposures_by_rank: dict[int, pd.DataFrame] = {}
+    silhouettes: dict[int, np.ndarray] = {}
+    matched_by_rank: dict[int, np.ndarray] = {}
+    losses_by_rank: dict[int, np.ndarray] = {}
+    X64 = np.asarray(X_host, dtype=np.float64)
+    norm_X = np.linalg.norm(X64)
+    for rank in ranks:
+        lanes = lane_ranks == rank
+        stack = np.transpose(W_lanes[lanes][:, :, :rank], (0, 2, 1))
+        lane_losses = losses[lanes]
+        consensus, matched, _, _ = _consensus_cluster(
+            stack, int(np.argmin(lane_losses))
+        )
+        silhouette = _cluster_silhouettes(matched)
+
+        W_pad = np.full((n_features, n_padded), 1.0 / n_features)
+        W_pad[:, :rank] = consensus.T
+        mask2d = jnp.asarray(
+            np.arange(n_padded)[:, None] < np.full((1, n_samples), rank)
+        )
+        H_pad, _ = refit(
+            X, jnp.asarray(W_pad, dtype=dtype), mask2d,
+            max_iterations=max_iterations, tol=tol,
+            conv_test_freq=conv_test_freq,
+        )
+        H = np.asarray(H_pad, dtype=np.float64)[:rank]  # (k, D)
+        recon = consensus.T.astype(np.float64) @ H      # (V, D)
+        positive = X64 > 0
+        consensus_kl = float(
+            np.sum(X64[positive] * np.log(X64[positive] / recon[positive]))
+            - X64.sum() + recon.sum()
+        )
+        cos = np.sum(X64 * recon, axis=0) / np.maximum(
+            np.linalg.norm(X64, axis=0) * np.linalg.norm(recon, axis=0),
+            np.finfo(np.float64).tiny,
+        )
+        names = [f"Sig{j + 1}" for j in range(rank)]
+        consensus_by_rank[rank] = pd.DataFrame(
+            consensus, index=names, columns=var_names
+        )
+        exposures_by_rank[rank] = pd.DataFrame(
+            H.T, index=obs_names, columns=names
+        )
+        silhouettes[rank] = silhouette
+        matched_by_rank[rank] = matched
+        losses_by_rank[rank] = lane_losses
+        rows.append({
+            "n_signatures": rank,
+            "best_loss": consensus_kl,
+            "mean_stability": float(np.mean(silhouette)),
+            "min_stability": float(np.min(silhouette)),
+            "mean_sample_cosine": float(np.mean(cos)),
+            "relative_error": float(np.linalg.norm(X64 - recon) / norm_X),
+            "mean_replicate_loss": float(np.mean(lane_losses)),
+        })
+    table = pd.DataFrame(rows).set_index("n_signatures")
+
+    min_sil = table["min_stability"].to_numpy()
+    if np.isnan(min_sil).all():
+        suggested = None
+        warnings.warn(
+            "cluster silhouettes are undefined (n_bootstraps < 2 or "
+            "rank 1 only) - no rank suggestion; inspect result.table",
+            UserWarning,
+        )
+    else:
+        # rank 1 has a single cluster (silhouette undefined); the prefix
+        # rule starts at the first rank where stability is measurable
+        start = int(np.argmax(~np.isnan(min_sil)))
+        passes = min_sil[start:] >= min_stability
+        if not passes[0]:
+            suggested = None
+            warnings.warn(
+                f"even the smallest measurable rank ({ranks[start]}) falls "
+                f"below min_stability={min_stability} "
+                f"(min silhouette {min_sil[start]:.3f}) - no suggestion; "
+                "scan smaller ranks, add bootstraps, or lower the threshold",
+                UserWarning,
+            )
+        else:
+            prefix_end = int(np.argmin(passes)) - 1 if not passes.all() else -1
+            suggested = int(table.index[start:][prefix_end])
+
+    model = None
+    if fit_final and suggested is not None:
+        from .models import KLNMF
+
+        asignatures = containers.AnnData(consensus_by_rank[suggested])
+        adata = containers.AnnData(
+            pd.DataFrame(X_host.T, index=obs_names, columns=var_names)
+        )
+        model = KLNMF(
+            n_signatures=suggested,
+            min_iterations=min_iterations, max_iterations=max_iterations,
+            conv_test_freq=conv_test_freq, tol=tol,
+            dtype=np.dtype(dtype).name,
+        )
+        model.fit(
+            adata,
+            given_parameters={"asignatures": asignatures},
+            init_kwargs={"seed": seed},
+        )
+
+    return ExtractionResult(
+        table=table,
+        consensus=consensus_by_rank,
+        exposures=exposures_by_rank,
+        silhouettes=silhouettes,
+        matched=matched_by_rank,
+        replicate_losses=losses_by_rank,
+        suggested_rank=suggested,
+        model=model,
+    )

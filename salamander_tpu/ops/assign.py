@@ -241,6 +241,37 @@ def eliminate_signatures(
     }
 
 
+def resample_counts(X, key, n_resamples: int, method: str = "multinomial"):
+    """Draw count-bootstrap resamples of a (V, D) count matrix on device.
+
+    method:
+      'multinomial' - per sample d, redraw Multinomial(round(n_d), X[:,d]/n_d)
+        (the SigProfiler-style nonparametric count bootstrap; per-sample
+        totals are preserved);
+      'poisson' - X_b ~ Poisson(X), the parametric bootstrap under the
+        model's own Poisson likelihood (samples' totals vary).
+
+    Traceable (jit/vmap-safe). Returns (n_resamples, V, D) in X.dtype.
+    Shared by ``bootstrap_refit`` (exposure CIs) and the de novo
+    consensus-extraction pipeline (``salamander_tpu.extraction``).
+    """
+    V, D = X.shape
+    if method == "multinomial":
+        totals = jnp.round(jnp.sum(X, axis=0))          # (D,)
+        probs = (X / jnp.sum(X, axis=0)).T              # (D, V)
+        draws = jax.random.multinomial(
+            key,
+            jnp.broadcast_to(totals, (n_resamples, D)),
+            jnp.broadcast_to(probs, (n_resamples, D, V)),
+        )                                               # (B, D, V)
+        return jnp.swapaxes(draws, -1, -2).astype(X.dtype)
+    if method == "poisson":
+        return jax.random.poisson(
+            key, X, shape=(n_resamples, V, D)
+        ).astype(X.dtype)
+    raise ValueError(f"unknown bootstrap method {method!r}")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_replicates", "method", "max_iterations",
@@ -275,21 +306,7 @@ def bootstrap_refit(
     W = W.astype(dtype)
     V, D = X.shape
 
-    if method == "multinomial":
-        totals = jnp.round(jnp.sum(X, axis=0))          # (D,)
-        probs = (X / jnp.sum(X, axis=0)).T              # (D, V)
-        draws = jax.random.multinomial(
-            key,
-            jnp.broadcast_to(totals, (n_replicates - 1, D)),
-            jnp.broadcast_to(probs, (n_replicates - 1, D, V)),
-        )                                               # (B-1, D, V)
-        X_boot = jnp.swapaxes(draws, -1, -2).astype(dtype)
-    elif method == "poisson":
-        X_boot = jax.random.poisson(
-            key, X, shape=(n_replicates - 1, V, D)
-        ).astype(dtype)
-    else:
-        raise ValueError(f"unknown bootstrap method {method!r}")
+    X_boot = resample_counts(X, key, n_replicates - 1, method)
     X_all = jnp.concatenate([X[None], X_boot], axis=0)  # (B, V, D)
 
     # one flat masked refit: replicates are independent columns

@@ -1,0 +1,275 @@
+"""De novo consensus extraction pipeline (salamander_tpu.extraction).
+
+The reference has no counterpart (its tutorial loops restarts on the host);
+these tests pin the pipeline's own contracts: planted-rank recovery,
+lane-key independence (a rank's result does not depend on which other ranks
+share the padded program), determinism, resampler semantics, and silhouette
+correctness vs sklearn.
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+import salamander_tpu as sal
+from salamander_tpu.extraction import (
+    _cluster_silhouettes,
+    _consensus_cluster,
+)
+from salamander_tpu.ops.assign import resample_counts
+
+
+@pytest.fixture(scope="module")
+def planted():
+    """Poisson counts with k_true = 3 well-separated signatures."""
+    rng = np.random.default_rng(7)
+    n_features, n_samples, k_true = 16, 60, 3
+    W = rng.dirichlet(np.full(n_features, 0.4), size=k_true)
+    H = rng.gamma(2.0, 50.0, size=(n_samples, k_true))
+    X = rng.poisson(H @ W).astype(float)
+    data = pd.DataFrame(
+        X,
+        index=[f"s{i}" for i in range(n_samples)],
+        columns=[f"v{j}" for j in range(n_features)],
+    )
+    return data, W
+
+
+@pytest.fixture(scope="module")
+def extracted(planted):
+    data, _ = planted
+    return sal.extract_signatures(
+        data, ranks=range(2, 5), n_bootstraps=6, seed=0,
+        min_iterations=100, max_iterations=2000, dtype=np.float64,
+    )
+
+
+def test_recovers_planted_rank_and_signatures(planted, extracted):
+    _, W_true = planted
+    assert extracted.suggested_rank == 3
+    consensus = extracted.consensus[3].to_numpy()
+    units = consensus / np.linalg.norm(consensus, axis=1, keepdims=True)
+    planted_units = W_true / np.linalg.norm(W_true, axis=1, keepdims=True)
+    sim = planted_units @ units.T
+    from scipy.optimize import linear_sum_assignment
+
+    rows, cols = linear_sum_assignment(1.0 - sim)
+    assert np.all(sim[rows, cols] > 0.98)
+    # stability collapses past the true rank, the selection signal itself
+    assert (
+        extracted.table.loc[4, "min_stability"]
+        < extracted.table.loc[3, "min_stability"]
+    )
+
+
+def test_result_structure(planted, extracted):
+    data, _ = planted
+    n_samples, n_features = data.shape
+    assert list(extracted.table.index) == [2, 3, 4]
+    for col in ("best_loss", "mean_stability", "min_stability",
+                "mean_sample_cosine", "relative_error",
+                "mean_replicate_loss"):
+        assert col in extracted.table.columns
+    for k in (2, 3, 4):
+        assert extracted.consensus[k].shape == (k, n_features)
+        np.testing.assert_allclose(
+            extracted.consensus[k].sum(axis=1), 1.0, rtol=1e-12
+        )
+        assert extracted.exposures[k].shape == (n_samples, k)
+        assert extracted.matched[k].shape == (6, k, n_features)
+        assert extracted.replicate_losses[k].shape == (6,)
+        assert extracted.silhouettes[k].shape == (k,)
+    # loss decreases with rank (more parameters always fit better)
+    losses = extracted.table["best_loss"].to_numpy()
+    assert np.all(np.diff(losses) < 0)
+
+
+def test_final_model_surface(planted, extracted):
+    data, _ = planted
+    model = extracted.model
+    assert type(model).__name__ == "KLNMF"
+    assert model.signatures.shape == (3, data.shape[1])
+    # given signatures stay frozen through the exposure-only refit
+    np.testing.assert_allclose(
+        model.signatures.to_numpy(),
+        extracted.consensus[3].to_numpy(),
+        rtol=1e-6,
+    )
+    assert model.exposures.shape == (data.shape[0], 3)
+
+
+def test_lane_independence_across_rank_sets(planted, extracted):
+    """A rank's lanes depend only on (seed, rank, replicate): at the SAME
+    padded rank results are bitwise equal no matter which other ranks share
+    the program; across different paddings they agree to fusion ulps (XLA
+    regroups reductions per contraction width)."""
+    data, _ = planted
+    kwargs = dict(
+        n_bootstraps=6, seed=0, min_iterations=100, max_iterations=2000,
+        dtype=np.float64, fit_final=False,
+    )
+    solo = sal.extract_signatures(data, ranks=[3], **kwargs)
+    pair = sal.extract_signatures(data, ranks=[2, 3], **kwargs)  # Kp = 3
+    np.testing.assert_array_equal(
+        solo.replicate_losses[3], pair.replicate_losses[3]
+    )
+    np.testing.assert_array_equal(
+        solo.consensus[3].to_numpy(), pair.consensus[3].to_numpy()
+    )
+    # the fixture scanned ranks 2..4 (padded rank 4): fusion-ulp agreement
+    np.testing.assert_allclose(
+        solo.replicate_losses[3], extracted.replicate_losses[3], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        solo.consensus[3].to_numpy(), extracted.consensus[3].to_numpy(),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_deterministic(planted):
+    data, _ = planted
+    kwargs = dict(
+        ranks=[2, 3], n_bootstraps=4, seed=11, min_iterations=50,
+        max_iterations=500, dtype=np.float64, fit_final=False,
+    )
+    first = sal.extract_signatures(data, **kwargs)
+    second = sal.extract_signatures(data, **kwargs)
+    pd.testing.assert_frame_equal(first.table, second.table)
+    for k in (2, 3):
+        np.testing.assert_array_equal(
+            first.consensus[k].to_numpy(), second.consensus[k].to_numpy()
+        )
+
+
+def test_rank1_prefix_skips_undefined_silhouette(planted):
+    data, _ = planted
+    result = sal.extract_signatures(
+        data, ranks=[1, 2, 3], n_bootstraps=4, seed=0,
+        min_iterations=50, max_iterations=1000, dtype=np.float64,
+        fit_final=False,
+    )
+    assert np.isnan(result.table.loc[1, "min_stability"])
+    assert result.suggested_rank in (2, 3)
+
+
+def test_no_suggestion_warns(planted):
+    data, _ = planted
+    with pytest.warns(UserWarning, match="falls below min_stability"):
+        result = sal.extract_signatures(
+            data, ranks=[2, 3], n_bootstraps=4, seed=0,
+            min_iterations=50, max_iterations=500, dtype=np.float64,
+            min_stability=1.5, fit_final=True,
+        )
+    assert result.suggested_rank is None
+    assert result.model is None
+
+
+def test_single_bootstrap_warns(planted):
+    data, _ = planted
+    with pytest.warns(UserWarning, match="silhouettes are undefined"):
+        result = sal.extract_signatures(
+            data, ranks=[2], n_bootstraps=1, seed=0,
+            min_iterations=50, max_iterations=500, dtype=np.float64,
+            fit_final=False,
+        )
+    assert result.suggested_rank is None
+    assert np.isnan(result.silhouettes[2]).all()
+
+
+def test_invalid_inputs(planted):
+    data, _ = planted
+    with pytest.raises(ValueError, match="positive"):
+        sal.extract_signatures(data, ranks=[0, 2])
+    with pytest.raises(ValueError, match="exceeds"):
+        sal.extract_signatures(data, ranks=[200])
+    with pytest.raises(ValueError, match="n_bootstraps"):
+        sal.extract_signatures(data, ranks=[2], n_bootstraps=0)
+
+
+# --------------------------------------------------------------------- #
+# resampler
+# --------------------------------------------------------------------- #
+
+
+def test_resample_counts_multinomial_preserves_totals():
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.poisson(20.0, size=(12, 30)).astype(np.float64))
+    draws = np.asarray(
+        resample_counts(X, jax.random.PRNGKey(0), 5, "multinomial")
+    )
+    assert draws.shape == (5, 12, 30)
+    totals = np.asarray(X.sum(axis=0))
+    np.testing.assert_allclose(
+        draws.sum(axis=1), np.broadcast_to(totals, (5, 30))
+    )
+    assert not np.array_equal(draws[0], draws[1])
+
+
+def test_resample_counts_poisson_varies_totals():
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.poisson(20.0, size=(12, 30)).astype(np.float64))
+    draws = np.asarray(
+        resample_counts(X, jax.random.PRNGKey(0), 5, "poisson")
+    )
+    assert draws.shape == (5, 12, 30)
+    totals = np.asarray(X.sum(axis=0))
+    assert not np.allclose(draws.sum(axis=1), totals[None, :])
+    # unbiasedness sanity at the matrix level
+    assert abs(draws.mean() - np.asarray(X).mean()) < 1.0
+    with pytest.raises(ValueError, match="unknown bootstrap method"):
+        resample_counts(X, jax.random.PRNGKey(0), 2, "jackknife")
+
+
+# --------------------------------------------------------------------- #
+# clustering + silhouettes
+# --------------------------------------------------------------------- #
+
+
+def test_consensus_cluster_recovers_permuted_replicates():
+    """Replicates that are column-permuted noisy copies of k prototypes
+    must cluster back onto the prototypes regardless of their order."""
+    rng = np.random.default_rng(5)
+    k, n_features, n_replicates = 4, 20, 8
+    prototypes = rng.dirichlet(np.full(n_features, 0.5), size=k)
+    stack = np.empty((n_replicates, k, n_features))
+    perms = []
+    for b in range(n_replicates):
+        perm = rng.permutation(k)
+        perms.append(perm)
+        noisy = prototypes[perm] * rng.uniform(0.95, 1.05, (k, n_features))
+        stack[b] = noisy / noisy.sum(axis=1, keepdims=True)
+    consensus, matched, _, cosines = _consensus_cluster(stack, 0)
+    # every cluster is one prototype (in replicate 0's order)
+    units_c = consensus / np.linalg.norm(consensus, axis=1, keepdims=True)
+    units_p = prototypes / np.linalg.norm(prototypes, axis=1, keepdims=True)
+    sim = units_c @ units_p[perms[0]].T
+    np.testing.assert_allclose(np.diag(sim), 1.0, atol=1e-3)
+    assert np.all(cosines > 0.999)
+    silhouette = _cluster_silhouettes(matched)
+    assert np.all(silhouette > 0.9)
+
+
+def test_silhouette_matches_sklearn():
+    pytest.importorskip("sklearn")
+    from sklearn.metrics import silhouette_samples
+
+    rng = np.random.default_rng(9)
+    n_replicates, k, n_features = 6, 3, 10
+    matched = rng.uniform(0.1, 1.0, size=(n_replicates, k, n_features))
+    ours = _cluster_silhouettes(matched)
+    units = matched / np.linalg.norm(matched, axis=-1, keepdims=True)
+    points = units.transpose(1, 0, 2).reshape(k * n_replicates, n_features)
+    labels = np.repeat(np.arange(k), n_replicates)
+    theirs = silhouette_samples(points, labels, metric="cosine")
+    np.testing.assert_allclose(
+        ours, theirs.reshape(k, n_replicates).mean(axis=1), atol=1e-10
+    )
+
+
+def test_silhouette_undefined_cases():
+    assert np.isnan(_cluster_silhouettes(np.ones((1, 3, 5)))).all()
+    assert np.isnan(_cluster_silhouettes(np.ones((4, 1, 5)))).all()
