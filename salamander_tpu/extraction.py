@@ -245,6 +245,7 @@ def extract_signatures(
     tol: float = 1e-7,
     dtype=np.float32,
     fit_final: bool = True,
+    mesh=None,
 ) -> ExtractionResult:
     """De novo consensus signature extraction over a rank range.
 
@@ -269,6 +270,15 @@ def extract_signatures(
     ``given_parameters={"asignatures": ...}`` (exposure-only fit, W frozen
     — reference src/salamander/models/klnmf.py:83-121 semantics), so the
     winner exposes the complete model surface (plots, transform, io).
+
+    ``mesh``: a ``parallel.make_mesh()`` (restarts, samples) mesh shards the
+    discovery fit — (rank, replicate) lanes over the restart axis (purely
+    data-parallel) and each lane's sample axis over the sample axis (the
+    W-update numerators and objectives all-reduce over it). Requires
+    ``len(ranks) * n_bootstraps`` divisible by the mesh's restart ways and
+    n_samples by its sample ways. The host clustering and the (cheap)
+    consensus refit stay as-is; sharded results match unsharded to
+    reduction-regrouping ulps.
     """
     from .assign import _extract_counts
 
@@ -299,6 +309,32 @@ def extract_signatures(
         X, key, jnp.asarray(lane_ranks), jnp.asarray(lane_replicates),
         n_bootstraps=n_bootstraps, method=resample_method, n_padded=n_padded,
     )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel.mesh import RESTART_AXIS, SAMPLE_AXIS
+
+        restart_ways = mesh.shape[RESTART_AXIS]
+        sample_ways = mesh.shape[SAMPLE_AXIS]
+        n_lanes = len(lane_ranks)
+        if n_lanes % restart_ways or n_samples % sample_ways:
+            raise ValueError(
+                f"mesh ({restart_ways} restart x {sample_ways} sample ways) "
+                f"must divide the {n_lanes} lanes and {n_samples} samples"
+            )
+
+        def lane_spec(*trailing):
+            return NamedSharding(mesh, PartitionSpec(RESTART_AXIS, *trailing))
+
+        params0 = jax.device_put(params0, {
+            "W": lane_spec(None, None),
+            "H": lane_spec(None, SAMPLE_AXIS),
+            "mask": lane_spec(None),
+        })
+        lane_data = jax.device_put(
+            lane_data, {"X": lane_spec(None, SAMPLE_AXIS)}
+        )
 
     update_fn, objective_fn = make_masked_step_functions()
     from .models.signature_nmf import promote_objective

@@ -145,6 +145,38 @@ def test_deterministic(planted):
         )
 
 
+def test_extraction_under_mesh(planted):
+    """Lane-sharded discovery (lanes over restart ways, samples over sample
+    ways) matches the unsharded run to reduction-regrouping ulps."""
+    from salamander_tpu.parallel import make_mesh
+
+    data, _ = planted
+    mesh = make_mesh(jax.devices("cpu")[:8], sample_ways=2)
+    kwargs = dict(
+        ranks=[2, 3], n_bootstraps=4, seed=3, min_iterations=50,
+        max_iterations=500, dtype=np.float64, fit_final=False,
+    )
+    plain = sal.extract_signatures(data, **kwargs)
+    sharded = sal.extract_signatures(data, mesh=mesh, **kwargs)
+    for k in (2, 3):
+        np.testing.assert_allclose(
+            sharded.replicate_losses[k], plain.replicate_losses[k],
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            sharded.consensus[k].to_numpy(), plain.consensus[k].to_numpy(),
+            rtol=1e-8, atol=1e-12,
+        )
+    pd.testing.assert_frame_equal(
+        sharded.table, plain.table, rtol=1e-8, atol=1e-12
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        sal.extract_signatures(
+            data, ranks=[2], n_bootstraps=3, mesh=mesh, fit_final=False,
+            dtype=np.float64,
+        )
+
+
 def test_rank1_prefix_skips_undefined_silhouette(planted):
     data, _ = planted
     result = sal.extract_signatures(
