@@ -6,6 +6,7 @@
   4. Multimodal CorrNMF over {sbs, indel, sv}
   5. KLNMF rank scan k=2..20 x 100 restarts on a 96 x 10k synthetic catalog
   6. ARDNMF rank inference (one K_max=20 fit) on the same synthetic catalog
+  7. De novo consensus extraction (ranks 2..10 x 20 bootstraps, PCAWG SBS)
 
 Each config reports TPU wall time / throughput and, where a faithful
 CPU stand-in of the reference hot path is feasible in-process, the speedup
@@ -723,6 +724,53 @@ def config6_ardnmf():
     })
 
 
+def config7_extraction():
+    """De novo consensus extraction end-to-end on PCAWG-breast SBS:
+    ranks 2..10 x 20 bootstrap replicates = 180 (rank, replicate) lanes,
+    every lane a full de novo KLNMF fit of its own resampled counts to
+    convergence inside ONE K-padded lockstep program, plus host consensus
+    clustering, the shared consensus-exposure refit, and the final fitted
+    model. The reference-style equivalent is 180 serial numpy MU fits
+    (its tutorial's restart loop has no resampling/consensus machinery at
+    all); the stand-in extrapolates bench.py's measured per-iteration CPU
+    cost over the same number of lane iterations."""
+    import bench
+
+    from salamander_tpu.extraction import extract_signatures
+
+    sbs = datasets.load_pcawg_sbs()
+    ranks = range(2, 11)
+
+    t0 = time.perf_counter()
+    result = extract_signatures(sbs, ranks, n_bootstraps=20, seed=0)
+    cold_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = extract_signatures(sbs, ranks, n_bootstraps=20, seed=0)
+    steady_wall = time.perf_counter() - t0
+
+    total_iters = int(sum(
+        int(np.sum(it)) for it in result.replicate_iterations.values()
+    ))
+    cpu_iters_per_sec = bench.measure_cpu_baseline(
+        np.ascontiguousarray(sbs.to_numpy())
+    )
+    cpu_seconds_est = total_iters / cpu_iters_per_sec
+    log(f"config7: cold {cold_wall:.1f}s, steady {steady_wall:.1f}s, "
+        f"{total_iters} lane iterations, suggested rank "
+        f"{result.suggested_rank}, CPU stand-in est {cpu_seconds_est:.0f}s")
+    emit({
+        "config": "7_extraction_pcawg_r2-10_b20",
+        "cold_wall_seconds": round(cold_wall, 1),
+        "steady_wall_seconds": round(steady_wall, 1),
+        "n_lanes": 180,
+        "total_lane_iterations": total_iters,
+        "aggregate_mu_iterations_per_sec": round(total_iters / steady_wall, 1),
+        "suggested_rank": result.suggested_rank,
+        "cpu_standin_seconds_estimate": round(cpu_seconds_est, 1),
+        "speedup_estimate": round(cpu_seconds_est / steady_wall, 1),
+    })
+
+
 CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
@@ -740,6 +788,7 @@ CONFIGS = {
     "5d": config5d_rank_scan_auto,
     "5c": config5c_rank_scan_pallas,
     "6": config6_ardnmf,
+    "7": config7_extraction,
 }
 
 

@@ -228,6 +228,9 @@ class ExtractionResult:
     matched: dict[int, np.ndarray]           # rank -> (B, k, V) cluster-
     # aligned replicate signatures (cluster j = [:, j, :])
     replicate_losses: dict[int, np.ndarray]  # rank -> (B,) final KL per lane
+    replicate_iterations: dict[int, np.ndarray]  # rank -> (B,) MU iterations
+    # each lane ran before its convergence test fired (diagnostic: ranks
+    # whose lanes keep hitting max_iterations need a larger budget)
     suggested_rank: int | None
     model: Any = field(default=None)         # fitted KLNMF at the suggestion
 
@@ -353,9 +356,12 @@ def extract_signatures(
     losses_device = jax.jit(jax.vmap(promoted, in_axes=(0, 0)))(
         result.params, lane_data
     )
-    W_lanes, losses = fetch_pytree((result.params["W"], losses_device))
+    W_lanes, losses, lane_iterations = fetch_pytree(
+        (result.params["W"], losses_device, result.n_iterations)
+    )
     W_lanes = np.asarray(W_lanes)  # (L, V, Kp)
     losses = np.asarray(losses)
+    lane_iterations = np.asarray(lane_iterations)
 
     # one shared K-padded refit program evaluates every rank's consensus
     # on the ORIGINAL counts (padded mask rows are inactive -> exact rank-k)
@@ -369,6 +375,7 @@ def extract_signatures(
     silhouettes: dict[int, np.ndarray] = {}
     matched_by_rank: dict[int, np.ndarray] = {}
     losses_by_rank: dict[int, np.ndarray] = {}
+    iterations_by_rank: dict[int, np.ndarray] = {}
     X64 = np.asarray(X_host, dtype=np.float64)
     norm_X = np.linalg.norm(X64)
     for rank in ranks:
@@ -411,6 +418,7 @@ def extract_signatures(
         silhouettes[rank] = silhouette
         matched_by_rank[rank] = matched
         losses_by_rank[rank] = lane_losses
+        iterations_by_rank[rank] = lane_iterations[lanes]
         rows.append({
             "n_signatures": rank,
             "best_loss": consensus_kl,
@@ -475,6 +483,7 @@ def extract_signatures(
         silhouettes=silhouettes,
         matched=matched_by_rank,
         replicate_losses=losses_by_rank,
+        replicate_iterations=iterations_by_rank,
         suggested_rank=suggested,
         model=model,
     )
