@@ -249,6 +249,7 @@ def extract_signatures(
     dtype=np.float32,
     fit_final: bool = True,
     mesh=None,
+    compact: bool | None = None,
 ) -> ExtractionResult:
     """De novo consensus signature extraction over a rank range.
 
@@ -282,6 +283,16 @@ def extract_signatures(
     n_samples by its sample ways. The host clustering and the (cheap)
     consensus refit stay as-is; sharded results match unsharded to
     reduction-regrouping ulps.
+
+    ``compact``: lane compaction for the discovery fit (None = the package
+    auto policy: on for single-device TPU convergence fits,
+    ``parallel.compaction.resolve_compact``). Lanes converge at wildly
+    different iteration counts across ranks, so the uncompacted lockstep
+    loop burns most of its FLOPs advancing frozen lanes; compaction halves
+    the live batch as lanes finish, gathering each survivor's own bootstrap
+    counts alongside its state. Bit-identical to ``compact=False`` on CPU;
+    on TPU borderline lanes may stop at a neighboring convergence block
+    (fusion ulps — the package-wide split-program lesson).
     """
     from .assign import _extract_counts
 
@@ -349,13 +360,25 @@ def extract_signatures(
         min_iterations=min_iterations, max_iterations=max_iterations,
         conv_test_freq=conv_test_freq, tol=tol,
     )
-    run = make_fit_function(
-        update_fn, promoted, config, batched=True, batched_data=True,
+    from .parallel.compaction import (
+        _cached_extraction_compacting_runner,
+        resolve_compact,
     )
-    result = run(params0, lane_data)
-    losses_device = jax.jit(jax.vmap(promoted, in_axes=(0, 0)))(
-        result.params, lane_data
-    )
+
+    n_lanes = len(lane_ranks)
+    if resolve_compact(compact, config, mesh, n_lanes, min_bucket=8):
+        runner = _cached_extraction_compacting_runner(
+            config, promoted is not objective_fn, 8
+        )
+        result, losses_device = runner.run(params0, lane_data)
+    else:
+        run = make_fit_function(
+            update_fn, promoted, config, batched=True, batched_data=True,
+        )
+        result = run(params0, lane_data)
+        losses_device = jax.jit(jax.vmap(promoted, in_axes=(0, 0)))(
+            result.params, lane_data
+        )
     W_lanes, losses, lane_iterations = fetch_pytree(
         (result.params["W"], losses_device, result.n_iterations)
     )

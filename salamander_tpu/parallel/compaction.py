@@ -106,6 +106,11 @@ class CompactingRunner:
     only read static shape/dtype information from them). One instance
     caches its jitted programs per lane count; reuse it across calls with
     identical shapes (parallel.compaction._cached_compacting_runner).
+
+    With batched_data=True every data leaf carries the leading lane axis
+    (each lane fits its OWN data, e.g. extraction's bootstrap resamples);
+    the objective/update vmap over it and each compaction gathers the
+    surviving lanes' data rows alongside their state.
     """
 
     def __init__(
@@ -114,11 +119,13 @@ class CompactingRunner:
         objective_fn: Callable[[Any, Any], jnp.ndarray],
         make_block_update: Callable[[Any, int], Callable[[Any, Any], Any]],
         min_bucket: int = 8,
+        batched_data: bool = False,
     ):
         self.config = config
         self.objective_fn = objective_fn
         self.make_block_update = make_block_update
         self.min_bucket = max(1, int(min_bucket))
+        self.batched_data = bool(batched_data)
         self._programs: dict[str, dict] = {
             "init": {}, "level": {}, "loss": {},
         }
@@ -126,7 +133,8 @@ class CompactingRunner:
     # -- jitted pieces, cached per lane count ------------------------------
 
     def _batched_objective(self, data):
-        return jax.vmap(self.objective_fn, in_axes=(0, None))
+        axes = (0, 0) if self.batched_data else (0, None)
+        return jax.vmap(self.objective_fn, in_axes=axes)
 
     def _init_fn(self, n_lanes: int):
         cache = self._programs["init"]
@@ -170,7 +178,14 @@ class CompactingRunner:
                 pos = jnp.argsort(
                     new_state.done.astype(jnp.int32), stable=True
                 )[:half]
-                return out, _take_lanes(new_state, pos), jnp.take(ids, pos)
+                carried = (
+                    out, _take_lanes(new_state, pos), jnp.take(ids, pos)
+                )
+                if self.batched_data:
+                    return carried + (jax.tree.map(
+                        lambda leaf: jnp.take(leaf, pos, axis=0), data
+                    ),)
+                return carried
 
             cache[key] = jax.jit(level)
         return cache[key]
@@ -220,12 +235,17 @@ class CompactingRunner:
         # advance, so trajectories and results are unchanged vs the
         # former host loop's early break).
         bucket = n_restarts
+        data_bucket = data  # (shrinks with the lanes under batched_data)
         while bucket // 2 >= self.min_bucket:
-            out, state, ids = self._level_fn(bucket, False)(
-                out, state, ids, data
+            level_out = self._level_fn(bucket, False)(
+                out, state, ids, data_bucket
             )
+            if self.batched_data:
+                out, state, ids, data_bucket = level_out
+            else:
+                out, state, ids = level_out
             bucket //= 2
-        out = self._level_fn(bucket, True)(out, state, ids, data)
+        out = self._level_fn(bucket, True)(out, state, ids, data_bucket)
 
         return self._loss_fn(n_restarts)(out, data, initial_objective)
 
@@ -288,6 +308,40 @@ def _cached_compacting_runner(config: FitConfig, masked: bool,
         _klnmf_block_update_builder(use_pallas, masked, pallas_interpret),
         min_bucket=min_bucket,
     )
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_extraction_compacting_runner(
+    config: FitConfig, promote: bool, min_bucket: int
+) -> CompactingRunner:
+    """Compacting runner for de novo extraction's discovery fit: rank-masked
+    KLNMF lanes where every lane fits its OWN bootstrap resample
+    (batched_data=True; extraction.extract_signatures). `promote` mirrors
+    the monolithic path's models.signature_nmf.promote_objective decision
+    (f64 convergence objective when x64 is available and the fit dtype
+    isn't already f64), so convergence blocks match the uncompacted loop."""
+    from ..ops import klnmf as ops
+
+    update_fn, objective_fn = ops.make_masked_step_functions()
+    if promote:
+        from ..models.signature_nmf import promote_objective
+
+        objective_fn = promote_objective(
+            objective_fn, {"probe": jnp.zeros((), jnp.float32)}
+        )
+
+    def make_block_update(data, n_lanes: int):
+        batched_update = jax.vmap(update_fn, in_axes=(0, 0))
+
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched_update(q, data), params
+            )
+
+        return block
+
+    return CompactingRunner(config, objective_fn, make_block_update,
+                            min_bucket=min_bucket, batched_data=True)
 
 
 @functools.lru_cache(maxsize=8)

@@ -177,6 +177,31 @@ def test_extraction_under_mesh(planted):
         )
 
 
+def test_extraction_compacted_matches_monolithic(planted):
+    """compact=True (lanes + their own bootstrap data gathered as lanes
+    converge) is bit-identical to the monolithic lockstep loop on CPU —
+    the same invariant test_compaction pins for shared-data multi-starts,
+    extended to the batched-data runner."""
+    data, _ = planted
+    kwargs = dict(
+        ranks=[2, 3, 4], n_bootstraps=8, seed=5, min_iterations=50,
+        max_iterations=500, dtype=np.float64, fit_final=False,
+    )
+    plain = sal.extract_signatures(data, compact=False, **kwargs)
+    compacted = sal.extract_signatures(data, compact=True, **kwargs)
+    for k in (2, 3, 4):
+        np.testing.assert_array_equal(
+            compacted.replicate_losses[k], plain.replicate_losses[k]
+        )
+        np.testing.assert_array_equal(
+            compacted.replicate_iterations[k], plain.replicate_iterations[k]
+        )
+        np.testing.assert_array_equal(
+            compacted.consensus[k].to_numpy(), plain.consensus[k].to_numpy()
+        )
+    pd.testing.assert_frame_equal(compacted.table, plain.table)
+
+
 def test_rank1_prefix_skips_undefined_silhouette(planted):
     data, _ = planted
     result = sal.extract_signatures(
