@@ -35,7 +35,10 @@ cosine matrices, microseconds of scipy per replicate, and fetching the
 Memory note: the lockstep fit materializes per-lane data,
 ``len(ranks) * n_bootstraps * V * D`` elements of the fit dtype. At PCAWG
 scale (96 x 192, 9 ranks x 20 replicates) that is ~13 MB; at D = 200k it
-is ~14 GB — split the rank range across calls for very large cohorts.
+is ~14 GB — beyond the ``max_lane_gb`` budget the lanes run as
+consecutive equal chunks (one chunk's buffers resident at a time), with
+results identical to the single-chunk call: lane draws are
+(seed, rank, replicate)-keyed, so a lane never depends on its co-tenants.
 """
 
 from __future__ import annotations
@@ -104,7 +107,7 @@ def _lane_init(key, X_lane, mask):
 
 
 def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
-                   method, n_padded):
+                   method, n_padded, with_gamma=False):
     """Resample counts and initialize every (rank, replicate) lane.
 
     Returns (params0, data) for the masked lockstep fit. Lane keys are
@@ -115,6 +118,9 @@ def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
     across different paddings they agree to fusion ulps only (XLA regroups
     reductions per contraction width — measured 1e-13 relative on f64 CPU;
     the same lesson as the package's cross-program equality pins).
+
+    with_gamma adds the per-lane persistent line-search step the masked
+    MvNMF update carries (reset to 1 per fit — reference mvnmf.py:212-218).
     """
     X_boot = resample_counts(X, key, n_bootstraps, method)  # (B, V, D)
     # models clip counts to EPSILON at fit start (reference
@@ -126,7 +132,10 @@ def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
         lambda k, b: jax.random.fold_in(jax.random.fold_in(key, k), b)
     )(lane_ranks, lane_replicates)
     W0, H0 = jax.vmap(_lane_init)(lane_keys, X_lanes, masks)
-    return {"W": W0, "H": H0, "mask": masks}, {"X": X_lanes}
+    params0 = {"W": W0, "H": H0, "mask": masks}
+    if with_gamma:
+        params0["gamma"] = jnp.ones((W0.shape[0],), X.dtype)
+    return params0, {"X": X_lanes}
 
 
 # --------------------------------------------------------------------- #
@@ -242,6 +251,9 @@ def extract_signatures(
     resample_method: str = "multinomial",
     seed: int = 0,
     min_stability: float = 0.8,
+    model: str = "klnmf",
+    lam: float = 1.0,
+    delta: float = 1.0,
     min_iterations: int = 500,
     max_iterations: int = 10_000,
     conv_test_freq: int = 10,
@@ -250,6 +262,7 @@ def extract_signatures(
     fit_final: bool = True,
     mesh=None,
     compact: bool | None = None,
+    max_lane_gb: float | None = None,
 ) -> ExtractionResult:
     """De novo consensus signature extraction over a rank range.
 
@@ -257,10 +270,19 @@ def extract_signatures(
     ranks: candidate signature counts (e.g. ``range(2, 11)``).
     n_bootstraps: count resamples per rank (``resample_method``:
     'multinomial' preserves per-sample totals, 'poisson' is the parametric
-    bootstrap). Each (rank, replicate) pair fits de novo under KLNMF's MU
-    rule with a fresh seeded Dirichlet init, all lanes in ONE K-padded
-    device program; per-rank pooled signatures are consensus-clustered and
-    scored by silhouette (see module docstring).
+    bootstrap). Each (rank, replicate) pair fits de novo under the chosen
+    family's update rule with a fresh seeded Dirichlet init, all lanes in
+    ONE K-padded device program; per-rank pooled signatures are
+    consensus-clustered and scored by silhouette (see module docstring).
+
+    model: 'klnmf' (plain KL multiplicative updates, the field-standard
+    discovery family) or 'mvnmf' (minimum-volume NMF — ``lam``/``delta``
+    as on ``models.MvNMF``; the volume penalty shrinks the signature
+    simplex, which identifies signatures plain NMF can only recover up to
+    a cone). The consensus-exposure refit on the original counts is the
+    KL subproblem for BOTH families (the volume penalty touches only W,
+    which the refit holds fixed); 'mvnmf' lane losses and ``best_loss``
+    are the penalized objective KL + lam*logdet(W^T W + delta I).
 
     suggested_rank follows tl.suggest_rank's transparent prefix rule: the
     largest rank reachable through scanned ranks whose min cluster
@@ -293,6 +315,15 @@ def extract_signatures(
     counts alongside its state. Bit-identical to ``compact=False`` on CPU;
     on TPU borderline lanes may stop at a neighboring convergence block
     (fusion ulps — the package-wide split-program lesson).
+
+    ``max_lane_gb``: device-memory budget for the discovery fit's per-lane
+    buffers (bootstrap counts + factors). Above it, lanes run as
+    consecutive equal-size chunks — only one chunk's buffers are resident
+    at a time, so cohorts whose full lane set exceeds HBM still extract on
+    one chip. None = 4 GiB on accelerator backends, unlimited on CPU.
+    Chunked results are identical to unchunked (bitwise on CPU): lane
+    draws are (seed, rank, replicate)-keyed, never co-tenant-dependent.
+    Ignored under ``mesh`` (sharded lanes already spread across devices).
     """
     from .assign import _extract_counts
 
@@ -301,6 +332,8 @@ def extract_signatures(
         raise ValueError(f"ranks must be positive integers, got {ranks!r}")
     if n_bootstraps < 1:
         raise ValueError("n_bootstraps must be >= 1")
+    if model not in ("klnmf", "mvnmf"):
+        raise ValueError(f"model must be 'klnmf' or 'mvnmf', got {model!r}")
     X_host, obs_names, var_names = _extract_counts(data)  # (V, D)
     n_features, n_samples = X_host.shape
     n_padded = ranks[-1]
@@ -317,13 +350,28 @@ def extract_signatures(
     key = jax.random.PRNGKey(seed)
     prepare = jax.jit(
         _prepare_lanes,
-        static_argnames=("n_bootstraps", "method", "n_padded"),
-    )
-    params0, lane_data = prepare(
-        X, key, jnp.asarray(lane_ranks), jnp.asarray(lane_replicates),
-        n_bootstraps=n_bootstraps, method=resample_method, n_padded=n_padded,
+        static_argnames=("n_bootstraps", "method", "n_padded", "with_gamma"),
     )
 
+    if model == "mvnmf":
+        from .ops.mvnmf import make_masked_step_functions as _mv_masked
+
+        update_fn, objective_fn = _mv_masked(lam, delta)
+    else:
+        update_fn, objective_fn = make_masked_step_functions()
+    from .models.signature_nmf import promote_objective
+    from .parallel.compaction import (
+        _cached_extraction_compacting_runner,
+        resolve_compact,
+    )
+
+    config = FitConfig(
+        min_iterations=min_iterations, max_iterations=max_iterations,
+        conv_test_freq=conv_test_freq, tol=tol,
+    )
+
+    n_lanes = len(lane_ranks)
+    lane_spec = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -331,7 +379,6 @@ def extract_signatures(
 
         restart_ways = mesh.shape[RESTART_AXIS]
         sample_ways = mesh.shape[SAMPLE_AXIS]
-        n_lanes = len(lane_ranks)
         if n_lanes % restart_ways or n_samples % sample_ways:
             raise ValueError(
                 f"mesh ({restart_ways} restart x {sample_ways} sample ways) "
@@ -341,50 +388,87 @@ def extract_signatures(
         def lane_spec(*trailing):
             return NamedSharding(mesh, PartitionSpec(RESTART_AXIS, *trailing))
 
-        params0 = jax.device_put(params0, {
-            "W": lane_spec(None, None),
-            "H": lane_spec(None, SAMPLE_AXIS),
-            "mask": lane_spec(None),
-        })
-        lane_data = jax.device_put(
-            lane_data, {"X": lane_spec(None, SAMPLE_AXIS)}
-        )
-
-    update_fn, objective_fn = make_masked_step_functions()
-    from .models.signature_nmf import promote_objective
-
-    promoted = promote_objective(
-        objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
-    )
-    config = FitConfig(
-        min_iterations=min_iterations, max_iterations=max_iterations,
-        conv_test_freq=conv_test_freq, tol=tol,
-    )
-    from .parallel.compaction import (
-        _cached_extraction_compacting_runner,
-        resolve_compact,
-    )
-
-    n_lanes = len(lane_ranks)
-    if resolve_compact(compact, config, mesh, n_lanes, min_bucket=8):
-        runner = _cached_extraction_compacting_runner(
-            config, promoted is not objective_fn, 8
-        )
-        result, losses_device = runner.run(params0, lane_data)
+        chunk_size = n_lanes  # sharded lanes already spread across devices
     else:
-        run = make_fit_function(
-            update_fn, promoted, config, batched=True, batched_data=True,
+        if max_lane_gb is not None and max_lane_gb <= 0:
+            raise ValueError("max_lane_gb must be positive")
+        if max_lane_gb is None:
+            budget = (
+                4 * 2**30
+                if jax.default_backend() in ("tpu", "axon") else None
+            )
+        else:
+            budget = int(max_lane_gb * 2**30)
+        if budget is None:
+            chunk_size = n_lanes
+        else:
+            # per-lane residency: its bootstrap counts (V x D) + factors
+            # (V x Kp, Kp x D); x2 for the update's aux/workspace twins
+            bytes_per_lane = 2 * np.dtype(dtype).itemsize * (
+                n_features * n_samples
+                + n_padded * (n_features + n_samples)
+            )
+            n_chunks = max(
+                1, -((n_lanes * bytes_per_lane) // -budget)
+            )
+            chunk_size = -(n_lanes // -n_chunks)
+
+    W_parts, loss_parts, iter_parts = [], [], []
+    promoted = None
+    for start in range(0, n_lanes, chunk_size):
+        sl = slice(start, min(start + chunk_size, n_lanes))
+        params0, lane_data = prepare(
+            X, key, jnp.asarray(lane_ranks[sl]),
+            jnp.asarray(lane_replicates[sl]),
+            n_bootstraps=n_bootstraps, method=resample_method,
+            n_padded=n_padded, with_gamma=(model == "mvnmf"),
         )
-        result = run(params0, lane_data)
-        losses_device = jax.jit(jax.vmap(promoted, in_axes=(0, 0)))(
-            result.params, lane_data
+        if lane_spec is not None:
+            from .parallel.mesh import SAMPLE_AXIS
+
+            param_specs = {
+                "W": lane_spec(None, None),
+                "H": lane_spec(None, SAMPLE_AXIS),
+                "mask": lane_spec(None),
+            }
+            if "gamma" in params0:
+                param_specs["gamma"] = lane_spec()
+            params0 = jax.device_put(params0, param_specs)
+            lane_data = jax.device_put(
+                lane_data, {"X": lane_spec(None, SAMPLE_AXIS)}
+            )
+        if promoted is None:
+            promoted = promote_objective(
+                objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
+            )
+        if resolve_compact(compact, config, mesh, sl.stop - sl.start,
+                           min_bucket=8):
+            runner = _cached_extraction_compacting_runner(
+                config, promoted is not objective_fn, 8,
+                family=model, lam=lam, delta=delta,
+            )
+            result, losses_device = runner.run(params0, lane_data)
+        else:
+            run = make_fit_function(
+                update_fn, promoted, config, batched=True, batched_data=True,
+            )
+            result = run(params0, lane_data)
+            losses_device = jax.jit(jax.vmap(promoted, in_axes=(0, 0)))(
+                result.params, lane_data
+            )
+        W_c, loss_c, iter_c = fetch_pytree(
+            (result.params["W"], losses_device, result.n_iterations)
         )
-    W_lanes, losses, lane_iterations = fetch_pytree(
-        (result.params["W"], losses_device, result.n_iterations)
-    )
-    W_lanes = np.asarray(W_lanes)  # (L, V, Kp)
-    losses = np.asarray(losses)
-    lane_iterations = np.asarray(lane_iterations)
+        W_parts.append(np.asarray(W_c))
+        loss_parts.append(np.asarray(loss_c))
+        iter_parts.append(np.asarray(iter_c))
+        # the fetch synchronized this chunk; dropping the references frees
+        # its device buffers before the next chunk's prepare allocates
+        del params0, lane_data, result, losses_device
+
+    W_lanes = np.concatenate(W_parts, axis=0)  # (L, V, Kp)
+    losses = np.concatenate(loss_parts, axis=0)
+    lane_iterations = np.concatenate(iter_parts, axis=0)
 
     # one shared K-padded refit program evaluates every rank's consensus
     # on the ORIGINAL counts (padded mask rows are inactive -> exact rank-k)
@@ -431,6 +515,11 @@ def extract_signatures(
             np.linalg.norm(X64, axis=0) * np.linalg.norm(recon, axis=0),
             np.finfo(np.float64).tiny,
         )
+        best_loss = consensus_kl
+        if model == "mvnmf":
+            Wc = consensus.T.astype(np.float64)  # (V, k) columns = signatures
+            _, logdet = np.linalg.slogdet(Wc.T @ Wc + delta * np.eye(rank))
+            best_loss = consensus_kl + lam * logdet
         names = [f"Sig{j + 1}" for j in range(rank)]
         consensus_by_rank[rank] = pd.DataFrame(
             consensus, index=names, columns=var_names
@@ -444,7 +533,7 @@ def extract_signatures(
         iterations_by_rank[rank] = lane_iterations[lanes]
         rows.append({
             "n_signatures": rank,
-            "best_loss": consensus_kl,
+            "best_loss": best_loss,
             "mean_stability": float(np.mean(silhouette)),
             "min_stability": float(np.min(silhouette)),
             "mean_sample_cosine": float(np.mean(cos)),
@@ -479,21 +568,25 @@ def extract_signatures(
             prefix_end = int(np.argmin(passes)) - 1 if not passes.all() else -1
             suggested = int(table.index[start:][prefix_end])
 
-    model = None
+    fitted = None
     if fit_final and suggested is not None:
-        from .models import KLNMF
+        from .models import KLNMF, MvNMF
 
         asignatures = containers.AnnData(consensus_by_rank[suggested])
         adata = containers.AnnData(
             pd.DataFrame(X_host.T, index=obs_names, columns=var_names)
         )
-        model = KLNMF(
+        shared_kwargs = dict(
             n_signatures=suggested,
             min_iterations=min_iterations, max_iterations=max_iterations,
             conv_test_freq=conv_test_freq, tol=tol,
             dtype=np.dtype(dtype).name,
         )
-        model.fit(
+        if model == "mvnmf":
+            fitted = MvNMF(lam=lam, delta=delta, **shared_kwargs)
+        else:
+            fitted = KLNMF(**shared_kwargs)
+        fitted.fit(
             adata,
             given_parameters={"asignatures": asignatures},
             init_kwargs={"seed": seed},
@@ -508,5 +601,5 @@ def extract_signatures(
         replicate_losses=losses_by_rank,
         replicate_iterations=iterations_by_rank,
         suggested_rank=suggested,
-        model=model,
+        model=fitted,
     )

@@ -312,17 +312,26 @@ def _cached_compacting_runner(config: FitConfig, masked: bool,
 
 @functools.lru_cache(maxsize=16)
 def _cached_extraction_compacting_runner(
-    config: FitConfig, promote: bool, min_bucket: int
+    config: FitConfig, promote: bool, min_bucket: int,
+    family: str = "klnmf", lam: float = 1.0, delta: float = 1.0,
 ) -> CompactingRunner:
     """Compacting runner for de novo extraction's discovery fit: rank-masked
-    KLNMF lanes where every lane fits its OWN bootstrap resample
-    (batched_data=True; extraction.extract_signatures). `promote` mirrors
-    the monolithic path's models.signature_nmf.promote_objective decision
-    (f64 convergence objective when x64 is available and the fit dtype
-    isn't already f64), so convergence blocks match the uncompacted loop."""
-    from ..ops import klnmf as ops
+    KLNMF (or min-vol MvNMF) lanes where every lane fits its OWN bootstrap
+    resample (batched_data=True; extraction.extract_signatures). `promote`
+    mirrors the monolithic path's models.signature_nmf.promote_objective
+    decision (f64 convergence objective when x64 is available and the fit
+    dtype isn't already f64), so convergence blocks match the uncompacted
+    loop. lam/delta parameterize the MvNMF family only."""
+    if family == "mvnmf":
+        from ..ops import mvnmf as mv_ops
 
-    update_fn, objective_fn = ops.make_masked_step_functions()
+        update_fn, objective_fn = mv_ops.make_masked_step_functions(
+            lam, delta
+        )
+    else:
+        from ..ops import klnmf as ops
+
+        update_fn, objective_fn = ops.make_masked_step_functions()
     if promote:
         from ..models.signature_nmf import promote_objective
 

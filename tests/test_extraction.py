@@ -177,6 +177,55 @@ def test_extraction_under_mesh(planted):
         )
 
 
+def test_mvnmf_extraction(planted):
+    """model='mvnmf' runs min-vol lanes (masked MU + line search with the
+    per-lane persistent gamma), reports the penalized objective in the
+    table, returns a fitted MvNMF at the suggestion, and its compacted
+    discovery is bit-identical to the monolithic loop on CPU."""
+    data, W_true = planted
+    kwargs = dict(
+        ranks=range(2, 5), n_bootstraps=4, seed=0, model="mvnmf", lam=0.5,
+        min_iterations=100, max_iterations=1500, dtype=np.float64,
+    )
+    result = sal.extract_signatures(data, **kwargs)
+    assert result.suggested_rank == 3
+    from salamander_tpu.models import MvNMF
+
+    assert isinstance(result.model, MvNMF)
+    assert result.model.lam == 0.5
+    # the table's best_loss is the PENALIZED objective: KL(consensus refit)
+    # + lam * logdet(W^T W + delta I)
+    consensus = result.consensus[3].to_numpy()
+    H = result.exposures[3].to_numpy().T
+    X = data.to_numpy().T.astype(np.float64)
+    recon = consensus.T @ H
+    positive = X > 0
+    kl = float(
+        np.sum(X[positive] * np.log(X[positive] / recon[positive]))
+        - X.sum() + recon.sum()
+    )
+    Wc = consensus.T
+    _, logdet = np.linalg.slogdet(Wc.T @ Wc + np.eye(3))
+    np.testing.assert_allclose(
+        result.table.loc[3, "best_loss"], kl + 0.5 * logdet, rtol=1e-10
+    )
+    # planted signatures recovered (cosine >= 0.9 after Hungarian match)
+    units = consensus / np.linalg.norm(consensus, axis=1, keepdims=True)
+    planted_units = W_true / np.linalg.norm(W_true, axis=1, keepdims=True)
+    from scipy.optimize import linear_sum_assignment
+
+    rows, cols = linear_sum_assignment(1.0 - planted_units @ units.T)
+    assert (planted_units @ units.T)[rows, cols].min() > 0.9
+
+    compacted = sal.extract_signatures(
+        data, compact=True, fit_final=False, **kwargs
+    )
+    for k in (2, 3, 4):
+        np.testing.assert_array_equal(
+            compacted.replicate_losses[k], result.replicate_losses[k]
+        )
+
+
 def test_extraction_compacted_matches_monolithic(planted):
     """compact=True (lanes + their own bootstrap data gathered as lanes
     converge) is bit-identical to the monolithic lockstep loop on CPU —
@@ -200,6 +249,35 @@ def test_extraction_compacted_matches_monolithic(planted):
             compacted.consensus[k].to_numpy(), plain.consensus[k].to_numpy()
         )
     pd.testing.assert_frame_equal(compacted.table, plain.table)
+
+
+def test_extraction_lane_chunking_matches_single_chunk(planted):
+    """A tiny max_lane_gb forces the discovery lanes into several
+    consecutive chunks; results are bit-identical to the single-chunk call
+    on CPU (lane draws are (seed, rank, replicate)-keyed, so a lane never
+    depends on its co-tenants — the same invariant the lane-independence
+    test pins across rank compositions)."""
+    data, _ = planted
+    kwargs = dict(
+        ranks=[2, 3], n_bootstraps=6, seed=2, min_iterations=50,
+        max_iterations=500, dtype=np.float64, fit_final=False,
+    )
+    single = sal.extract_signatures(data, **kwargs)
+    # ~20 KB per lane here; 1e-4 GiB ~ 107 KB budget -> 3 chunks of 4
+    chunked = sal.extract_signatures(data, max_lane_gb=1e-4, **kwargs)
+    for k in (2, 3):
+        np.testing.assert_array_equal(
+            chunked.replicate_losses[k], single.replicate_losses[k]
+        )
+        np.testing.assert_array_equal(
+            chunked.replicate_iterations[k], single.replicate_iterations[k]
+        )
+        np.testing.assert_array_equal(
+            chunked.consensus[k].to_numpy(), single.consensus[k].to_numpy()
+        )
+    pd.testing.assert_frame_equal(chunked.table, single.table)
+    with pytest.raises(ValueError, match="max_lane_gb"):
+        sal.extract_signatures(data, max_lane_gb=0.0, **kwargs)
 
 
 def test_rank1_prefix_skips_undefined_silhouette(planted):
