@@ -28,7 +28,7 @@ from .assign import (
 )
 from .containers import AnnData, MuData
 from .extraction import ExtractionResult, extract_signatures
-from .io import load_model, save_model
+from .io import load_extraction, load_model, save_extraction, save_model
 from .parallel import bootstrap_stability, fit_best_of
 
 __version__ = "0.3.0"
@@ -52,10 +52,12 @@ __all__ = [
     "fit_best_of",
     "initialization",
     "io",
+    "load_extraction",
     "load_model",
     "ops",
     "parallel",
     "profiling",
+    "save_extraction",
     "save_model",
     "utils",
 ]

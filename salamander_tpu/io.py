@@ -80,6 +80,12 @@ def _unpack_adata(archive, prefix: str):
 
 def save_model(model, path: str) -> None:
     """Serialize a (fitted) model of any family to a .npz checkpoint."""
+    np.savez_compressed(path, **_model_payload(model))
+
+
+def _model_payload(model) -> dict[str, np.ndarray]:
+    """Flat key->array payload for one model (the save_model body; also
+    embedded under a prefix by save_extraction)."""
     class_name = type(model).__name__
     if class_name not in _HYPERPARAM_KEYS:
         raise TypeError(f"Cannot checkpoint models of type {class_name}.")
@@ -120,41 +126,164 @@ def save_model(model, path: str) -> None:
         _pack_adata(payload, "adata", model.adata)
         _pack_adata(payload, "sigs", model.asignatures)
 
-    np.savez_compressed(path, **payload)
+    return payload
+
+
+class _PrefixedArchive:
+    """View of an npz archive restricted to keys under `prefix` (duck-types
+    the two members _model_from_archive reads: .files and __getitem__)."""
+
+    def __init__(self, archive, prefix: str):
+        self._archive = archive
+        self._prefix = prefix
+        self.files = [
+            key[len(prefix):] for key in archive.files
+            if key.startswith(prefix)
+        ]
+
+    def __getitem__(self, key):
+        return self._archive[self._prefix + key]
 
 
 def load_model(path: str):
     """Restore a model checkpoint written by save_model."""
+    with np.load(path, allow_pickle=False) as archive:
+        return _model_from_archive(archive)
+
+
+def _model_from_archive(archive):
     from . import models
+
+    meta = json.loads(str(archive["meta"]))
+    model_cls = getattr(models, meta["class"])
+    model = model_cls(**meta["hyperparameters"])
+    for key, value in meta["extra_state"].items():
+        setattr(model, key, value)
+    for key in meta["history_keys"]:
+        values = archive[f"history/{key}"]
+        model.history[key] = (
+            values.tolist() if values.ndim else values.item()
+        )
+    for key in archive.files:
+        if key.startswith("weights/"):
+            setattr(model, key[len("weights/"):], archive[key])
+
+    if meta["class"] == "MultimodalCorrNMF":
+        mods, sigs = {}, {}
+        for name in meta["mod_names"]:
+            mods[name] = _unpack_adata(archive, f"mod/{name}")
+            sigs[name] = _unpack_adata(archive, f"sigs/{name}")
+        model.mdata = containers.MuData(mods)
+        model.mdata.obs_names = archive["mdata/obs_names"]
+        for key in archive.files:
+            if key.startswith("mdata/obsm:"):
+                model.mdata.obsm[key[len("mdata/obsm:"):]] = archive[key]
+        model.asignatures = sigs
+    else:
+        model.adata = _unpack_adata(archive, "adata")
+        model.asignatures = _unpack_adata(archive, "sigs")
+    model._is_fitted = True
+    return model
+
+
+def save_extraction(result, path: str) -> None:
+    """Serialize an ExtractionResult (extraction.extract_signatures) to one
+    .npz archive: the rank-selection table, every rank's consensus
+    signatures / refit exposures / silhouettes / cluster-aligned replicate
+    stacks / per-lane losses and iteration counts, the suggested rank, and
+    (when fitted) the final model embedded under its own prefix. Discovery
+    runs cost minutes of device time; the result persists so analysis and
+    plotting never need a refit (the same gap-closing rationale as
+    save_model - the reference persists nothing, SURVEY.md section 5.4)."""
+    meta = {
+        "format_version": 1,
+        "kind": "extraction",
+        "ranks": [int(k) for k in result.table.index],
+        "table_columns": list(result.table.columns),
+        "suggested_rank": result.suggested_rank,
+        "has_model": result.model is not None,
+        "var_names_name": result.consensus[
+            int(result.table.index[0])
+        ].columns.name,
+        "obs_names_name": result.exposures[
+            int(result.table.index[0])
+        ].index.name,
+    }
+    payload: dict[str, np.ndarray] = {
+        "meta": np.asarray(json.dumps(meta)),
+        "table/values": result.table.to_numpy(),
+    }
+    for rank in meta["ranks"]:
+        consensus = result.consensus[rank]
+        exposures = result.exposures[rank]
+        payload[f"consensus/{rank}"] = consensus.to_numpy()
+        payload[f"exposures/{rank}"] = exposures.to_numpy()
+        payload[f"silhouettes/{rank}"] = result.silhouettes[rank]
+        payload[f"matched/{rank}"] = result.matched[rank]
+        payload[f"losses/{rank}"] = result.replicate_losses[rank]
+        payload[f"iterations/{rank}"] = result.replicate_iterations[rank]
+        payload[f"names/{rank}"] = np.asarray(consensus.index).astype(str)
+    first = meta["ranks"][0]
+    payload["var_names"] = np.asarray(
+        result.consensus[first].columns
+    ).astype(str)
+    payload["obs_names"] = np.asarray(
+        result.exposures[first].index
+    ).astype(str)
+    if result.model is not None:
+        for key, value in _model_payload(result.model).items():
+            payload[f"model/{key}"] = value
+    np.savez_compressed(path, **payload)
+
+
+def load_extraction(path: str):
+    """Restore an ExtractionResult written by save_extraction."""
+    import pandas as pd
+
+    from .extraction import ExtractionResult
 
     with np.load(path, allow_pickle=False) as archive:
         meta = json.loads(str(archive["meta"]))
-        model_cls = getattr(models, meta["class"])
-        model = model_cls(**meta["hyperparameters"])
-        for key, value in meta["extra_state"].items():
-            setattr(model, key, value)
-        for key in meta["history_keys"]:
-            values = archive[f"history/{key}"]
-            model.history[key] = (
-                values.tolist() if values.ndim else values.item()
+        if meta.get("kind") != "extraction":
+            raise ValueError(f"{path} is not a save_extraction archive")
+        ranks = meta["ranks"]
+        var_names = pd.Index(
+            archive["var_names"], name=meta.get("var_names_name")
+        )
+        obs_names = pd.Index(
+            archive["obs_names"], name=meta.get("obs_names_name")
+        )
+        table = pd.DataFrame(
+            archive["table/values"],
+            index=pd.Index(ranks, name="n_signatures"),
+            columns=meta["table_columns"],
+        )
+        consensus, exposures = {}, {}
+        silhouettes, matched, losses, iterations = {}, {}, {}, {}
+        for rank in ranks:
+            names = archive[f"names/{rank}"]
+            consensus[rank] = pd.DataFrame(
+                archive[f"consensus/{rank}"], index=names, columns=var_names
             )
-        for key in archive.files:
-            if key.startswith("weights/"):
-                setattr(model, key[len("weights/"):], archive[key])
-
-        if meta["class"] == "MultimodalCorrNMF":
-            mods, sigs = {}, {}
-            for name in meta["mod_names"]:
-                mods[name] = _unpack_adata(archive, f"mod/{name}")
-                sigs[name] = _unpack_adata(archive, f"sigs/{name}")
-            model.mdata = containers.MuData(mods)
-            model.mdata.obs_names = archive["mdata/obs_names"]
-            for key in archive.files:
-                if key.startswith("mdata/obsm:"):
-                    model.mdata.obsm[key[len("mdata/obsm:"):]] = archive[key]
-            model.asignatures = sigs
-        else:
-            model.adata = _unpack_adata(archive, "adata")
-            model.asignatures = _unpack_adata(archive, "sigs")
-    model._is_fitted = True
-    return model
+            exposures[rank] = pd.DataFrame(
+                archive[f"exposures/{rank}"], index=obs_names, columns=names
+            )
+            silhouettes[rank] = archive[f"silhouettes/{rank}"]
+            matched[rank] = archive[f"matched/{rank}"]
+            losses[rank] = archive[f"losses/{rank}"]
+            iterations[rank] = archive[f"iterations/{rank}"]
+        model = (
+            _model_from_archive(_PrefixedArchive(archive, "model/"))
+            if meta["has_model"] else None
+        )
+    return ExtractionResult(
+        table=table,
+        consensus=consensus,
+        exposures=exposures,
+        silhouettes=silhouettes,
+        matched=matched,
+        replicate_losses=losses,
+        replicate_iterations=iterations,
+        suggested_rank=meta["suggested_rank"],
+        model=model,
+    )

@@ -101,6 +101,60 @@ def test_checkpoint_multimodal(counts, counts2, tmp_path):
     assert np.isclose(loaded.objective_function(), model.objective_function())
 
 
+def test_extraction_roundtrip(counts, tmp_path):
+    """save_extraction/load_extraction round-trip every ExtractionResult
+    field exactly, including the embedded fitted model."""
+    import salamander_tpu as sal
+
+    result = sal.extract_signatures(
+        counts, ranks=[2, 3], n_bootstraps=4, seed=0,
+        min_iterations=50, max_iterations=500, dtype=np.float64,
+    )
+    path = str(tmp_path / "extraction.npz")
+    sal.save_extraction(result, path)
+    loaded = sal.load_extraction(path)
+
+    pd.testing.assert_frame_equal(loaded.table, result.table)
+    assert loaded.suggested_rank == result.suggested_rank
+    for k in (2, 3):
+        pd.testing.assert_frame_equal(loaded.consensus[k], result.consensus[k])
+        pd.testing.assert_frame_equal(loaded.exposures[k], result.exposures[k])
+        np.testing.assert_array_equal(
+            loaded.silhouettes[k], result.silhouettes[k]
+        )
+        np.testing.assert_array_equal(loaded.matched[k], result.matched[k])
+        np.testing.assert_array_equal(
+            loaded.replicate_losses[k], result.replicate_losses[k]
+        )
+        np.testing.assert_array_equal(
+            loaded.replicate_iterations[k], result.replicate_iterations[k]
+        )
+    if result.suggested_rank is not None:
+        assert type(loaded.model).__name__ == type(result.model).__name__
+        np.testing.assert_array_equal(
+            loaded.model.asignatures.X, result.model.asignatures.X
+        )
+        np.testing.assert_array_equal(
+            loaded.model.adata.obsm["exposures"],
+            result.model.adata.obsm["exposures"],
+        )
+    # fit_final=False round-trips model=None
+    result_nofit = sal.extract_signatures(
+        counts, ranks=[2], n_bootstraps=2, seed=0, fit_final=False,
+        min_iterations=50, max_iterations=200, dtype=np.float64,
+    )
+    path2 = str(tmp_path / "extraction2.npz")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # single-rank silhouette warning
+        sal.save_extraction(result_nofit, path2)
+        loaded2 = sal.load_extraction(path2)
+    assert loaded2.model is None
+    with pytest.raises(ValueError, match="not a save_extraction"):
+        io.save_model(
+            result.model, str(tmp_path / "plain_model.npz")
+        ) or sal.load_extraction(str(tmp_path / "plain_model.npz"))
+
+
 def test_checkpoint_rejects_unknown(tmp_path):
     with pytest.raises(TypeError):
         io.save_model(object(), str(tmp_path / "x.npz"))
