@@ -7,6 +7,7 @@
   5. KLNMF rank scan k=2..20 x 100 restarts on a 96 x 10k synthetic catalog
   6. ARDNMF rank inference (one K_max=20 fit) on the same synthetic catalog
   7. De novo consensus extraction (ranks 2..10 x 20 bootstraps, PCAWG SBS)
+  8. Catalog assignment + decomposition vs COSMIC (dense, sparse, decompose)
 
 Each config reports TPU wall time / throughput and, where a faithful
 CPU stand-in of the reference hot path is feasible in-process, the speedup
@@ -771,6 +772,62 @@ def config7_extraction():
     })
 
 
+def config8_assignment():
+    """Catalog workflows on PCAWG-breast vs COSMIC v3.3 (79 signatures):
+    dense exposure refit (one masked-MU program over the cohort), sparse
+    per-sample assignment (greedy backward elimination, all (sample,
+    candidate) pairs one vmapped lane axis per round), and the de novo
+    decomposition of a 5-signature extraction consensus. The sparse job is
+    what the reference's ecosystem delegates to SigProfilerAssignment's
+    host loops."""
+    from salamander_tpu import assign_exposures, assign_signatures
+    from salamander_tpu.tools import decompose_signatures
+
+    sbs = datasets.load_pcawg_sbs()
+    cosmic = datasets.load_cosmic_sbs_catalog()
+
+    assign_exposures(sbs, cosmic)  # warm
+    t0 = time.perf_counter()
+    dense = assign_exposures(sbs, cosmic)
+    dense_wall = time.perf_counter() - t0
+
+    assign_signatures(sbs, cosmic, rel_tol=0.02)  # warm
+    t0 = time.perf_counter()
+    sparse = assign_signatures(sbs, cosmic, rel_tol=0.02)
+    sparse_wall = time.perf_counter() - t0
+
+    from salamander_tpu.extraction import extract_signatures
+
+    consensus = extract_signatures(
+        sbs, ranks=[5], n_bootstraps=20, seed=0, fit_final=False,
+    ).consensus[5]
+    decompose_signatures(consensus, cosmic)  # warm
+    t0 = time.perf_counter()
+    decomposition = decompose_signatures(consensus, cosmic)
+    decomp_wall = time.perf_counter() - t0
+
+    log(f"config8: dense {dense_wall:.2f}s, sparse {sparse_wall:.2f}s "
+        f"(mean support {sparse.n_active.mean():.1f}/79), decompose "
+        f"{decomp_wall:.2f}s (mean support "
+        f"{decomposition.active.to_numpy().sum(1).mean():.1f})")
+    emit({
+        "config": "8_catalog_assignment_pcawg_cosmic79",
+        "dense_refit_steady_seconds": round(dense_wall, 2),
+        "sparse_assignment_steady_seconds": round(sparse_wall, 2),
+        "sparse_mean_support": round(float(sparse.n_active.mean()), 1),
+        "sparse_mean_kl_increase_pct": round(float(
+            (sparse.kl_sparse / sparse.kl_dense - 1).mean() * 100
+        ), 2),
+        "decompose_consensus5_steady_seconds": round(decomp_wall, 2),
+        "decompose_mean_support": round(float(
+            decomposition.active.to_numpy().sum(1).mean()
+        ), 1),
+        "decompose_min_cosine": round(float(decomposition.cosine.min()), 4),
+        "n_samples": int(sbs.shape[0]),
+        "n_catalog": int(cosmic.shape[0]),
+    })
+
+
 CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
@@ -789,6 +846,7 @@ CONFIGS = {
     "5c": config5c_rank_scan_pallas,
     "6": config6_ardnmf,
     "7": config7_extraction,
+    "8": config8_assignment,
 }
 
 

@@ -42,12 +42,22 @@ print(f"model: {type(model).__name__}, signatures {model.signatures.shape}, "
       f"exposures {model.exposures.shape}")
 
 # -- close the loop: name the de novo signatures via COSMIC -----------------
-annotation = sal.tl.annotate_signatures(
-    model, datasets.load_cosmic_sbs_catalog()
-)
+cosmic = datasets.load_cosmic_sbs_catalog()
+annotation = sal.tl.annotate_signatures(model, cosmic)
 print("\nclosest COSMIC entries:")
 print(annotation[["matched", "similarity"]])
+
+# -- decompose: each de novo signature as a sparse COSMIC mixture -----------
+# (the SigProfiler reporting convention: "Sig2 = 0.62*SBS3 + 0.38*SBS5")
+decomposition = sal.tl.decompose_signatures(model, cosmic)
+print("\nCOSMIC decomposition:")
+print(decomposition.table.round(3).to_string(index=False))
+print("reconstruction cosines:", decomposition.cosine.round(4).to_dict())
 
 # per-cluster silhouettes of the chosen rank (the stability evidence):
 silhouette = result.silhouettes[result.suggested_rank]
 print("\ncluster silhouettes:", np.round(silhouette, 3))
+
+# -- persist the whole discovery run (minutes of device time) ---------------
+# sal.save_extraction(result, "extraction.npz")
+# result = sal.load_extraction("extraction.npz")

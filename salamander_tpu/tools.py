@@ -467,3 +467,169 @@ def annotate_signatures(
         signatures.asignatures.obs_names = new_names
         table.index = pd.Index(new_names)
     return table
+
+
+class DecompositionResult:
+    """Sparse catalog decomposition of de novo signatures.
+
+    weights: (de novo x catalog) mixture fractions, rows summing to 1,
+      exact zeros off-support. active: bool supports. cosine: per-signature
+      cosine between the original signature and its catalog reconstruction.
+    table: long form (signature, component, weight), weights descending.
+    """
+
+    def __init__(self, weights, active, cosine, table, meta):
+        self.weights = weights
+        self.active = active
+        self.cosine = cosine
+        self.table = table
+        self.meta = meta
+
+    def __repr__(self):
+        k, m = self.weights.shape
+        return (
+            f"DecompositionResult({k} signatures over {m} catalog entries, "
+            f"mean support {float(self.active.to_numpy().sum(1).mean()):.1f}, "
+            f"min cosine {float(self.cosine.min()):.4f})"
+        )
+
+
+def decompose_signatures(
+    signatures,
+    catalog,
+    rel_tol: float = 0.02,
+    abs_tol: float = 0.0,
+    min_weight: float = 0.01,
+    pseudo_total: float = 1e4,
+    batch_size: int | None = None,
+) -> DecompositionResult:
+    """Decompose de novo signatures into sparse non-negative catalog
+    mixtures (SigProfilerExtractor's 'decomposition' stage).
+
+    The step between discovery and reporting: each learned signature is
+    expressed as a minimal conic combination of known catalog entries
+    (e.g. "Sig2 = 0.62*SBS3 + 0.38*SBS5"), which is how novel findings are
+    communicated against COSMIC. ``annotate_signatures`` answers "which ONE
+    catalog entry is this?"; decomposition answers "which MIXTURE is it?" —
+    the reference has neither (its ``match_to_catalog``, reference
+    utils.py:161-170, returns only each signature's nearest neighbor).
+
+    Runs on device via the sparse assignment engine (``assign_signatures``):
+    each signature, scaled to ``pseudo_total`` pseudo-counts, is treated as
+    one 'sample' refit against the catalog, and greedy backward elimination
+    keeps the smallest support whose KL stays within
+    ``(1 + rel_tol) * kl_dense + abs_tol`` of the full-catalog refit. All
+    signatures and candidate removals evaluate in parallel.
+
+    Args:
+      signatures: fitted model, AnnData of signatures, or DataFrame with
+        signatures as rows (e.g. ``ExtractionResult.consensus[k]``).
+      catalog: signatures-x-features DataFrame (datasets loader layout) or
+        AnnData-like; features realigned to the signatures'.
+      rel_tol / abs_tol: the elimination budget (abs_tol is in nats at the
+        ``pseudo_total`` count scale).
+      min_weight: after elimination, components below this mixture
+        fraction are pruned and the remainder refit, iterating until the
+        support is stable (the elimination budget keeps sub-percent
+        components it cannot *afford* to drop jointly; reporting
+        convention is that <1% components are noise). 0 disables.
+      pseudo_total: pseudo-count mass per signature; sets the KL scale
+        (results are insensitive to it through the relative budget).
+      batch_size: chunk the signatures when the (catalog x catalog x
+        signatures) candidate tensor would exceed device memory.
+
+    Returns a DecompositionResult; ``weights`` rows are renormalized to
+    sum exactly one (the unnormalized refit masses, ~1 each, are kept in
+    ``meta["mass"]``).
+    """
+    from .assign import _align_catalog, assign_signatures
+
+    frame = _signatures_frame(signatures).astype(np.float64)
+    rows = np.maximum(frame.to_numpy(), 0.0)
+    totals = rows.sum(axis=1, keepdims=True)
+    if not np.all(totals > 0):
+        raise ValueError("every signature must have positive total mass")
+    rows = rows / totals
+    pseudo = pd.DataFrame(
+        rows * float(pseudo_total), index=frame.index, columns=frame.columns
+    )
+    assignment = assign_signatures(
+        pseudo, catalog, rel_tol=rel_tol, abs_tol=abs_tol,
+        batch_size=batch_size,
+    )
+    exposures = assignment.exposures
+    active = assignment.active
+    W_cat, cat_names = _align_catalog(catalog, frame.columns)  # (V, K)
+
+    if min_weight > 0:
+        import jax.numpy as jnp
+
+        from .engine.transfer import fetch_pytree
+        from .ops.assign import refit_exposures
+
+        X_dev = jnp.asarray(rows.T * float(pseudo_total))  # (V, k)
+        W_dev = jnp.asarray(W_cat)
+        keep = active.to_numpy()  # (k, K)
+        for _ in range(10):
+            w = exposures.to_numpy()
+            w = w / np.clip(
+                w.sum(axis=1, keepdims=True),
+                np.finfo(np.float64).tiny, None,
+            )
+            new_keep = keep & (w >= min_weight)
+            # never empty a signature's support: keep its largest component
+            empty = ~new_keep.any(axis=1)
+            if empty.any():
+                new_keep[empty, np.argmax(w[empty], axis=1)] = True
+            if (new_keep == keep).all():
+                break
+            keep = new_keep
+            H, _ = refit_exposures(X_dev, W_dev, jnp.asarray(keep.T))
+            exposures = pd.DataFrame(
+                np.asarray(fetch_pytree(H)).T,
+                index=exposures.index, columns=exposures.columns,
+            )
+        active = pd.DataFrame(
+            keep, index=active.index, columns=active.columns
+        )
+        exposures = exposures.where(active, 0.0)
+
+    mass = exposures.sum(axis=1) / float(pseudo_total)
+    weights = exposures.div(exposures.sum(axis=1), axis=0)
+    recon = weights.to_numpy() @ W_cat.T               # (k, V) row mixtures
+    tiny = np.finfo(np.float64).tiny
+    cosine = pd.Series(
+        np.sum(rows * recon, axis=1) / np.clip(
+            np.linalg.norm(rows, axis=1) * np.linalg.norm(recon, axis=1),
+            tiny, None,
+        ),
+        index=frame.index, name="cosine",
+    )
+
+    records = []
+    for name in weights.index:
+        row = weights.loc[name]
+        for component, weight in row[row > 0].sort_values(
+            ascending=False
+        ).items():
+            records.append({
+                "signature": name, "component": component,
+                "weight": float(weight),
+            })
+    table = pd.DataFrame(records, columns=["signature", "component", "weight"])
+
+    return DecompositionResult(
+        weights=weights,
+        active=active,
+        cosine=cosine,
+        table=table,
+        meta={
+            "rel_tol": rel_tol,
+            "abs_tol": abs_tol,
+            "pseudo_total": float(pseudo_total),
+            "min_weight": min_weight,
+            "mass": mass,
+            "kl_dense": assignment.kl_dense,
+            "kl_sparse": assignment.kl_sparse,
+        },
+    )

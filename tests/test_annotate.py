@@ -134,3 +134,81 @@ def test_duplicate_rename_suffixes(catalog):
     table = tl.annotate_signatures(model, catalog, rename=True)
     names = list(table.index)
     assert len(set(names)) == 2  # deduplicated even if both match SBS3
+
+
+# ---------------------------------------------------------------------- #
+# decompose_signatures
+# ---------------------------------------------------------------------- #
+
+def test_decompose_recovers_planted_mixtures(catalog):
+    """De novo signatures built as known sparse catalog mixtures decompose
+    back to the planted supports and weights."""
+    C = catalog.to_numpy()
+    mixtures = np.stack([
+        0.7 * C[0] + 0.3 * C[3],
+        1.0 * C[5],
+        0.5 * C[1] + 0.3 * C[2] + 0.2 * C[7],
+    ])
+    sigs = pd.DataFrame(
+        mixtures, index=["Sig1", "Sig2", "Sig3"], columns=catalog.columns
+    )
+    result = tl.decompose_signatures(sigs, catalog)
+
+    planted = {
+        "Sig1": {"SBS1": 0.7, "SBS4": 0.3},
+        "Sig2": {"SBS6": 1.0},
+        "Sig3": {"SBS2": 0.5, "SBS3": 0.3, "SBS8": 0.2},
+    }
+    for name, expected in planted.items():
+        active = set(result.active.columns[result.active.loc[name]])
+        assert active == set(expected), (name, active)
+        for component, weight in expected.items():
+            np.testing.assert_allclose(
+                result.weights.loc[name, component], weight, atol=0.02
+            )
+    # rows renormalized to exactly one; off-support exactly zero
+    np.testing.assert_allclose(result.weights.sum(axis=1), 1.0, rtol=1e-12)
+    assert (result.weights.to_numpy()[~result.active.to_numpy()] == 0).all()
+    assert (result.cosine > 0.999).all()
+    # table is long-form, weights descending within each signature
+    sub = result.table[result.table["signature"] == "Sig3"]
+    assert list(sub["weight"]) == sorted(sub["weight"], reverse=True)
+    assert set(sub["component"]) == {"SBS2", "SBS3", "SBS8"}
+
+
+def test_decompose_min_weight_prunes_trace_components(catalog):
+    """Sub-threshold contamination is pruned and the support refit; with
+    min_weight=0 it survives."""
+    C = catalog.to_numpy()
+    sig = 0.7 * C[0] + 0.295 * C[3] + 0.005 * C[6]
+    sigs = pd.DataFrame([sig], index=["Sig1"], columns=catalog.columns)
+    pruned = tl.decompose_signatures(sigs, catalog)  # min_weight=0.01
+    assert set(pruned.active.columns[pruned.active.loc["Sig1"]]) == {
+        "SBS1", "SBS4"
+    }
+    np.testing.assert_allclose(pruned.weights.sum(axis=1), 1.0, rtol=1e-12)
+    assert pruned.cosine["Sig1"] > 0.999
+
+    raw = tl.decompose_signatures(sigs, catalog, min_weight=0.0)
+    assert "SBS7" in set(raw.active.columns[raw.active.loc["Sig1"]])
+
+
+def test_decompose_novel_signature_keeps_support_with_low_cosine(catalog):
+    """A signature far from the catalog's cone still decomposes (dense or
+    not) but its reconstruction cosine exposes the misfit."""
+    rng = np.random.default_rng(3)
+    novel = rng.dirichlet(np.full(catalog.shape[1], 0.05))
+    sigs = pd.DataFrame(
+        [novel], index=["Weird"], columns=catalog.columns
+    )
+    result = tl.decompose_signatures(sigs, catalog)
+    assert result.cosine["Weird"] < 0.99
+    np.testing.assert_allclose(result.weights.sum(axis=1), 1.0, rtol=1e-12)
+
+
+def test_decompose_validates(catalog):
+    sigs = pd.DataFrame(
+        np.zeros((1, catalog.shape[1])), index=["Z"], columns=catalog.columns
+    )
+    with pytest.raises(ValueError, match="positive total mass"):
+        tl.decompose_signatures(sigs, catalog)
