@@ -772,6 +772,42 @@ def config7_extraction():
     })
 
 
+def config7b_extraction_chunked():
+    """Extraction at cohort scale: 96 x 200,000 planted-k=5 counts, ranks
+    2..10 x 10 bootstraps = 90 lanes whose per-lane data alone is ~6.9 GB
+    f32 — over the 4 GiB auto lane budget, so the discovery fit runs as
+    two 45-lane chunks (one resident at a time; identical results by the
+    lane-keyed draw design). The reference loads all of X up front and
+    runs restarts serially on the host."""
+    from salamander_tpu.extraction import extract_signatures
+
+    import pandas as pd
+
+    X = datasets.synthetic_catalog(n_features=96, n_samples=200_000,
+                                   n_signatures=5, seed=0)
+    data = pd.DataFrame(X.T)  # samples x features
+    t0 = time.perf_counter()
+    result = extract_signatures(
+        data, ranks=range(2, 11), n_bootstraps=10, seed=0, fit_final=False,
+    )
+    wall = time.perf_counter() - t0
+    total_iters = int(sum(
+        int(np.sum(it)) for it in result.replicate_iterations.values()
+    ))
+    log(f"config7b: {wall:.1f}s end-to-end ({total_iters} lane iterations),"
+        f" suggested rank {result.suggested_rank} (planted 5)")
+    emit({
+        "config": "7b_extraction_chunked_96x200k",
+        "wall_seconds": round(wall, 1),
+        "n_lanes": 90,
+        "n_chunks": 2,
+        "lane_data_gb": round(90 * 96 * 200_000 * 4 / 2**30, 1),
+        "total_lane_iterations": total_iters,
+        "suggested_rank": result.suggested_rank,
+        "planted_rank": 5,
+    })
+
+
 def config8_assignment():
     """Catalog workflows on PCAWG-breast vs COSMIC v3.3 (79 signatures):
     dense exposure refit (one masked-MU program over the cohort), sparse
@@ -846,6 +882,7 @@ CONFIGS = {
     "5c": config5c_rank_scan_pallas,
     "6": config6_ardnmf,
     "7": config7_extraction,
+    "7b": config7b_extraction_chunked,
     "8": config8_assignment,
 }
 

@@ -608,3 +608,51 @@ def exposure_uncertainty(boot, sample, top: int = 12, ax=None,
     )
     ax.set_xlim(0, min(1.05, float(np.max(hi)) + 0.12))
     return ax
+
+
+def decomposition(decomp, ax=None, cmap: str = "tab20",
+                  min_label: float = 0.05) -> "Axes":
+    """Catalog decomposition of de novo signatures
+    (tl.decompose_signatures output): one horizontal stacked bar per
+    signature, segments = its catalog mixture weights (rows sum to 1),
+    segments >= `min_label` annotated with the catalog entry's name, and
+    each bar suffixed by its reconstruction cosine.
+
+    The standard read: a signature that is one long segment IS a known
+    catalog entry; several major segments = a composite the model could
+    not (or need not) split; a low cosine marks a genuinely novel
+    signature whatever the mixture claims.
+    """
+    weights = decomp.weights
+    names = list(weights.index)
+    components = [
+        column for column in weights.columns
+        if (weights[column] > 0).any()
+    ]
+    colors = plt.get_cmap(cmap)(np.linspace(0, 1, max(len(components), 2)))
+    color_of = dict(zip(components, colors))
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 0.55 * len(names) + 1.0))
+    positions = np.arange(len(names))[::-1]
+    for pos, name in zip(positions, names):
+        left = 0.0
+        row = weights.loc[name]
+        for component in components:
+            value = float(row[component])
+            if value <= 0:
+                continue
+            ax.barh(pos, value, left=left, color=color_of[component],
+                    edgecolor="white", linewidth=0.5, height=0.7)
+            if value >= min_label:
+                ax.text(left + value / 2, pos, component, ha="center",
+                        va="center", fontsize=7)
+            left += value
+        ax.text(1.01, pos, f"cos={float(decomp.cosine[name]):.3f}",
+                va="center", fontsize=7)
+    ax.set_yticks(positions)
+    ax.set_yticklabels(names, fontsize=9)
+    ax.set_xlim(0, 1.12)
+    ax.set_xlabel("catalog mixture weight")
+    ax.set_title("catalog decomposition", fontsize=10)
+    return ax

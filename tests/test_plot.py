@@ -185,3 +185,31 @@ def test_exposure_uncertainty_plot():
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_decomposition_plot():
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    from salamander_tpu import plot as pl
+    from salamander_tpu import tools as tl
+
+    C = np.full((6, 18), 0.01)
+    for k in range(6):
+        C[k, k * 3:(k + 1) * 3] += 1.0
+    C = C / C.sum(axis=1, keepdims=True)
+    catalog = pd.DataFrame(
+        C, index=[f"SBS{k+1}" for k in range(6)],
+        columns=[f"f{v}" for v in range(18)],
+    )
+    sigs = pd.DataFrame(
+        [0.6 * C[0] + 0.4 * C[2], C[4]],
+        index=["Sig1", "Sig2"], columns=catalog.columns,
+    )
+    decomp = tl.decompose_signatures(sigs, catalog)
+    ax = pl.decomposition(decomp)
+    assert [t.get_text() for t in ax.get_yticklabels()] == ["Sig1", "Sig2"]
+    # stacked segments cover the unit interval per signature
+    widths = [p.get_width() for p in ax.patches]
+    np.testing.assert_allclose(sum(widths), 2.0, rtol=1e-6)
+    plt.close("all")
