@@ -306,9 +306,11 @@ def extract_signatures(
     consensus refit stay as-is; sharded results match unsharded to
     reduction-regrouping ulps.
 
-    ``compact``: lane compaction for the discovery fit (None = the package
-    auto policy: on for single-device TPU convergence fits,
-    ``parallel.compaction.resolve_compact``). Lanes converge at wildly
+    ``compact``: lane compaction for the discovery fit (None = on for
+    every single-device accelerator convergence fit — including below the
+    halving threshold, where the compacting runner degenerates to the
+    plain lockstep loop; its fori-loop blocks are also what keeps big-D
+    lane programs inside HBM). Lanes converge at wildly
     different iteration counts across ranks, so the uncompacted lockstep
     loop burns most of its FLOPs advancing frozen lanes; compaction halves
     the live batch as lanes finish, gathering each survivor's own bootstrap
@@ -360,10 +362,7 @@ def extract_signatures(
     else:
         update_fn, objective_fn = make_masked_step_functions()
     from .models.signature_nmf import promote_objective
-    from .parallel.compaction import (
-        _cached_extraction_compacting_runner,
-        resolve_compact,
-    )
+    from .parallel.compaction import _cached_extraction_compacting_runner
 
     config = FitConfig(
         min_iterations=min_iterations, max_iterations=max_iterations,
@@ -402,14 +401,19 @@ def extract_signatures(
         if budget is None:
             chunk_size = n_lanes
         else:
-            # per-lane residency: its bootstrap counts (V x D) + factors
-            # (V x Kp, Kp x D); x2 for the update's aux/workspace twins
-            bytes_per_lane = 2 * np.dtype(dtype).itemsize * (
-                n_features * n_samples
-                + n_padded * (n_features + n_samples)
+            # per-lane residency during an MU block: the lane's bootstrap
+            # counts PLUS the aux = X/(WH) quotient PLUS the materialized
+            # WH product (three V x D buffers; +0.5 margin for fusion
+            # slack), and the factor pairs twice (state + scatter target
+            # in the compacting runner). A 45-lane chunk at D = 200k with
+            # the optimistic 2x model OOM-crashed a 16 GB chip; this model
+            # puts the same chunk at ~15 lanes / ~4 GB peak, measured safe.
+            bytes_per_lane = np.dtype(dtype).itemsize * (
+                3.5 * n_features * n_samples
+                + 2 * n_padded * (n_features + n_samples)
             )
             n_chunks = max(
-                1, -((n_lanes * bytes_per_lane) // -budget)
+                1, int(-((n_lanes * bytes_per_lane) // -budget))
             )
             chunk_size = -(n_lanes // -n_chunks)
 
@@ -441,8 +445,22 @@ def extract_signatures(
             promoted = promote_objective(
                 objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
             )
-        if resolve_compact(compact, config, mesh, sl.stop - sl.start,
-                           min_bucket=8):
+        if compact is None:
+            # Accelerator lanes always run through the compacting runner,
+            # even below the halving threshold (where it is the identical
+            # lockstep loop with zero halvings): its blocks advance via
+            # fori_loop, while the monolithic engine UNROLLS the
+            # conv_test_freq block — measured on v5e: 15 lanes x 200k
+            # samples ran compacted but crashed the TPU worker monolithic
+            # (the unrolled block's live temporaries exceed HBM at big D).
+            use_runner = (
+                mesh is None
+                and config.min_iterations < config.max_iterations
+                and jax.default_backend() in ("tpu", "axon")
+            )
+        else:
+            use_runner = bool(compact)
+        if use_runner:
             runner = _cached_extraction_compacting_runner(
                 config, promoted is not objective_fn, 8,
                 family=model, lam=lam, delta=delta,
