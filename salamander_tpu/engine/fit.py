@@ -332,6 +332,7 @@ def run_lockstep_segment(
     block_update_fn: Callable[[Any, jnp.ndarray], Any],
     state: LockstepState,
     alive_floor=0,
+    block_cap=None,
 ) -> LockstepState:
     """Advance the lockstep loop until every lane is done, max_iterations'
     full blocks are exhausted, or at most `alive_floor` lanes remain
@@ -343,6 +344,17 @@ def run_lockstep_segment(
     gathers the surviving lanes into a smaller batch and resumes there,
     so converged lanes stop burning block FLOPs (frozen lanes cost full
     compute - the measured 4x lockstep-packing loss, BENCHMARKS.md).
+
+    `block_cap` (optional, may be traced) additionally bounds THIS CALL to
+    at most that many convergence-test blocks. It exists to keep a single
+    device program's execution time bounded: the remote axon TPU worker
+    kills any program running longer than ~60 s (measured 2026-08-19: a
+    59.8 s program completes, a ~123 s program dies at exactly 60.0 s with
+    "TPU worker process crashed or restarted"), so big-D convergence loops
+    must run as a host-driven chain of capped segments
+    (parallel.compaction.CompactingRunner). The cap changes WHERE the loop
+    pauses, never the per-lane trajectories - resuming a capped state is
+    exactly continuing the same while_loop.
     """
     freq = int(config.conv_test_freq)
     max_iterations = int(config.max_iterations)
@@ -351,12 +363,18 @@ def run_lockstep_segment(
     tol = _effective_tol(config, state.of_prev.dtype, state.params,
                          warn=False)
     alive_floor = jnp.asarray(alive_floor, jnp.int32)
+    eval_end = None
+    if block_cap is not None:
+        eval_end = state.eval_idx + jnp.asarray(block_cap, jnp.int32)
 
     def cond(state: LockstepState):
         n_alive = jnp.sum(~state.done)
-        return (n_alive > alive_floor) & (
+        keep_going = (n_alive > alive_floor) & (
             state.iteration < full_block_iterations
         )
+        if eval_end is not None:
+            keep_going = keep_going & (state.eval_idx < eval_end)
+        return keep_going
 
     def body(state: LockstepState) -> LockstepState:
         done_prev = state.done
@@ -486,6 +504,28 @@ def make_fit_function(
             unroll=unroll,
         )
 
+    def _with_program_kill_guard(monolithic):
+        # The remote axon worker kills device programs running >~60 s
+        # (see parallel/compaction.py). A fit whose whole convergence loop
+        # is ONE program can exceed that at cohort scale, so dispatch
+        # checks a call-time duration model and reroutes risky fits
+        # through capped segments of the identical loop. Import is lazy
+        # (engine <- parallel would otherwise be circular).
+        from ..parallel.compaction import CappedFitDispatcher
+
+        dispatcher = CappedFitDispatcher(
+            update_fn, objective_fn, config,
+            batched=batched, batched_data=batched_data,
+        )
+
+        def dispatch(params0, data):
+            capped = dispatcher.maybe_run(params0, data)
+            if capped is not None:
+                return capped
+            return monolithic(params0, data)
+
+        return dispatch
+
     if batched:
         data_axis = 0 if batched_data else None
         if verbose:
@@ -512,5 +552,7 @@ def make_fit_function(
                 block,
             )
 
-        return jax.jit(run_lockstep)
-    return jax.jit(run)
+        return _with_program_kill_guard(jax.jit(run_lockstep))
+    if verbose:
+        return jax.jit(run)
+    return _with_program_kill_guard(jax.jit(run))

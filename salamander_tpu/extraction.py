@@ -448,11 +448,13 @@ def extract_signatures(
         if compact is None:
             # Accelerator lanes always run through the compacting runner,
             # even below the halving threshold (where it is the identical
-            # lockstep loop with zero halvings): its blocks advance via
-            # fori_loop, while the monolithic engine UNROLLS the
-            # conv_test_freq block — measured on v5e: 15 lanes x 200k
-            # samples ran compacted but crashed the TPU worker monolithic
-            # (the unrolled block's live temporaries exceed HBM at big D).
+            # lockstep loop with zero halvings): the runner is the only
+            # path with time-capped segments, and the axon worker KILLS
+            # any device program executing longer than ~60 s (measured
+            # 2026-08-19, parallel/compaction.py) — a monolithic 15-lane
+            # x 200k-sample convergence loop is one such program. The
+            # runner's fori-loop blocks also avoid the monolithic
+            # engine's unrolled-block temporaries at big D.
             use_runner = (
                 mesh is None
                 and config.min_iterations < config.max_iterations

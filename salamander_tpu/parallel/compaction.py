@@ -59,6 +59,130 @@ from ..engine.fit import (
 )
 from ..engine.transfer import fetch_pytree
 
+# The remote axon TPU worker kills any device program that executes longer
+# than ~60 s (measured 2026-08-19: a 59.8 s program completes; a ~123 s
+# program dies at exactly 60.0 s with "TPU worker process crashed or
+# restarted"). Convergence loops at cohort scale (e.g. extraction lanes at
+# D = 200k) can easily exceed that in one program, so on axon the runner
+# bounds every dispatched segment to this wall-time budget, leaving a wide
+# margin for platform jitter. Other backends have no such limit (None).
+AXON_PROGRAM_SECONDS = 30.0
+
+# Pessimistic effective HBM bandwidth for the pre-measurement block-cost
+# model (bytes touched per MU iteration ~ 3.5x the lane data; measured
+# effective rates are 90-250 GB/s, so 25 GB/s under-caps the first capped
+# dispatch by 3-10x - safe against the 60 s kill, and the measured
+# per-block feedback recovers the slack from the second dispatch on).
+_MODEL_BYTES_PER_SECOND = 25e9
+
+
+# Test hook: force a budget on any backend (None = resolve from backend).
+PROGRAM_SECONDS_OVERRIDE: float | None = None
+
+
+def _on_axon_tunnel() -> bool:
+    """Whether the default backend is the remote axon TPU tunnel.
+
+    The axon plugin registers its platform as "axon" but canonicalizes to
+    "tpu", so jax.default_backend() returns "tpu" (verified on hardware
+    2026-08-19) - the reliable discriminator is the jax_platforms config
+    the plugin itself writes ("axon,cpu"). A cpu default (tests forcing
+    jax_platforms="cpu") is never the tunnel.
+    """
+    if jax.default_backend() == "cpu":
+        return False
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except AttributeError:
+        platforms = ""
+    return "axon" in str(platforms)
+
+
+def _default_program_seconds() -> float | None:
+    if PROGRAM_SECONDS_OVERRIDE is not None:
+        return PROGRAM_SECONDS_OVERRIDE
+    return AXON_PROGRAM_SECONDS if _on_axon_tunnel() else None
+
+
+class CappedFitDispatcher:
+    """Call-time guard for the monolithic engine paths: when the ONE device
+    program a `make_fit_function` fit would run could exceed the axon
+    worker's ~60 s program kill (bytes model over max_iterations), the fit
+    reroutes through a never-compacting CompactingRunner (min_bucket = the
+    lane count, so the only level is the full batch) whose capped segments
+    pause/resume the identical while_loop. Everything else - small fits,
+    CPU, real non-tunneled TPU - keeps the zero-fetch monolithic program.
+
+    One instance lives inside each make_fit_function result, so repeated
+    calls of that fit function reuse the runner's compiled programs exactly
+    as they reuse the monolithic jit cache.
+    """
+
+    def __init__(self, update_fn, objective_fn, config: FitConfig,
+                 batched: bool, batched_data: bool):
+        self.update_fn = update_fn
+        self.objective_fn = objective_fn
+        self.config = config
+        self.batched = batched
+        self.batched_data = batched_data
+        self._runners: dict[int, CompactingRunner] = {}
+
+    def _make_block_builder(self):
+        update_fn = self.update_fn
+        data_axis = 0 if self.batched_data else None
+
+        def make_block_update(data, n_lanes: int):
+            batched_update = jax.vmap(update_fn, in_axes=(0, data_axis))
+
+            def block(params, steps):
+                return jax.lax.fori_loop(
+                    0, steps, lambda _, q: batched_update(q, data), params
+                )
+
+            return block
+
+        return make_block_update
+
+    def maybe_run(self, params0, data):
+        """The capped FitResult, or None when the monolithic program is
+        safe (the caller then dispatches it unchanged)."""
+        budget = _default_program_seconds()
+        if budget is None:
+            return None
+        if self.batched:
+            n_lanes = int(jax.tree.leaves(params0)[0].shape[0])
+        else:
+            n_lanes = 1
+        data_bytes = sum(
+            leaf.size * jnp.asarray(leaf).dtype.itemsize
+            for leaf in jax.tree.leaves(data)
+        )
+        if not self.batched_data:
+            data_bytes *= n_lanes
+        est_seconds = (
+            3.5 * data_bytes * int(self.config.max_iterations)
+            / _MODEL_BYTES_PER_SECOND
+        )
+        # 2x budget = the kill limit itself; the model's 3-10x pessimism is
+        # the margin. Below it, today's monolithic program is safe.
+        if est_seconds <= 2.0 * budget:
+            return None
+
+        if n_lanes not in self._runners:
+            self._runners[n_lanes] = CompactingRunner(
+                self.config, self.objective_fn, self._make_block_builder(),
+                min_bucket=n_lanes, batched_data=self.batched_data,
+            )
+        lane_params = params0
+        if not self.batched:
+            lane_params = jax.tree.map(
+                lambda leaf: jnp.asarray(leaf)[None], params0
+            )
+        result, _ = self._runners[n_lanes].run(lane_params, data)
+        if not self.batched:
+            result = jax.tree.map(lambda leaf: leaf[0], result)
+        return result
+
 
 def _take_lanes(state: LockstepState, idx) -> LockstepState:
     """Gather a subset of lanes into a smaller valid LockstepState."""
@@ -120,15 +244,24 @@ class CompactingRunner:
         make_block_update: Callable[[Any, int], Callable[[Any, Any], Any]],
         min_bucket: int = 8,
         batched_data: bool = False,
+        program_seconds: float | None = None,
     ):
         self.config = config
         self.objective_fn = objective_fn
         self.make_block_update = make_block_update
         self.min_bucket = max(1, int(min_bucket))
         self.batched_data = bool(batched_data)
+        # None = resolve per-run from the backend (axon's ~60 s program
+        # kill); a number forces that budget (tests force a tiny one to
+        # exercise the capped path on CPU).
+        self.program_seconds = program_seconds
         self._programs: dict[str, dict] = {
             "init": {}, "level": {}, "loss": {},
+            "segment": {}, "compact": {},
         }
+        # measured seconds per convergence-test block, keyed by lane count
+        # (compile-free dispatches only; refines the pessimistic model)
+        self._measured_per_block: dict[int, float] = {}
 
     # -- jitted pieces, cached per lane count ------------------------------
 
@@ -190,6 +323,141 @@ class CompactingRunner:
             cache[key] = jax.jit(level)
         return cache[key]
 
+    def _segment_fn(self, n_lanes: int):
+        """Capped lockstep segment: advance at most `block_cap` convergence
+        blocks toward `alive_floor`, returning the state plus an int32[2]
+        stats vector [n_alive, iteration] (int32, never bool - the first
+        bool d2h of a process compiles a conversion program remotely,
+        measured 427 s). alive_floor and block_cap are traced, so ONE
+        compiled program per lane count serves every level and cap."""
+        cache = self._programs["segment"]
+        if n_lanes not in cache:
+            def segment(state, data, alive_floor, block_cap):
+                batched = self._batched_objective(data)
+                block = self.make_block_update(data, n_lanes)
+                new_state = run_lockstep_segment(
+                    lambda p: batched(p, data), self.config, block,
+                    state, alive_floor, block_cap=block_cap,
+                )
+                stats = jnp.stack([
+                    jnp.sum(~new_state.done).astype(jnp.int32),
+                    new_state.iteration.astype(jnp.int32),
+                ])
+                return new_state, stats
+
+            cache[n_lanes] = jax.jit(segment)
+        return cache[n_lanes]
+
+    def _compact_fn(self, n_lanes: int, is_last: bool):
+        """The scatter(+gather) tail of a level, split out of the fused
+        level program for the time-capped path: scatter the level's lanes
+        into the full-size buffers and - on non-final levels - gather the
+        half-size survivor batch on device (same stable-argsort selection
+        as _level_fn)."""
+        cache = self._programs["compact"]
+        key = (n_lanes, is_last)
+        if key not in cache:
+            half = n_lanes // 2
+
+            def compact(out, state, ids, data):
+                out = _scatter_lanes(out, ids, state)
+                if is_last:
+                    return out
+                pos = jnp.argsort(
+                    state.done.astype(jnp.int32), stable=True
+                )[:half]
+                carried = (
+                    out, _take_lanes(state, pos), jnp.take(ids, pos)
+                )
+                if self.batched_data:
+                    return carried + (jax.tree.map(
+                        lambda leaf: jnp.take(leaf, pos, axis=0), data
+                    ),)
+                return carried
+
+            cache[key] = jax.jit(compact)
+        return cache[key]
+
+    # -- block-cost model for the time-capped path --------------------------
+
+    def _model_blocks_cap(self, data, n_lanes: int, budget: float) -> int:
+        """Pessimistic pre-measurement cap: blocks per dispatch from a
+        bytes-touched model (an MU block reads/writes ~3.5x the lane data
+        per iteration) at _MODEL_BYTES_PER_SECOND. Heavier per-cycle
+        families (CorrNMF's Newton embedding updates) stay inside the
+        model's 3-10x pessimism margin (measured 88 GB/s effective at
+        D = 200k)."""
+        data_bytes = sum(
+            leaf.size * jnp.asarray(leaf).dtype.itemsize
+            for leaf in jax.tree.leaves(data)
+        )
+        if not self.batched_data:
+            data_bytes *= n_lanes  # every lane streams the shared data
+        per_block = max(
+            int(self.config.conv_test_freq) * 3.5 * data_bytes
+            / _MODEL_BYTES_PER_SECOND,
+            1e-9,
+        )
+        return max(1, int(budget / per_block))
+
+    def _run_level_capped(self, out, state, ids, data, n_lanes: int,
+                          is_last: bool, budget: float):
+        """Host-driven twin of one fused level program for big-D fits:
+        a chain of capped segment dispatches (each bounded to ~`budget`
+        seconds of device execution, under the axon worker's ~60 s program
+        kill) followed by one scatter/gather program. Costs one int32[2]
+        fetch (~100 ms tunnel latency) per dispatch - negligible against
+        the multi-second segments this path exists for. Per-lane
+        trajectories are unchanged: a capped segment pauses the SAME
+        while_loop the fused level runs (pinned by
+        tests/test_compaction.py on CPU, bitwise)."""
+        import time
+
+        freq = int(self.config.conv_test_freq)
+        full_blocks = int(self.config.max_iterations) // freq
+        alive_floor = 0 if is_last else n_lanes // 2
+        segment = self._segment_fn(n_lanes)
+        cap = self._model_blocks_cap(data, n_lanes, budget)
+        measured = self._measured_per_block.get(n_lanes)
+        if measured is None and self._measured_per_block:
+            # seed from another lane count: block cost scales ~linearly
+            # with lanes (HBM-bound), stay conservative with a 1.5x margin
+            ref_lanes, ref_per_block = min(
+                self._measured_per_block.items(),
+                key=lambda kv: abs(kv[0] - n_lanes),
+            )
+            measured = 1.5 * ref_per_block * n_lanes / ref_lanes
+        if measured is not None:
+            cap = max(1, int(budget / max(measured, 1e-9)))
+        import os
+
+        debug = bool(os.environ.get("SALAMANDER_DEBUG_CAPPED"))
+        prev_iteration = None  # unknown until the first stats fetch
+        while True:
+            t0 = time.perf_counter()
+            state, stats = segment(
+                state, data, jnp.asarray(alive_floor, jnp.int32),
+                jnp.asarray(cap, jnp.int32),
+            )
+            n_alive, iteration = (int(v) for v in np.asarray(stats))
+            wall = time.perf_counter() - t0
+            if debug:
+                print(
+                    f"[capped] lanes={n_lanes} cap={cap} wall={wall:.1f}s "
+                    f"n_alive={n_alive} iteration={iteration}",
+                    flush=True,
+                )
+            if prev_iteration is not None:
+                blocks_run = (iteration - prev_iteration) // freq
+                if blocks_run > 0:
+                    per_block = wall / blocks_run
+                    self._measured_per_block[n_lanes] = per_block
+                    cap = max(1, int(budget / max(per_block, 1e-9)))
+            prev_iteration = iteration
+            if n_alive <= alive_floor or iteration >= full_blocks * freq:
+                break
+        return self._compact_fn(n_lanes, is_last)(out, state, ids, data)
+
     def _loss_fn(self, n_lanes: int):
         cache = self._programs["loss"]
         if n_lanes not in cache:
@@ -207,6 +475,41 @@ class CompactingRunner:
 
     # -- schedule driver (fixed chain of device programs) -------------------
 
+    def _use_fused_level(self, n_lanes: int, budget: float | None,
+                         data) -> bool:
+        """Whether one fused level program is safe under the program-kill
+        budget. With no budget (CPU, real non-tunneled TPU): always. With
+        a budget: when the per-block cost estimate says even the
+        worst-case level (every one of max_iterations' convergence blocks)
+        finishes within 1.5x the budget. The estimate is a MEASURED
+        per-block wall when one exists (direct, or scaled from the nearest
+        measured lane count with a 1.5x margin); before any measurement,
+        the bytes model decides - it is pessimistic by 3-10x exactly in
+        the HBM-bound big-D regime where the ~60 s kill is reachable, so
+        "model says safe" keeps small fits on the zero-fetch fused chain
+        with no extra compiled programs. (Tiny-data compute-bound fits -
+        PCAWG-scale CorrNMF multi-starts - can slip past the bytes model,
+        but their worst cases sit well under the kill in every measured
+        configuration; a capped dispatch would not have measured them
+        anyway, since nothing routes them here.)"""
+        if budget is None:
+            return True
+        full_blocks = (
+            int(self.config.max_iterations)
+            // int(self.config.conv_test_freq)
+        )
+        measured = self._measured_per_block.get(n_lanes)
+        if measured is None and self._measured_per_block:
+            ref_lanes, ref_per_block = min(
+                self._measured_per_block.items(),
+                key=lambda kv: abs(kv[0] - n_lanes),
+            )
+            measured = 1.5 * ref_per_block * n_lanes / ref_lanes
+        if measured is not None:
+            return measured * full_blocks <= 1.5 * budget
+        model_cap = self._model_blocks_cap(data, n_lanes, budget)
+        return model_cap >= full_blocks
+
     def run(self, params0, data):
         """Fit all lanes to their own convergence, compacting the batch as
         lanes finish. Returns (FitResult, final_loss) with every leaf at
@@ -220,6 +523,9 @@ class CompactingRunner:
             lambda p: self._batched_objective(data)(p, data), params0
         )
         _effective_tol(config, of_shape.dtype, params0)
+        budget = self.program_seconds
+        if budget is None:
+            budget = _default_program_seconds()
 
         state = self._init_fn(n_restarts)(params0, data)
         initial_objective = state.of_prev  # (R,) of0, device-resident
@@ -233,19 +539,32 @@ class CompactingRunner:
         # remaining levels' segment while_loops exit on their first
         # condition check (dispatch cost only; frozen lanes never
         # advance, so trajectories and results are unchanged vs the
-        # former host loop's early break).
+        # former host loop's early break). Under a program-seconds budget
+        # (the axon worker's ~60 s kill), levels whose worst case could
+        # exceed it instead run as host-driven chains of capped segments
+        # (_run_level_capped) - same while_loop, paused and resumed.
         bucket = n_restarts
         data_bucket = data  # (shrinks with the lanes under batched_data)
         while bucket // 2 >= self.min_bucket:
-            level_out = self._level_fn(bucket, False)(
-                out, state, ids, data_bucket
-            )
+            if self._use_fused_level(bucket, budget, data_bucket):
+                level_out = self._level_fn(bucket, False)(
+                    out, state, ids, data_bucket
+                )
+            else:
+                level_out = self._run_level_capped(
+                    out, state, ids, data_bucket, bucket, False, budget
+                )
             if self.batched_data:
                 out, state, ids, data_bucket = level_out
             else:
                 out, state, ids = level_out
             bucket //= 2
-        out = self._level_fn(bucket, True)(out, state, ids, data_bucket)
+        if self._use_fused_level(bucket, budget, data_bucket):
+            out = self._level_fn(bucket, True)(out, state, ids, data_bucket)
+        else:
+            out = self._run_level_capped(
+                out, state, ids, data_bucket, bucket, True, budget
+            )
 
         return self._loss_fn(n_restarts)(out, data, initial_objective)
 

@@ -456,3 +456,162 @@ def test_deferred_fetch_budget_flush(monkeypatch):
         # read at call time from restarts, so the monkeypatch applies)
         np.testing.assert_array_equal(np.asarray(co_tiny[k].signatures),
                                       np.asarray(co_base[k].signatures))
+
+
+def test_capped_segments_match_fused_levels():
+    """The time-capped level driver (program_seconds: the axon worker kills
+    device programs running >~60 s, so big-D levels run as chains of capped
+    segments) is the SAME while_loop paused and resumed: every result leaf
+    must be bitwise-equal to the fused zero-fetch chain's, here forced onto
+    the capped path with a tiny budget (cap = 1 block per dispatch, the
+    worst case for pause/resume bookkeeping)."""
+    update_fn, objective_fn = ops.make_step_functions()
+
+    def make_block(data, n_lanes):
+        batched = jax.vmap(update_fn, in_axes=(0, None))
+
+        def block(params, steps):
+            return jax.lax.fori_loop(
+                0, steps, lambda _, q: batched(q, data), params
+            )
+
+        return block
+
+    X = jnp.asarray(_counts())
+    rng = np.random.default_rng(3)
+    n_restarts, k = 8, 3
+    W0 = jnp.asarray(rng.random((n_restarts, X.shape[0], k)) + 0.1)
+    H0 = jnp.asarray(rng.random((n_restarts, k, X.shape[1])) + 0.1)
+    params0, data = {"W": W0, "H": H0}, {"X": X}
+
+    fused = CompactingRunner(CONFIG, objective_fn, make_block, min_bucket=2)
+    base, base_loss = fused.run(params0, data)
+    capped = CompactingRunner(CONFIG, objective_fn, make_block, min_bucket=2,
+                              program_seconds=1e-9)
+    got, got_loss = capped.run(params0, data)
+
+    assert capped._measured_per_block  # the feedback loop actually measured
+    np.testing.assert_array_equal(np.asarray(got_loss), np.asarray(base_loss))
+    np.testing.assert_array_equal(np.asarray(got.n_iterations),
+                                  np.asarray(base.n_iterations))
+    np.testing.assert_array_equal(np.asarray(got.n_evals),
+                                  np.asarray(base.n_evals))
+    np.testing.assert_array_equal(np.asarray(got.params["W"]),
+                                  np.asarray(base.params["W"]))
+    np.testing.assert_array_equal(np.asarray(got.params["H"]),
+                                  np.asarray(base.params["H"]))
+    hist_base, hist_got = np.asarray(base.history), np.asarray(got.history)
+    np.testing.assert_array_equal(np.isnan(hist_got), np.isnan(hist_base))
+    np.testing.assert_array_equal(hist_got[~np.isnan(hist_got)],
+                                  hist_base[~np.isnan(hist_base)])
+
+
+def test_capped_segments_batched_data_extraction_lanes():
+    """Capped path under batched_data=True (extraction lanes: each lane its
+    own bootstrap counts, compactions gather data rows too)."""
+    from salamander_tpu.parallel.compaction import (
+        _cached_extraction_compacting_runner,
+    )
+
+    rng = np.random.default_rng(5)
+    L, V, D, Kp = 8, 10, 16, 3
+    X_lanes = jnp.asarray(rng.poisson(6.0, (L, V, D)).astype(np.float64) + 1.0)
+    W0 = jnp.asarray(rng.random((L, V, Kp)) + 0.1)
+    H0 = jnp.asarray(rng.random((L, Kp, D)) + 0.1)
+    masks = jnp.asarray(np.stack([np.arange(Kp) < 2 + (i % 2)
+                                  for i in range(L)]))
+    H0 = jnp.where(masks[:, :, None], H0, 0.0)
+    params0 = {"W": W0, "H": H0, "mask": masks}
+    data = {"X": X_lanes}
+    config = FitConfig(min_iterations=10, max_iterations=400,
+                       conv_test_freq=10, tol=1e-6)
+
+    base_runner = _cached_extraction_compacting_runner(config, False, 2)
+    base, base_loss = base_runner.run(params0, data)
+
+    capped = CompactingRunner(
+        config, base_runner.objective_fn, base_runner.make_block_update,
+        min_bucket=2, batched_data=True, program_seconds=1e-9,
+    )
+    got, got_loss = capped.run(params0, data)
+    np.testing.assert_array_equal(np.asarray(got_loss), np.asarray(base_loss))
+    np.testing.assert_array_equal(np.asarray(got.n_iterations),
+                                  np.asarray(base.n_iterations))
+    np.testing.assert_array_equal(np.asarray(got.params["W"]),
+                                  np.asarray(base.params["W"]))
+
+
+def test_program_kill_guard_single_fit_matches(monkeypatch):
+    """make_fit_function's call-time kill guard (axon's ~60 s program
+    limit): a rerouted single fit must reproduce the monolithic engine fit
+    exactly up to split-program fusion ulps - the monolithic unbatched
+    engine UNROLLS conv_test_freq blocks while the capped route runs a
+    vmapped R=1 fori loop, so f64 values differ at ~1e-16 relative (the
+    package-wide separately-compiled-programs lesson); convergence blocks
+    and iteration counts must still agree exactly."""
+    from salamander_tpu.models import KLNMF
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.parallel import compaction
+
+    X = _counts(seed=11)
+    adata = AnnData(X.T)  # samples x features
+
+    def fit_once():
+        model = KLNMF(n_signatures=3, min_iterations=20, max_iterations=500,
+                      conv_test_freq=10, tol=1e-6)
+        model.fit(adata, init_kwargs={"seed": 1})
+        return model
+
+    base = fit_once()
+    # force every backend onto the guard and the estimate over threshold
+    monkeypatch.setattr(compaction, "PROGRAM_SECONDS_OVERRIDE", 1e-12)
+    guarded = fit_once()
+    monkeypatch.setattr(compaction, "PROGRAM_SECONDS_OVERRIDE", None)
+
+    assert guarded.history["n_iterations"] == base.history["n_iterations"]
+    np.testing.assert_allclose(
+        np.asarray(guarded.history["objective_function"]),
+        np.asarray(base.history["objective_function"]), rtol=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(guarded.signatures.to_numpy()),
+                               np.asarray(base.signatures.to_numpy()),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(guarded.exposures.to_numpy()),
+                               np.asarray(base.exposures.to_numpy()),
+                               rtol=1e-9)
+
+
+def test_program_kill_guard_batched_fit_matches(monkeypatch):
+    """The guard on the batched (lockstep) monolithic path: rerouted
+    multi-start results equal the monolithic lockstep's bitwise (CPU).
+    min_bucket = lane count, so the guard never COMPACTS - paths that
+    chose the monolithic engine keep their layout, only chunked in time."""
+    from salamander_tpu.engine import make_fit_function
+    from salamander_tpu.parallel import compaction
+
+    update_fn, objective_fn = ops.make_step_functions()
+    X = jnp.asarray(_counts(seed=12))
+    rng = np.random.default_rng(7)
+    R, k = 6, 3
+    params0 = {
+        "W": jnp.asarray(rng.random((R, X.shape[0], k)) + 0.1),
+        "H": jnp.asarray(rng.random((R, k, X.shape[1])) + 0.1),
+    }
+    cfg = FitConfig(min_iterations=20, max_iterations=400,
+                    conv_test_freq=10, tol=1e-6)
+    run = make_fit_function(update_fn, objective_fn, cfg, batched=True)
+    base = run(params0, {"X": X})
+    monkeypatch.setattr(compaction, "PROGRAM_SECONDS_OVERRIDE", 1e-12)
+    got = make_fit_function(update_fn, objective_fn, cfg, batched=True)(
+        params0, {"X": X}
+    )
+    np.testing.assert_array_equal(np.asarray(got.n_iterations),
+                                  np.asarray(base.n_iterations))
+    np.testing.assert_array_equal(np.asarray(got.params["W"]),
+                                  np.asarray(base.params["W"]))
+    np.testing.assert_array_equal(np.asarray(got.params["H"]),
+                                  np.asarray(base.params["H"]))
+    hist_b, hist_g = np.asarray(base.history), np.asarray(got.history)
+    np.testing.assert_array_equal(np.isnan(hist_g), np.isnan(hist_b))
+    np.testing.assert_array_equal(hist_g[~np.isnan(hist_g)],
+                                  hist_b[~np.isnan(hist_b)])
