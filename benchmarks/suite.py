@@ -774,11 +774,13 @@ def config7_extraction():
 
 def config7b_extraction_chunked():
     """Extraction at cohort scale: 96 x 200,000 planted-k=5 counts, ranks
-    2..10 x 10 bootstraps = 90 lanes whose per-lane data alone is ~6.9 GB
-    f32 — over the 4 GiB auto lane budget, so the discovery fit runs as
-    two 45-lane chunks (one resident at a time; identical results by the
-    lane-keyed draw design). The reference loads all of X up front and
-    runs restarts serially on the host."""
+    2..10 x 10 bootstraps = 90 lanes at ~285 MB of per-lane residency
+    (bootstrap counts + MU temporaries) — over the 4 GiB auto lane
+    budget, so the discovery fit runs as 6 chunks of 15 lanes (one
+    resident at a time; identical results by the lane-keyed draw
+    design), each chunk a chain of ~30 s capped segments under the axon
+    program kill. The reference loads all of X up front and runs
+    restarts serially on the host."""
     from salamander_tpu.extraction import extract_signatures
 
     import pandas as pd
@@ -800,7 +802,7 @@ def config7b_extraction_chunked():
         "config": "7b_extraction_chunked_96x200k",
         "wall_seconds": round(wall, 1),
         "n_lanes": 90,
-        "n_chunks": 2,
+        "n_chunks": 6,
         "lane_data_gb": round(90 * 96 * 200_000 * 4 / 2**30, 1),
         "total_lane_iterations": total_iters,
         "suggested_rank": result.suggested_rank,

@@ -244,6 +244,50 @@ class ExtractionResult:
     model: Any = field(default=None)         # fitted KLNMF at the suggestion
 
 
+def _suggest_rank(ranks, min_sil, min_stability: float,
+                  rank_rule: str) -> int | None:
+    """Rank decision from per-rank min cluster silhouettes (see the
+    ``suggested_rank`` docs on extract_signatures). ``ranks``/``min_sil``
+    are aligned arrays; NaN silhouettes (rank 1's single cluster, or
+    n_bootstraps < 2) are skipped as unmeasurable. Warns and returns None
+    instead of raising when no rank qualifies."""
+    min_sil = np.asarray(min_sil, dtype=float)
+    if np.isnan(min_sil).all():
+        warnings.warn(
+            "cluster silhouettes are undefined (n_bootstraps < 2 or "
+            "rank 1 only) - no rank suggestion; inspect result.table",
+            UserWarning,
+        )
+        return None
+    # rank 1 has a single cluster (silhouette undefined); start at the
+    # first rank where stability is measurable
+    start = int(np.argmax(~np.isnan(min_sil)))
+    passes = min_sil[start:] >= min_stability
+    if rank_rule == "largest":
+        if passes.any():
+            return int(ranks[start:][np.where(passes)[0][-1]])
+        warnings.warn(
+            f"every scanned rank falls below min_stability="
+            f"{min_stability} (best min silhouette "
+            f"{np.nanmax(min_sil):.3f}) - no suggestion; add bootstraps, "
+            "scan other ranks, or lower the threshold",
+            UserWarning,
+        )
+        return None
+    if not passes[0]:
+        warnings.warn(
+            f"even the smallest measurable rank ({int(ranks[start])}) "
+            f"falls below min_stability={min_stability} "
+            f"(min silhouette {min_sil[start]:.3f}) - no suggestion under "
+            "rank_rule='prefix'; scan smaller ranks, add bootstraps, or "
+            "lower the threshold",
+            UserWarning,
+        )
+        return None
+    prefix_end = int(np.argmin(passes)) - 1 if not passes.all() else -1
+    return int(ranks[start:][prefix_end])
+
+
 def extract_signatures(
     data,
     ranks,
@@ -251,6 +295,7 @@ def extract_signatures(
     resample_method: str = "multinomial",
     seed: int = 0,
     min_stability: float = 0.8,
+    rank_rule: str = "largest",
     model: str = "klnmf",
     lam: float = 1.0,
     delta: float = 1.0,
@@ -284,12 +329,21 @@ def extract_signatures(
     which the refit holds fixed); 'mvnmf' lane losses and ``best_loss``
     are the penalized objective KL + lam*logdet(W^T W + delta I).
 
-    suggested_rank follows tl.suggest_rank's transparent prefix rule: the
-    largest rank reachable through scanned ranks whose min cluster
-    silhouette stays >= ``min_stability`` (an isolated pass above an
-    unstable rank is noise, not signal). When even the smallest rank fails,
-    ``suggested_rank`` is None and a warning points at the table — after
-    minutes of device compute you get the evidence, not an exception.
+    suggested_rank: under ``rank_rule='largest'`` (default, the
+    SigProfilerExtractor-style decision) it is the LARGEST scanned rank
+    whose min cluster silhouette stays >= ``min_stability``. Smaller
+    ranks are allowed to be unstable: when the data carry k
+    well-separated processes, under-rank factorizations merge them
+    differently across bootstrap replicates, so instability BELOW the
+    true rank is the expected signature of resolvable structure (e.g.
+    planted k=5 at D=200k scores 1.000 at rank 5 with every other rank
+    unstable). ``rank_rule='prefix'`` is the conservative alternative
+    (tl.suggest_rank semantics): the largest rank reachable from the
+    smallest scanned rank through consecutively stable ranks — use it
+    when an isolated high-rank pass above a long unstable run should
+    read as noise. When no rank qualifies, ``suggested_rank`` is None
+    and a warning points at the table — after minutes of device compute
+    you get the evidence, not an exception.
 
     With ``fit_final=True`` the suggested rank's consensus signatures are
     refit on the full data as a ``models.KLNMF`` with
@@ -336,6 +390,10 @@ def extract_signatures(
         raise ValueError("n_bootstraps must be >= 1")
     if model not in ("klnmf", "mvnmf"):
         raise ValueError(f"model must be 'klnmf' or 'mvnmf', got {model!r}")
+    if rank_rule not in ("largest", "prefix"):
+        raise ValueError(
+            f"rank_rule must be 'largest' or 'prefix', got {rank_rule!r}"
+        )
     X_host, obs_names, var_names = _extract_counts(data)  # (V, D)
     n_features, n_samples = X_host.shape
     n_padded = ranks[-1]
@@ -562,31 +620,10 @@ def extract_signatures(
         })
     table = pd.DataFrame(rows).set_index("n_signatures")
 
-    min_sil = table["min_stability"].to_numpy()
-    if np.isnan(min_sil).all():
-        suggested = None
-        warnings.warn(
-            "cluster silhouettes are undefined (n_bootstraps < 2 or "
-            "rank 1 only) - no rank suggestion; inspect result.table",
-            UserWarning,
-        )
-    else:
-        # rank 1 has a single cluster (silhouette undefined); the prefix
-        # rule starts at the first rank where stability is measurable
-        start = int(np.argmax(~np.isnan(min_sil)))
-        passes = min_sil[start:] >= min_stability
-        if not passes[0]:
-            suggested = None
-            warnings.warn(
-                f"even the smallest measurable rank ({ranks[start]}) falls "
-                f"below min_stability={min_stability} "
-                f"(min silhouette {min_sil[start]:.3f}) - no suggestion; "
-                "scan smaller ranks, add bootstraps, or lower the threshold",
-                UserWarning,
-            )
-        else:
-            prefix_end = int(np.argmin(passes)) - 1 if not passes.all() else -1
-            suggested = int(table.index[start:][prefix_end])
+    suggested = _suggest_rank(
+        np.asarray(table.index), table["min_stability"].to_numpy(),
+        min_stability, rank_rule,
+    )
 
     fitted = None
     if fit_final and suggested is not None:

@@ -323,6 +323,55 @@ def test_invalid_inputs(planted):
         sal.extract_signatures(data, ranks=[200])
     with pytest.raises(ValueError, match="n_bootstraps"):
         sal.extract_signatures(data, ranks=[2], n_bootstraps=0)
+    with pytest.raises(ValueError, match="rank_rule"):
+        sal.extract_signatures(data, ranks=[2, 3], rank_rule="knee")
+
+
+def test_rank_rule_largest_vs_prefix():
+    """The two suggestion rules on a silhouette profile with a stability
+    GAP — the planted-k-at-cohort-scale shape (config 7b: under-rank fits
+    merge well-separated processes differently across replicates, so only
+    the true rank is stable). 'largest' recovers it; 'prefix' (the
+    conservative tl.suggest_rank semantics) refuses."""
+    from salamander_tpu.extraction import _suggest_rank
+
+    ranks = np.array([2, 3, 4, 5, 6])
+    gap = np.array([0.9, 0.6, 0.7, 0.95, 0.3])
+    assert _suggest_rank(ranks, gap, 0.8, "largest") == 5
+    assert _suggest_rank(ranks, gap, 0.8, "prefix") == 2
+
+    # contiguous profile: both rules agree on the boundary
+    contiguous = np.array([0.95, 0.9, 0.85, 0.4, 0.3])
+    assert _suggest_rank(ranks, contiguous, 0.8, "largest") == 4
+    assert _suggest_rank(ranks, contiguous, 0.8, "prefix") == 4
+
+    # leading NaN (rank 1's undefined silhouette) is skipped by both
+    lead_nan = np.array([np.nan, 0.9, 0.85, 0.4, 0.4])
+    assert _suggest_rank(ranks, lead_nan, 0.8, "largest") == 4
+    assert _suggest_rank(ranks, lead_nan, 0.8, "prefix") == 4
+
+    with pytest.warns(UserWarning, match="every scanned rank falls below"):
+        assert _suggest_rank(ranks, gap, 0.99, "largest") is None
+    with pytest.warns(UserWarning, match="smallest measurable rank"):
+        assert _suggest_rank(
+            ranks, np.array([0.5, 0.9, 0.9, 0.9, 0.9]), 0.8, "prefix"
+        ) is None
+    with pytest.warns(UserWarning, match="silhouettes are undefined"):
+        assert _suggest_rank(
+            ranks, np.full(5, np.nan), 0.8, "largest"
+        ) is None
+
+
+def test_rank_rule_prefix_through_pipeline(planted, extracted):
+    """rank_rule='prefix' threads through extract_signatures; on the
+    contiguous planted profile it matches the default suggestion."""
+    data, _ = planted
+    result = sal.extract_signatures(
+        data, ranks=range(2, 5), n_bootstraps=6, seed=0, rank_rule="prefix",
+        min_iterations=100, max_iterations=2000, dtype=np.float64,
+        fit_final=False,
+    )
+    assert result.suggested_rank == extracted.suggested_rank == 3
 
 
 # --------------------------------------------------------------------- #
