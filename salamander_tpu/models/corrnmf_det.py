@@ -306,9 +306,10 @@ class CorrNMFDet(CorrNMF):
             params, data = self._device_state()
             step_fn = svi.make_svi_step(**step_kwargs)
             state0 = svi.svi_init(params)
-            state, elbo_trace = svi.run_svi(
+            state, elbo_trace = svi.run_svi_guarded(
                 step_fn, state0, data["X"], jax.random.PRNGKey(seed),
                 n_steps, eval_freq,
+                batch_size=config.batch_size, n_samples=n_samples,
             )
         final = dict(state.params)
         final["exposures"] = _exposures_jit(

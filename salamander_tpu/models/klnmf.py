@@ -191,9 +191,10 @@ class KLNMF(StandardNMF):
             params, data = self._device_state()
             step_fn = svi.make_klnmf_svi_step(**step_kwargs)
             state0 = svi.klnmf_svi_init(params)
-            state, trace = svi.run_svi(
+            state, trace = svi.run_svi_guarded(
                 step_fn, state0, data, jax.random.PRNGKey(seed),
                 n_steps, eval_freq, elbo_fn=svi.klnmf_full_objective,
+                batch_size=config.batch_size, n_samples=n_samples,
             )
         # one batched device->host transfer for params + trace
         params_host, trace = fetch_pytree((state.params, trace))

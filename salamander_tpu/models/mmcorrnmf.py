@@ -865,9 +865,10 @@ class MultimodalCorrNMF:
             params, data = self._device_state()
             step_fn = svi.make_mm_svi_step(**step_kwargs)
             state0 = svi.mm_svi_init(params)
-            state, elbo_trace = svi.run_svi(
+            state, elbo_trace = svi.run_svi_guarded(
                 step_fn, state0, data["X"], jax.random.PRNGKey(seed),
                 n_steps, eval_freq, elbo_fn=svi.mm_full_elbo,
+                batch_size=config.batch_size, n_samples=n_samples,
             )
         final = {
             "mods": {},

@@ -455,6 +455,163 @@ def run_svi(step_fn, state0, X, key, n_steps: int, eval_freq: int,
     return state, history
 
 
+@functools.partial(
+    jax.jit, static_argnames=("step_fn", "eval_freq", "elbo_fn")
+)
+def _run_svi_segment(step_fn, state, X, key, history, eval_offset,
+                     n_blocks, eval_freq: int, elbo_fn):
+    """Advance `n_blocks` (traced) eval blocks of the run_svi loop, writing
+    each block's full-data objective at history[eval_offset + i]. The step
+    sequence and key splits are exactly run_svi's, so chaining segments
+    reproduces the monolithic program's trajectory; only WHERE the loop
+    pauses differs (cf. engine.fit.run_lockstep_segment's block_cap)."""
+    def block(i, carry):
+        state, key, history = carry
+
+        def body(_, inner):
+            state, key = inner
+            key, subkey = jax.random.split(key)
+            return step_fn(state, X, subkey), key
+
+        state, key = jax.lax.fori_loop(0, eval_freq, body, (state, key))
+        history = history.at[eval_offset + i].set(
+            elbo_fn(state.params, X).astype(history.dtype)
+        )
+        return state, key, history
+
+    return jax.lax.fori_loop(
+        0, n_blocks, block, (state, key, history)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("step_fn",))
+def _run_svi_steps(step_fn, state, X, key, n_steps):
+    """Advance `n_steps` (traced) raw minibatch steps (no evaluation) -
+    the capped driver's segment for eval_freq=0 runs and the remainder
+    tail. Key handling identical to run_svi's inner fori_loop."""
+    def body(_, inner):
+        state, key = inner
+        key, subkey = jax.random.split(key)
+        return step_fn(state, X, subkey), key
+
+    return jax.lax.fori_loop(0, n_steps, body, (state, key))
+
+
+def run_svi_guarded(step_fn, state0, X, key, n_steps: int, eval_freq: int,
+                    elbo_fn=full_elbo, batch_size: int | None = None,
+                    n_samples: int | None = None,
+                    program_seconds: float | None = None):
+    """run_svi behind the axon program-kill guard.
+
+    The remote axon TPU worker kills any device program executing longer
+    than ~60 s (measured; see parallel/compaction.py). run_svi compiles all
+    n_steps into ONE program, which can exceed that at large step budgets
+    (steps are launch-bound at ~0.5 ms each, so ~10^5 steps alone reach the
+    kill) or with big-D full-data evaluations. When the modeled duration is
+    risky, this driver runs the IDENTICAL loop as a host-driven chain of
+    capped segments (same step sequence, same key splits, evals written at
+    the same step positions), adapting each dispatch's block cap from the
+    measured wall of the previous one - the same pause/resume scheme as
+    CompactingRunner._run_level_capped. Everywhere else (CPU, non-tunneled
+    TPU, small runs) it defers to the monolithic run_svi unchanged.
+
+    batch_size/n_samples feed the pre-measurement cost model (a step
+    touches ~batch_size/n_samples of the resident data); callers that know
+    their SVIConfig should pass both - without them a step is modeled as a
+    full-data pass, which only over-segments (never under-protects).
+    Returns (final_state, history) exactly like run_svi.
+    """
+    import time
+
+    from ..parallel.compaction import _default_program_seconds
+
+    budget = (program_seconds if program_seconds is not None
+              else _default_program_seconds())
+    if budget is None:
+        return run_svi(step_fn, state0, X, key, n_steps, eval_freq,
+                       elbo_fn=elbo_fn)
+    if n_steps < 1:
+        raise ValueError(f"n_steps={n_steps} must be >= 1")
+    if eval_freq < 0:
+        raise ValueError(
+            f"eval_freq={eval_freq} must be >= 1, or 0 to disable the "
+            "full-data ELBO trace"
+        )
+
+    # -- pre-measurement cost model (pessimistic; measured feedback below
+    # refines it from the second dispatch on). Steps: batch-rows bytes at
+    # the compaction model's 25 GB/s, floored at the measured ~0.5 ms
+    # launch-bound step cost. Evals: one full pass over the resident data.
+    data_bytes = sum(
+        leaf.size * jnp.asarray(leaf).dtype.itemsize
+        for leaf in jax.tree.leaves(X)
+    )
+    from ..parallel.compaction import _MODEL_BYTES_PER_SECOND
+
+    if batch_size is not None and n_samples:
+        fraction = min(int(batch_size), int(n_samples)) / int(n_samples)
+        batch_bytes = data_bytes * fraction
+    else:
+        batch_bytes = data_bytes  # unknown batch: assume a full-data step
+    step_model = max(3.5 * batch_bytes / _MODEL_BYTES_PER_SECOND, 5e-4)
+    eval_model = 3.5 * data_bytes / _MODEL_BYTES_PER_SECOND
+
+    n_evals = n_steps // eval_freq if eval_freq else 0
+    remainder = n_steps - n_evals * eval_freq
+    total_model = n_steps * step_model + n_evals * eval_model
+    if total_model <= 2.0 * budget:
+        return run_svi(step_fn, state0, X, key, n_steps, eval_freq,
+                       elbo_fn=elbo_fn)
+
+    state = state0
+    if n_evals:
+        hist_dtype = jax.eval_shape(elbo_fn, state0.params, X).dtype
+        history = jnp.full((n_evals,), jnp.nan, dtype=hist_dtype)
+        per_block_model = eval_freq * step_model + eval_model
+        cap = max(1, int(budget / per_block_model))
+        offset = 0
+        measured = None
+        while offset < n_evals:
+            n_blocks = min(cap, n_evals - offset)
+            t0 = time.perf_counter()
+            state, key, history = _run_svi_segment(
+                step_fn, state, X, key, history,
+                jnp.asarray(offset, jnp.int32),
+                jnp.asarray(n_blocks, jnp.int32), eval_freq, elbo_fn,
+            )
+            jax.block_until_ready(history)
+            wall = time.perf_counter() - t0
+            offset += n_blocks
+            measured = wall / n_blocks
+            cap = max(1, int(budget / max(measured, 1e-9)))
+    else:
+        history = jnp.zeros(
+            (0,), jax.tree_util.tree_leaves(state0.params)[0].dtype
+        )
+        measured = None
+
+    if remainder:
+        # cap raw tail steps with the same model/feedback (per-step cost =
+        # measured per-block cost minus the eval share when available)
+        if measured is not None and eval_freq:
+            step_cost = max(measured / eval_freq, 1e-9)
+        else:
+            step_cost = step_model
+        cap = max(1, int(budget / step_cost))
+        done = 0
+        while done < remainder:
+            n = min(cap, remainder - done)
+            t0 = time.perf_counter()
+            state, key = _run_svi_steps(
+                step_fn, state, X, key, jnp.asarray(n, jnp.int32)
+            )
+            jax.block_until_ready(jax.tree.leaves(state.params)[0])
+            wall = time.perf_counter() - t0
+            done += n
+            cap = max(1, int(budget / max(wall / n, 1e-9)))
+    return state, history
+
+
 # --------------------------------------------------------------------- #
 # KLNMF: online NMF over the sample axis
 # --------------------------------------------------------------------- #

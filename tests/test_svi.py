@@ -630,3 +630,74 @@ def test_step_builders_are_cached_no_retrace():
     np.testing.assert_array_equal(
         first.adata.obsm["exposures"], second.adata.obsm["exposures"]
     )
+
+
+# --------------------------------------------------------------------- #
+# program-kill guard: run_svi_guarded == run_svi, segment by segment
+# --------------------------------------------------------------------- #
+
+
+def test_run_svi_guarded_segmented_matches_monolithic(fitted_state):
+    """A forced tiny program budget chops the run into one-block segments;
+    the chained segments must reproduce the monolithic program exactly
+    (same step sequence, same key splits, evals at the same positions) -
+    including a non-divisible remainder tail. CPU, so bitwise."""
+    model = fitted_state
+    params, data = model._device_state()
+    n_samples = int(model.adata.n_obs)
+    config = svi.SVIConfig(batch_size=16)
+    step_fn = svi.make_svi_step(n_samples, config)
+
+    state0 = svi.svi_init(params)
+    key = jax.random.PRNGKey(7)
+    mono_state, mono_hist = svi.run_svi(
+        step_fn, state0, data["X"], key, n_steps=130, eval_freq=40,
+    )
+    seg_state, seg_hist = svi.run_svi_guarded(
+        step_fn, state0, data["X"], key, n_steps=130, eval_freq=40,
+        batch_size=16, n_samples=n_samples, program_seconds=1e-9,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono_hist), np.asarray(seg_hist)
+    )
+    for name in mono_state.params:
+        np.testing.assert_array_equal(
+            np.asarray(mono_state.params[name]),
+            np.asarray(seg_state.params[name]),
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(mono_state.perm), np.asarray(seg_state.perm)
+    )
+    assert int(mono_state.step) == int(seg_state.step) == 130
+
+
+def test_run_svi_guarded_eval_free_and_safe_paths(kl_state):
+    """eval_freq=0 runs segment raw steps; a generous budget defers to the
+    monolithic program. Both must equal run_svi bitwise (CPU)."""
+    model = kl_state
+    params, data = model._device_state()
+    n_samples = int(model.adata.n_obs)
+    config = svi.SVIConfig(batch_size=16, forgetting=0.51)
+    step_fn = svi.make_klnmf_svi_step(n_samples, config)
+
+    state0 = svi.klnmf_svi_init(params)
+    key = jax.random.PRNGKey(3)
+    mono_state, mono_hist = svi.run_svi(
+        step_fn, state0, data, key, n_steps=25, eval_freq=0,
+        elbo_fn=svi.klnmf_full_objective,
+    )
+    assert mono_hist.shape == (0,)
+    for budget in (1e-9, 1e9):  # forced segmentation vs safe-deferral
+        state, hist = svi.run_svi_guarded(
+            step_fn, state0, data, key, n_steps=25, eval_freq=0,
+            elbo_fn=svi.klnmf_full_objective,
+            batch_size=16, n_samples=n_samples, program_seconds=budget,
+        )
+        assert hist.shape == (0,)
+        np.testing.assert_array_equal(
+            np.asarray(mono_state.params["W"]), np.asarray(state.params["W"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mono_state.params["H"]), np.asarray(state.params["H"])
+        )
