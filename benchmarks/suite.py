@@ -866,6 +866,58 @@ def config8_assignment():
     })
 
 
+def config8b_assignment_cohort():
+    """Sparse catalog assignment at cohort scale: synthetic 100,000 samples
+    (planted 5-signature mixtures) against the full COSMIC v3.3 catalog
+    (79 signatures). The monolithic elimination program would run minutes
+    of device time - far over the axon worker's ~60 s program kill - so
+    this exercises the guarded path end-to-end: auto sample chunks sized
+    to the program budget, one device program per elimination round,
+    capped-segment dense/final refits. The acceptance invariant
+    (kl_sparse <= 1.02 * kl_dense per sample) is asserted, not just
+    reported."""
+    from salamander_tpu import assign_signatures
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    cosmic = datasets.load_cosmic_sbs_catalog()          # (79, 96)
+    W = cosmic.to_numpy().T                              # (96, 79)
+    W = W / W.sum(axis=0, keepdims=True)
+    D = 100_000
+    planted = rng.choice(79, size=5, replace=False)
+    H = np.zeros((79, D))
+    H[planted] = rng.gamma(2.0, 400.0, size=(5, D))
+    X = rng.poisson(W @ H).astype(np.float64)
+    X[X == 0] = 1.0
+    import pandas as pd
+
+    data = pd.DataFrame(X.T, columns=cosmic.columns)
+
+    t0 = time.perf_counter()
+    sparse = assign_signatures(data, cosmic, rel_tol=0.02)
+    wall = time.perf_counter() - t0
+    ok = (
+        sparse.kl_sparse.to_numpy()
+        <= 1.02 * sparse.kl_dense.to_numpy()
+        + 1e-6 * np.abs(sparse.kl_dense.to_numpy())
+    )
+    assert ok.all(), f"acceptance invariant broke on {int((~ok).sum())} samples"
+    log(f"config8b: sparse assignment of {D} samples vs 79 catalog sigs "
+        f"in {wall:.1f}s (mean support {sparse.n_active.mean():.1f})")
+    emit({
+        "config": "8b_assignment_cohort_100k_cosmic79",
+        "wall_seconds": round(wall, 1),
+        "n_samples": D,
+        "n_catalog": 79,
+        "mean_support": round(float(sparse.n_active.mean()), 1),
+        "mean_kl_increase_pct": round(float(
+            (sparse.kl_sparse / sparse.kl_dense - 1).mean() * 100
+        ), 2),
+        "budget_ok": bool(ok.all()),
+    })
+
+
 CONFIGS = {
     "1": config1_klnmf_restarts,
     "2": config2_mvnmf,
@@ -886,6 +938,7 @@ CONFIGS = {
     "7": config7_extraction,
     "7b": config7b_extraction_chunked,
     "8": config8_assignment,
+    "8b": config8b_assignment_cohort,
 }
 
 

@@ -137,7 +137,9 @@ def assign_exposures(data, catalog, max_iterations: int = 10_000,
     X, obs_names, var_names = _extract_counts(data)
     W, sig_names = _align_catalog(catalog, var_names)
     mask = jnp.ones((W.shape[1], X.shape[1]), dtype=bool)
-    H, _ = ops.refit_exposures(
+    # guarded: big-D refits run as capped segments under the axon ~60 s
+    # program kill; small cohorts and other backends defer to one program
+    H, _ = ops.refit_exposures_guarded(
         jnp.asarray(X), jnp.asarray(W), mask,
         max_iterations=max_iterations, tol=tol,
     )
@@ -172,20 +174,66 @@ def assign_signatures(
     that the convergence test aggregates the objective per chunk, so
     refits may stop a block earlier/later — results agree to the
     convergence tolerance, supports are identical in practice.
+
+    On the axon TPU tunnel (whose worker kills any device program
+    executing longer than ~60 s; parallel/compaction.py), batch_size=None
+    additionally auto-chunks so one elimination ROUND's modeled duration
+    fits the program budget, and the search runs host-driven - one
+    program per round, capped segments for the dense/final refits
+    (ops/assign.py eliminate_signatures_guarded) - instead of as one
+    monolithic program. At PCAWG scale nothing changes; at cohort scale
+    (COSMIC x 200k samples) this is the difference between completing
+    and crashing the worker.
     """
     X, obs_names, var_names = _extract_counts(data)
     W, sig_names = _align_catalog(catalog, var_names)
-    D = X.shape[1]
+    V, D = X.shape
+    K = W.shape[1]
     W_dev = jnp.asarray(W)
 
-    def run(chunk: np.ndarray) -> dict[str, np.ndarray]:
-        out = ops.eliminate_signatures(
-            jnp.asarray(chunk), W_dev, rel_tol, abs_tol,
-            candidate_iters=candidate_iters,
-            polish_iterations=polish_iterations,
-            max_polish_iterations=max_iterations,
-            polish_tol=tol,
+    budget = ops._program_budget(None)
+    use_guarded = False
+    if budget is not None:
+        from .parallel.compaction import _MODEL_BYTES_PER_SECOND
+
+        itemsize = np.result_type(X, W).itemsize
+        per_sample_iter_bytes = 3.5 * itemsize * (V + 2 * K)
+        round_iters = K * candidate_iters + polish_iterations
+        # monolithic worst case: K rounds + the dense/final refits, all in
+        # ONE program (the same pessimistic bytes model as the engine's
+        # CappedFitDispatcher; 2x budget = the kill limit itself)
+        size = D if batch_size is None else min(D, int(batch_size))
+        est = (
+            (K * round_iters + 2 * max_iterations)
+            * per_sample_iter_bytes * size / _MODEL_BYTES_PER_SECOND
         )
+        use_guarded = est > 2.0 * budget
+        if use_guarded and batch_size is None:
+            per_sample_round_bytes = round_iters * per_sample_iter_bytes
+            b_time = int(
+                budget * _MODEL_BYTES_PER_SECOND / per_sample_round_bytes
+            )
+            # the vmapped candidate axis holds (K, K, B) exposures twice
+            b_mem = int(4 * 2**30 / (2.5 * itemsize * K * K))
+            batch_size = min(D, max(64, min(b_time, b_mem)))
+
+    def run(chunk: np.ndarray) -> dict[str, np.ndarray]:
+        if use_guarded:
+            out = ops.eliminate_signatures_guarded(
+                jnp.asarray(chunk), W_dev, rel_tol, abs_tol,
+                candidate_iters=candidate_iters,
+                polish_iterations=polish_iterations,
+                max_polish_iterations=max_iterations,
+                polish_tol=tol,
+            )
+        else:
+            out = ops.eliminate_signatures(
+                jnp.asarray(chunk), W_dev, rel_tol, abs_tol,
+                candidate_iters=candidate_iters,
+                polish_iterations=polish_iterations,
+                max_polish_iterations=max_iterations,
+                polish_tol=tol,
+            )
         out = dict(out)
         n_rounds = out.pop("n_rounds")
         fetched = fetch_pytree(out)
@@ -315,6 +363,15 @@ def bootstrap_exposures(
     W_dev = jnp.asarray(W)
     mask_dev = jnp.asarray(mask)
 
+    budget = ops._program_budget(None)
+    if replicate_batch is None and budget is not None:
+        # axon memory auto-chunk: the resample + flat-refit buffers hold
+        # ~(X_boot, X_flat, H pair, aux) per replicate; keep one chunk's
+        # residency under ~4 GiB (program DURATION is handled separately
+        # by the guarded refit's capped segments)
+        itemsize = np.result_type(X, W).itemsize
+        per_rep = 3.5 * itemsize * D * (2 * X.shape[0] + 2 * K)
+        replicate_batch = max(2, int(4 * 2**30 / per_rep))
     chunk = n_replicates if replicate_batch is None else int(replicate_batch)
     chunk = max(2, min(chunk, n_replicates))
     # each chunk runs one compiled program of batch `chunk`: replicate 0
@@ -326,8 +383,10 @@ def bootstrap_exposures(
     point_H = None
     resamples_H = []
     got = 0
+    refit = (ops.bootstrap_refit_guarded if budget is not None
+             else ops.bootstrap_refit)
     for i in range(n_chunks):
-        H = fetch_pytree(ops.bootstrap_refit(
+        H = fetch_pytree(refit(
             X_dev, W_dev, mask_dev, keys[i], chunk, method=method,
             max_iterations=max_iterations, tol=tol,
         ))

@@ -55,7 +55,7 @@ import pandas as pd
 from . import containers
 from .engine import FitConfig, make_fit_function
 from .engine.transfer import fetch_pytree
-from .ops.assign import refit_exposures, resample_counts
+from .ops.assign import resample_counts
 from .ops.klnmf import EPSILON, make_masked_step_functions
 
 __all__ = ["ExtractionResult", "extract_signatures"]
@@ -549,10 +549,13 @@ def extract_signatures(
     lane_iterations = np.concatenate(iter_parts, axis=0)
 
     # one shared K-padded refit program evaluates every rank's consensus
-    # on the ORIGINAL counts (padded mask rows are inactive -> exact rank-k)
-    refit = jax.jit(
-        refit_exposures, static_argnames=("max_iterations", "conv_test_freq")
-    )
+    # on the ORIGINAL counts (padded mask rows are inactive -> exact
+    # rank-k); guarded: at cohort scale a full-D refit to convergence can
+    # exceed the axon worker's ~60 s program kill, so big refits run as
+    # capped segments (ops/assign.py refit_exposures_guarded - defers to
+    # the one shared monolithic program whenever the modeled duration is
+    # safe, i.e. everywhere the kill is unreachable)
+    from .ops.assign import refit_exposures_guarded as refit
 
     rows = []
     consensus_by_rank: dict[int, pd.DataFrame] = {}

@@ -303,3 +303,109 @@ def test_bootstrap_methods_and_validation(problem):
             data, catalog, n_replicates=4,
             active=np.ones((3, 3), dtype=bool),
         )
+
+
+# --------------------------------------------------------------------- #
+# program-kill guard: guarded drivers == monolithic programs
+# --------------------------------------------------------------------- #
+
+
+def test_refit_guarded_segmented_matches_monolithic(problem):
+    """A forced tiny program budget chops the refit into capped segments;
+    the chained while_loop must reproduce the monolithic program exactly
+    (same blocks, same convergence exit). CPU, so bitwise."""
+    import jax.numpy as jnp
+
+    from salamander_tpu.ops import assign as ops
+
+    X, W, _, _ = problem
+    mask = jnp.ones((W.shape[1], X.shape[1]), dtype=bool)
+    H_mono, it_mono = ops.refit_exposures(
+        jnp.asarray(X), jnp.asarray(W), mask, max_iterations=400, tol=1e-9,
+    )
+    H_seg, it_seg = ops.refit_exposures_guarded(
+        jnp.asarray(X), jnp.asarray(W), mask, max_iterations=400, tol=1e-9,
+        program_seconds=1e-12,
+    )
+    assert int(it_mono) == int(it_seg)
+    np.testing.assert_array_equal(np.asarray(H_mono), np.asarray(H_seg))
+    # generous budget: defers to the monolithic program
+    H_safe, it_safe = ops.refit_exposures_guarded(
+        jnp.asarray(X), jnp.asarray(W), mask, max_iterations=400, tol=1e-9,
+        program_seconds=1e9,
+    )
+    assert int(it_safe) == int(it_mono)
+    np.testing.assert_array_equal(np.asarray(H_mono), np.asarray(H_safe))
+
+
+def test_eliminate_guarded_matches_monolithic(problem):
+    """Host-driven per-round elimination (+ capped dense/final refits)
+    reproduces the monolithic while_loop's supports and exposures."""
+    import jax.numpy as jnp
+
+    from salamander_tpu.ops import assign as ops
+
+    X, W, _, supports = problem
+    mono = ops.eliminate_signatures(
+        jnp.asarray(X), jnp.asarray(W), 0.02, candidate_iters=30,
+        polish_iterations=100, max_polish_iterations=2000,
+    )
+    guarded = ops.eliminate_signatures_guarded(
+        jnp.asarray(X), jnp.asarray(W), 0.02, candidate_iters=30,
+        polish_iterations=100, max_polish_iterations=2000,
+        program_seconds=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono["mask"]), np.asarray(guarded["mask"])
+    )
+    assert int(mono["n_rounds"]) == int(guarded["n_rounds"])
+    np.testing.assert_allclose(
+        np.asarray(mono["H"]), np.asarray(guarded["H"]), rtol=1e-12, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(mono["kl_sparse"]), np.asarray(guarded["kl_sparse"]),
+        rtol=1e-12,
+    )
+
+
+def test_bootstrap_guarded_matches_monolithic(problem):
+    import jax
+    import jax.numpy as jnp
+
+    from salamander_tpu.ops import assign as ops
+
+    X, W, _, _ = problem
+    mask = jnp.ones((W.shape[1], X.shape[1]), dtype=bool)
+    key = jax.random.PRNGKey(4)
+    H_mono = ops.bootstrap_refit(
+        jnp.asarray(X), jnp.asarray(W), mask, key, 4, max_iterations=500,
+    )
+    H_guard = ops.bootstrap_refit_guarded(
+        jnp.asarray(X), jnp.asarray(W), mask, key, 4, max_iterations=500,
+        program_seconds=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(H_mono), np.asarray(H_guard), rtol=1e-12, atol=0
+    )
+
+
+def test_assign_signatures_guarded_dispatch_and_autobatch(problem):
+    """With a program budget forced on (PROGRAM_SECONDS_OVERRIDE), the
+    public driver auto-chunks and routes through the guarded elimination;
+    supports must match the unguarded run, exposures to convergence
+    tolerance (chunking aggregates the refit convergence test per chunk)."""
+    from salamander_tpu.parallel import compaction
+
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    baseline = assign_signatures(data, catalog, rel_tol=0.02)
+    compaction.PROGRAM_SECONDS_OVERRIDE = 1e-4  # force tiny auto batches
+    try:
+        guarded = assign_signatures(data, catalog, rel_tol=0.02)
+    finally:
+        compaction.PROGRAM_SECONDS_OVERRIDE = None
+    pd.testing.assert_frame_equal(baseline.active, guarded.active)
+    np.testing.assert_allclose(
+        baseline.exposures.to_numpy(), guarded.exposures.to_numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
