@@ -25,6 +25,8 @@ from salamander_tpu import datasets
 counts = datasets.load_pcawg_sbs()  # (192 samples, 96 SBS channels)
 
 # -- discover: every (rank, replicate) pair is a lane of one program -------
+# (long cohort-scale runs: pass checkpoint_dir="..." and a kill at any
+# point resumes past completed chunks/refits on the next identical call)
 result = sal.extract_signatures(
     counts, ranks=range(2, 7), n_bootstraps=10, seed=0,
     min_stability=0.8,

@@ -43,8 +43,13 @@ results identical to the single-chunk call: lane draws are
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import warnings
+import zipfile
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any
 
 import jax
@@ -218,6 +223,122 @@ def _cluster_silhouettes(matched: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------- #
+# Preemption-safe checkpointing
+# --------------------------------------------------------------------- #
+
+
+_CHECKPOINT_FORMAT = 1
+
+
+class _ExtractionCheckpoint:
+    """Resume store for one extract_signatures run: a directory holding
+    ``meta.json`` (the run's full identity — data fingerprint, seed, ranks,
+    convergence budget, lane chunking) plus one ``chunk_*.npz`` per
+    completed discovery chunk and one ``rank_*.npz`` per completed
+    consensus refit. Every write is atomic (tmp file + ``os.replace``), so
+    a kill at ANY point leaves a loadable store. Lane draws are
+    (seed, rank, replicate)-keyed and the host clustering is deterministic,
+    so resuming with identical arguments continues the identical
+    computation; a meta mismatch (different data/arguments/backend layout)
+    warns, discards the stale store and recomputes from scratch rather
+    than mixing results from two different runs."""
+
+    def __init__(self, directory, meta: dict):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        meta_path = self.dir / "meta.json"
+        existing = None
+        if meta_path.exists():
+            try:
+                existing = json.loads(meta_path.read_text())
+            except (OSError, json.JSONDecodeError):
+                existing = None
+        if existing != meta:
+            if existing is not None:
+                warnings.warn(
+                    f"extraction checkpoint at {self.dir} was written by a "
+                    "different run (data, arguments or lane layout differ) "
+                    "- discarding it and starting fresh",
+                    UserWarning,
+                )
+            for stale in self.dir.glob("chunk_*.npz"):
+                stale.unlink()
+            for stale in self.dir.glob("rank_*.npz"):
+                stale.unlink()
+            self._atomic_write_text(meta_path, json.dumps(meta, indent=1))
+
+    def _atomic_write_text(self, path: Path, text: str) -> None:
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        tmp.write_text(text)
+        os.replace(tmp, path)
+
+    def _atomic_savez(self, path: Path, **arrays) -> None:
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+
+    # -- discovery chunks ------------------------------------------------
+    def _chunk_path(self, start: int) -> Path:
+        return self.dir / f"chunk_{start:06d}.npz"
+
+    def load_chunk(self, start: int, stop: int):
+        path = self._chunk_path(start)
+        if not path.exists():
+            return None
+        try:
+            with np.load(path) as archive:
+                if int(archive["start"]) != start or \
+                        int(archive["stop"]) != stop:
+                    return None
+                return (archive["W"], archive["loss"],
+                        archive["iterations"])
+        except (OSError, ValueError, KeyError, zipfile.BadZipFile):
+            return None
+
+    def save_chunk(self, start: int, stop: int, W, loss, iterations):
+        self._atomic_savez(
+            self._chunk_path(start),
+            start=np.asarray(start), stop=np.asarray(stop),
+            W=np.asarray(W), loss=np.asarray(loss),
+            iterations=np.asarray(iterations),
+        )
+
+    # -- per-rank consensus refits ---------------------------------------
+    def _rank_path(self, rank: int) -> Path:
+        return self.dir / f"rank_{rank:03d}.npz"
+
+    def load_rank(self, rank: int, consensus: np.ndarray):
+        """Return the cached refit exposures H (k, D) iff the cached entry
+        was computed from EXACTLY this consensus (the clustering is
+        deterministic host math, so a resumed run reproduces it bit-for-bit
+        from the restored chunks; any difference means stale state)."""
+        path = self._rank_path(rank)
+        if not path.exists():
+            return None
+        try:
+            with np.load(path) as archive:
+                if not np.array_equal(archive["consensus"], consensus):
+                    return None
+                return archive["H"]
+        except (OSError, ValueError, KeyError, zipfile.BadZipFile):
+            return None
+
+    def save_rank(self, rank: int, consensus: np.ndarray, H: np.ndarray):
+        self._atomic_savez(
+            self._rank_path(rank),
+            consensus=np.asarray(consensus), H=np.asarray(H),
+        )
+
+
+def _data_fingerprint(X_host: np.ndarray) -> str:
+    contiguous = np.ascontiguousarray(X_host)
+    digest = hashlib.sha256(contiguous.tobytes())
+    digest.update(str(contiguous.shape).encode())
+    digest.update(str(contiguous.dtype).encode())
+    return digest.hexdigest()
+
+
+# --------------------------------------------------------------------- #
 # The pipeline
 # --------------------------------------------------------------------- #
 
@@ -308,6 +429,7 @@ def extract_signatures(
     mesh=None,
     compact: bool | None = None,
     max_lane_gb: float | None = None,
+    checkpoint_dir=None,
 ) -> ExtractionResult:
     """De novo consensus signature extraction over a rank range.
 
@@ -380,6 +502,22 @@ def extract_signatures(
     Chunked results are identical to unchunked (bitwise on CPU): lane
     draws are (seed, rank, replicate)-keyed, never co-tenant-dependent.
     Ignored under ``mesh`` (sharded lanes already spread across devices).
+
+    ``checkpoint_dir``: preemption-safe resume. A cohort-scale extraction
+    is minutes-to-hours of device compute across many programs (the
+    reference has NO persistence anywhere — SURVEY.md section 5.4); with a
+    checkpoint directory every completed discovery chunk and every
+    completed per-rank consensus refit is written atomically as it
+    finishes, and re-running with the SAME data and arguments skips
+    straight past completed work (lane draws are (seed, rank, replicate)-
+    keyed and the host clustering is deterministic, so the resumed run is
+    the identical computation). A checkpoint written by a different run —
+    different data fingerprint, arguments, or lane layout (the auto chunk
+    size is backend-dependent, so resume on the backend that started the
+    run) — is detected, warned about and discarded. Only the final
+    ``fit_final`` refit is not checkpointed (it starts after all heavy
+    phases complete). The directory stays on disk afterwards; delete it to
+    reclaim space or reuse it for reruns of the same configuration.
     """
     from .assign import _extract_counts
 
@@ -475,10 +613,60 @@ def extract_signatures(
             )
             chunk_size = -(n_lanes // -n_chunks)
 
+    if compact is None:
+        # Accelerator lanes always run through the compacting runner,
+        # even below the halving threshold (where it is the identical
+        # lockstep loop with zero halvings): the runner is the only
+        # path with time-capped segments, and the axon worker KILLS
+        # any device program executing longer than ~60 s (measured
+        # 2026-08-19, parallel/compaction.py) — a monolithic 15-lane
+        # x 200k-sample convergence loop is one such program. The
+        # runner's fori-loop blocks also avoid the monolithic
+        # engine's unrolled-block temporaries at big D.
+        use_runner = (
+            mesh is None
+            and config.min_iterations < config.max_iterations
+            and jax.default_backend() in ("tpu", "axon")
+        )
+    else:
+        use_runner = bool(compact)
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = _ExtractionCheckpoint(checkpoint_dir, {
+            "format": _CHECKPOINT_FORMAT,
+            "data": _data_fingerprint(X_host),
+            "seed": int(seed),
+            "ranks": [int(k) for k in ranks],
+            "n_bootstraps": int(n_bootstraps),
+            "resample_method": str(resample_method),
+            "model": model,
+            "lam": float(lam),
+            "delta": float(delta),
+            "min_iterations": int(min_iterations),
+            "max_iterations": int(max_iterations),
+            "conv_test_freq": int(conv_test_freq),
+            "tol": float(tol),
+            "dtype": np.dtype(dtype).name,
+            "n_lanes": int(n_lanes),
+            "chunk_size": int(chunk_size),
+            "compact": bool(use_runner),
+            "mesh": mesh is not None,
+        })
+
     W_parts, loss_parts, iter_parts = [], [], []
     promoted = None
     for start in range(0, n_lanes, chunk_size):
-        sl = slice(start, min(start + chunk_size, n_lanes))
+        stop = min(start + chunk_size, n_lanes)
+        if ckpt is not None:
+            cached = ckpt.load_chunk(start, stop)
+            if cached is not None:
+                W_c, loss_c, iter_c = cached
+                W_parts.append(np.asarray(W_c))
+                loss_parts.append(np.asarray(loss_c))
+                iter_parts.append(np.asarray(iter_c))
+                continue
+        sl = slice(start, stop)
         params0, lane_data = prepare(
             X, key, jnp.asarray(lane_ranks[sl]),
             jnp.asarray(lane_replicates[sl]),
@@ -503,23 +691,6 @@ def extract_signatures(
             promoted = promote_objective(
                 objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
             )
-        if compact is None:
-            # Accelerator lanes always run through the compacting runner,
-            # even below the halving threshold (where it is the identical
-            # lockstep loop with zero halvings): the runner is the only
-            # path with time-capped segments, and the axon worker KILLS
-            # any device program executing longer than ~60 s (measured
-            # 2026-08-19, parallel/compaction.py) — a monolithic 15-lane
-            # x 200k-sample convergence loop is one such program. The
-            # runner's fori-loop blocks also avoid the monolithic
-            # engine's unrolled-block temporaries at big D.
-            use_runner = (
-                mesh is None
-                and config.min_iterations < config.max_iterations
-                and jax.default_backend() in ("tpu", "axon")
-            )
-        else:
-            use_runner = bool(compact)
         if use_runner:
             runner = _cached_extraction_compacting_runner(
                 config, promoted is not objective_fn, 8,
@@ -540,6 +711,8 @@ def extract_signatures(
         W_parts.append(np.asarray(W_c))
         loss_parts.append(np.asarray(loss_c))
         iter_parts.append(np.asarray(iter_c))
+        if ckpt is not None:
+            ckpt.save_chunk(start, stop, W_c, loss_c, iter_c)
         # the fetch synchronized this chunk; dropping the references frees
         # its device buffers before the next chunk's prepare allocates
         del params0, lane_data, result, losses_device
@@ -575,17 +748,25 @@ def extract_signatures(
         )
         silhouette = _cluster_silhouettes(matched)
 
-        W_pad = np.full((n_features, n_padded), 1.0 / n_features)
-        W_pad[:, :rank] = consensus.T
-        mask2d = jnp.asarray(
-            np.arange(n_padded)[:, None] < np.full((1, n_samples), rank)
-        )
-        H_pad, _ = refit(
-            X, jnp.asarray(W_pad, dtype=dtype), mask2d,
-            max_iterations=max_iterations, tol=tol,
-            conv_test_freq=conv_test_freq,
-        )
-        H = np.asarray(H_pad, dtype=np.float64)[:rank]  # (k, D)
+        H = None
+        if ckpt is not None:
+            cached_H = ckpt.load_rank(rank, consensus)
+            if cached_H is not None:
+                H = np.asarray(cached_H, dtype=np.float64)
+        if H is None:
+            W_pad = np.full((n_features, n_padded), 1.0 / n_features)
+            W_pad[:, :rank] = consensus.T
+            mask2d = jnp.asarray(
+                np.arange(n_padded)[:, None] < np.full((1, n_samples), rank)
+            )
+            H_pad, _ = refit(
+                X, jnp.asarray(W_pad, dtype=dtype), mask2d,
+                max_iterations=max_iterations, tol=tol,
+                conv_test_freq=conv_test_freq,
+            )
+            H = np.asarray(H_pad, dtype=np.float64)[:rank]  # (k, D)
+            if ckpt is not None:
+                ckpt.save_rank(rank, consensus, H)
         recon = consensus.T.astype(np.float64) @ H      # (V, D)
         positive = X64 > 0
         consensus_kl = float(

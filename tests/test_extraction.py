@@ -457,3 +457,113 @@ def test_silhouette_matches_sklearn():
 def test_silhouette_undefined_cases():
     assert np.isnan(_cluster_silhouettes(np.ones((1, 3, 5)))).all()
     assert np.isnan(_cluster_silhouettes(np.ones((4, 1, 5)))).all()
+
+
+# --------------------------------------------------------------------- #
+# preemption-safe checkpointing
+# --------------------------------------------------------------------- #
+
+
+def _result_equal(a, b):
+    pd.testing.assert_frame_equal(a.table, b.table)
+    assert a.suggested_rank == b.suggested_rank
+    for k in a.consensus:
+        np.testing.assert_array_equal(
+            a.consensus[k].to_numpy(), b.consensus[k].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            a.exposures[k].to_numpy(), b.exposures[k].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            a.replicate_losses[k], b.replicate_losses[k]
+        )
+
+
+def test_checkpoint_roundtrip_and_full_resume(planted, tmp_path, monkeypatch):
+    """A checkpointed run equals the plain run bitwise (CPU); resuming with
+    the store complete performs ZERO device work — both the discovery fit
+    and every consensus refit are stubbed to raise."""
+    import salamander_tpu.extraction as extraction
+    import salamander_tpu.ops.assign as ops_assign
+
+    data, _ = planted
+    kwargs = dict(
+        ranks=[2, 3], n_bootstraps=4, seed=3, min_iterations=50,
+        max_iterations=500, dtype=np.float64, fit_final=False,
+        max_lane_gb=6e-5,  # force several discovery chunks
+    )
+    baseline = sal.extract_signatures(data, **kwargs)
+    store = tmp_path / "ckpt"
+    first = sal.extract_signatures(data, checkpoint_dir=store, **kwargs)
+    _result_equal(first, baseline)
+    chunk_files = sorted(store.glob("chunk_*.npz"))
+    rank_files = sorted(store.glob("rank_*.npz"))
+    assert len(chunk_files) >= 2 and len(rank_files) == 2
+    assert (store / "meta.json").exists()
+
+    def boom(*args, **bkwargs):
+        raise AssertionError("resume must not recompute completed work")
+
+    monkeypatch.setattr(extraction, "make_fit_function", boom)
+    monkeypatch.setattr(ops_assign, "refit_exposures_guarded", boom)
+    resumed = sal.extract_signatures(data, checkpoint_dir=store, **kwargs)
+    _result_equal(resumed, baseline)
+
+
+def test_checkpoint_partial_resume_recomputes_only_missing(
+    planted, tmp_path, monkeypatch
+):
+    """Deleting one chunk and one rank file simulates a mid-run kill:
+    resume recomputes exactly the missing pieces and matches the
+    uninterrupted run bitwise."""
+    import salamander_tpu.extraction as extraction
+    import salamander_tpu.ops.assign as ops_assign
+
+    data, _ = planted
+    kwargs = dict(
+        ranks=[2, 3], n_bootstraps=4, seed=3, min_iterations=50,
+        max_iterations=500, dtype=np.float64, fit_final=False,
+        max_lane_gb=6e-5,
+    )
+    store = tmp_path / "ckpt"
+    full = sal.extract_signatures(data, checkpoint_dir=store, **kwargs)
+    chunk_files = sorted(store.glob("chunk_*.npz"))
+    chunk_files[1].unlink()
+    (store / "rank_003.npz").unlink()
+
+    fit_calls, refit_calls = [], []
+    real_fit = extraction.make_fit_function
+    real_refit = ops_assign.refit_exposures_guarded
+
+    def counting_fit(*args, **fkwargs):
+        fit_calls.append(1)
+        return real_fit(*args, **fkwargs)
+
+    def counting_refit(*args, **rkwargs):
+        refit_calls.append(1)
+        return real_refit(*args, **rkwargs)
+
+    monkeypatch.setattr(extraction, "make_fit_function", counting_fit)
+    monkeypatch.setattr(ops_assign, "refit_exposures_guarded", counting_refit)
+    resumed = sal.extract_signatures(data, checkpoint_dir=store, **kwargs)
+    assert len(fit_calls) == 1      # one missing discovery chunk
+    assert len(refit_calls) == 1    # one missing rank refit
+    _result_equal(resumed, full)
+
+
+def test_checkpoint_mismatch_discards_store(planted, tmp_path):
+    """A store written by a different run (other seed) is detected via
+    meta.json, warned about, wiped and rebuilt — never silently mixed."""
+    data, _ = planted
+    shared = dict(
+        ranks=[2, 3], n_bootstraps=4, min_iterations=50,
+        max_iterations=500, dtype=np.float64, fit_final=False,
+    )
+    store = tmp_path / "ckpt"
+    sal.extract_signatures(data, seed=3, checkpoint_dir=store, **shared)
+    baseline5 = sal.extract_signatures(data, seed=5, **shared)
+    with pytest.warns(UserWarning, match="different run"):
+        resumed = sal.extract_signatures(
+            data, seed=5, checkpoint_dir=store, **shared
+        )
+    _result_equal(resumed, baseline5)
