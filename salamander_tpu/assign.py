@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -99,6 +100,45 @@ def _align_catalog(catalog, var_names: pd.Index) -> tuple[np.ndarray, list[str]]
     return W, [str(name) for name in frame.index]
 
 
+def _sample_putter(mesh):
+    """(put2d, sample_ways) for sharding (·, D) arrays over the mesh's
+    sample axis. Samples are mathematically independent in every assignment
+    problem (each sample's support search and exposure column depend only on
+    its own counts), so sample sharding is pure data parallelism: the only
+    collectives XLA inserts are the aggregated convergence-test sums.
+    mesh=None returns a plain device put (single-device semantics)."""
+    if mesh is None:
+        return (lambda arr: jnp.asarray(arr)), 1
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .parallel.mesh import SAMPLE_AXIS
+
+    ways = mesh.shape[SAMPLE_AXIS]
+    sharding = NamedSharding(mesh, PartitionSpec(None, SAMPLE_AXIS))
+
+    def put2d(arr):
+        arr = np.asarray(arr)
+        if arr.shape[-1] % ways:
+            raise ValueError(
+                f"the sample axis ({arr.shape[-1]}) must divide the mesh's "
+                f"{ways} sample ways; pass a batch_size that is a multiple "
+                f"of {ways} or pad the cohort"
+            )
+        return jax.device_put(arr, sharding)
+
+    return put2d, ways
+
+
+def _replicated(mesh, arr):
+    if mesh is None:
+        return jnp.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(
+        np.asarray(arr), NamedSharding(mesh, PartitionSpec())
+    )
+
+
 @dataclass
 class AssignmentResult:
     """Sparse catalog assignment of a cohort.
@@ -126,21 +166,26 @@ class AssignmentResult:
 
 
 def assign_exposures(data, catalog, max_iterations: int = 10_000,
-                     tol: float = 1e-7) -> pd.DataFrame:
+                     tol: float = 1e-7, mesh=None) -> pd.DataFrame:
     """Dense catalog refit: exposures for every sample over the FULL
     catalog (all signatures active), KLNMF H-updates to convergence.
 
     One batched device program for the whole cohort. Equivalent to the
     reference's fit(given_parameters={'asignatures': catalog}) exposures,
     without learning anything. Returns a samples x signatures DataFrame.
+
+    ``mesh``: a ``parallel.make_mesh()`` shards the cohort's sample axis
+    across devices (n_samples must divide the mesh's sample ways) — pure
+    data parallelism; only the aggregated convergence sums all-reduce.
     """
     X, obs_names, var_names = _extract_counts(data)
     W, sig_names = _align_catalog(catalog, var_names)
-    mask = jnp.ones((W.shape[1], X.shape[1]), dtype=bool)
+    put2d, _ = _sample_putter(mesh)
+    mask = put2d(np.ones((W.shape[1], X.shape[1]), dtype=bool))
     # guarded: big-D refits run as capped segments under the axon ~60 s
     # program kill; small cohorts and other backends defer to one program
     H, _ = ops.refit_exposures_guarded(
-        jnp.asarray(X), jnp.asarray(W), mask,
+        put2d(X), _replicated(mesh, W), mask,
         max_iterations=max_iterations, tol=tol,
     )
     return pd.DataFrame(
@@ -158,6 +203,7 @@ def assign_signatures(
     max_iterations: int = 10_000,
     tol: float = 1e-7,
     batch_size: int | None = None,
+    mesh=None,
 ) -> AssignmentResult:
     """Sparse per-sample signature assignment against a fixed catalog.
 
@@ -183,13 +229,29 @@ def assign_signatures(
     (ops/assign.py eliminate_signatures_guarded) - instead of as one
     monolithic program. At PCAWG scale nothing changes; at cohort scale
     (COSMIC x 200k samples) this is the difference between completing
-    and crashing the worker.
+    and crashing the worker. Accepted supports honor the KL budget to
+    float roundoff: removals are accepted inside one program and the final
+    per-sample KL is recomputed in another, so on f32 accelerators
+    borderline samples can exceed the budget by cross-program
+    reduction-regrouping ulps (measured: 28 of 100k samples, max 7.6e-5
+    relative — 0.4% of a rel_tol=0.02 budget's own size).
+
+    ``mesh``: a ``parallel.make_mesh()`` shards each chunk's sample axis
+    over the mesh's sample ways (chunk widths must divide the ways —
+    ``batch_size`` is rounded up to a multiple automatically). Samples are
+    independent, so this is pure data parallelism: every (sample,
+    candidate-removal) lane stays device-local and only the aggregated
+    convergence sums all-reduce. Sharded supports match unsharded exactly
+    on CPU; on TPU borderline samples may differ within the acceptance
+    budget (reduction-regrouping ulps, the package-wide split-program
+    lesson).
     """
     X, obs_names, var_names = _extract_counts(data)
     W, sig_names = _align_catalog(catalog, var_names)
     V, D = X.shape
     K = W.shape[1]
-    W_dev = jnp.asarray(W)
+    put2d, sample_ways = _sample_putter(mesh)
+    W_dev = _replicated(mesh, W)
 
     budget = ops._program_budget(None)
     use_guarded = False
@@ -216,11 +278,13 @@ def assign_signatures(
             # the vmapped candidate axis holds (K, K, B) exposures twice
             b_mem = int(4 * 2**30 / (2.5 * itemsize * K * K))
             batch_size = min(D, max(64, min(b_time, b_mem)))
+    if batch_size is not None and batch_size % sample_ways:
+        batch_size += sample_ways - batch_size % sample_ways
 
     def run(chunk: np.ndarray) -> dict[str, np.ndarray]:
         if use_guarded:
             out = ops.eliminate_signatures_guarded(
-                jnp.asarray(chunk), W_dev, rel_tol, abs_tol,
+                put2d(chunk), W_dev, rel_tol, abs_tol,
                 candidate_iters=candidate_iters,
                 polish_iterations=polish_iterations,
                 max_polish_iterations=max_iterations,
@@ -228,7 +292,7 @@ def assign_signatures(
             )
         else:
             out = ops.eliminate_signatures(
-                jnp.asarray(chunk), W_dev, rel_tol, abs_tol,
+                put2d(chunk), W_dev, rel_tol, abs_tol,
                 candidate_iters=candidate_iters,
                 polish_iterations=polish_iterations,
                 max_polish_iterations=max_iterations,
@@ -310,6 +374,7 @@ def bootstrap_exposures(
     max_iterations: int = 10_000,
     tol: float = 1e-7,
     replicate_batch: int | None = None,
+    mesh=None,
 ) -> BootstrapExposuresResult:
     """Uncertainty of catalog-refit exposures by count bootstrap.
 
@@ -336,9 +401,12 @@ def bootstrap_exposures(
     replicates where a signature carries at least ``min_fraction`` of the
     sample's exposure mass - a direct "is this signature really there"
     probability.
-    """
-    import jax
 
+    ``mesh``: shards the cohort's sample axis over the mesh's sample ways
+    (n_samples must divide the ways); resampling and every replicate's
+    refit column are sample-local, so the flat (V, B*D) refit partitions
+    cleanly and only the aggregated convergence sums all-reduce.
+    """
     X, obs_names, var_names = _extract_counts(data)
     W, sig_names = _align_catalog(catalog, var_names)
     K, D = W.shape[1], X.shape[1]
@@ -359,9 +427,10 @@ def bootstrap_exposures(
             )
         mask = mask_arr.T.astype(bool)
 
-    X_dev = jnp.asarray(X)
-    W_dev = jnp.asarray(W)
-    mask_dev = jnp.asarray(mask)
+    put2d, _ = _sample_putter(mesh)
+    X_dev = put2d(X)
+    W_dev = _replicated(mesh, W)
+    mask_dev = put2d(mask)
 
     budget = ops._program_budget(None)
     if replicate_batch is None and budget is not None:

@@ -355,6 +355,17 @@ def eliminate_signatures_guarded(
     D = X.shape[1]
 
     mask0 = jnp.ones((K, D), dtype=bool)
+    frozen = jnp.zeros(D, dtype=bool)
+    # under a sample-sharded X (assign.assign_signatures mesh=...) place the
+    # per-sample state on the same shards up front, so every round program
+    # starts aligned instead of resharding replicated inputs
+    x_sharding = getattr(X, "sharding", None)
+    if isinstance(x_sharding, jax.sharding.NamedSharding) \
+            and len(x_sharding.spec) == 2:
+        mask0 = jax.device_put(mask0, x_sharding)
+        frozen = jax.device_put(frozen, jax.sharding.NamedSharding(
+            x_sharding.mesh, jax.sharding.PartitionSpec(x_sharding.spec[1])
+        ))
     H_dense, _ = refit_exposures_guarded(
         X, W, mask0, max_iterations=max_polish_iterations, tol=polish_tol,
         conv_test_freq=conv_test_freq, program_seconds=program_seconds,
@@ -362,7 +373,6 @@ def eliminate_signatures_guarded(
     kl_dense, budget = _elimination_budget(X, W, H_dense, rel_tol, abs_tol)
 
     mask, H = mask0, H_dense
-    frozen = jnp.zeros(D, dtype=bool)
     rounds = 0
     while rounds < K:
         mask, H, frozen, n_frozen = _elimination_round(

@@ -409,3 +409,86 @@ def test_assign_signatures_guarded_dispatch_and_autobatch(problem):
         baseline.exposures.to_numpy(), guarded.exposures.to_numpy(),
         rtol=1e-5, atol=1e-6,
     )
+
+
+# --------------------------------------------------------------------- #
+# sample-axis sharding (mesh=)
+# --------------------------------------------------------------------- #
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_assignment_sharded_matches_unsharded():
+    """Sample-sharded assignment == unsharded on the CPU mesh: samples are
+    independent, so sharding is pure data parallelism (the only collectives
+    are the aggregated convergence sums — f64 CPU keeps decisions stable)."""
+    import jax
+
+    from salamander_tpu.parallel import make_mesh
+
+    X, W, _, supports = _synthetic(n_samples=16)
+    data, catalog = _frames(X, W)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+
+    base = assign_signatures(data, catalog, rel_tol=0.02)
+    sharded = assign_signatures(data, catalog, rel_tol=0.02, mesh=mesh)
+    pd.testing.assert_frame_equal(base.active, sharded.active)
+    np.testing.assert_allclose(
+        base.exposures.to_numpy(), sharded.exposures.to_numpy(),
+        rtol=1e-9, atol=1e-12,
+    )
+    # chunked + sharded composes; batch_size rounds up to the sample ways
+    chunked = assign_signatures(
+        data, catalog, rel_tol=0.02, batch_size=6, mesh=mesh
+    )
+    pd.testing.assert_frame_equal(base.active, chunked.active)
+
+    dense = assign_exposures(data, catalog)
+    dense_sharded = assign_exposures(data, catalog, mesh=mesh)
+    np.testing.assert_allclose(
+        dense.to_numpy(), dense_sharded.to_numpy(), rtol=1e-9, atol=1e-12,
+    )
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_bootstrap_sharded_matches_unsharded():
+    """jax's partitionable RNG makes the resamples value-deterministic
+    regardless of sharding, so the sharded bootstrap matches unsharded."""
+    import jax
+
+    from salamander_tpu import bootstrap_exposures
+    from salamander_tpu.parallel import make_mesh
+
+    X, W, _, _ = _synthetic(n_samples=16)
+    data, catalog = _frames(X, W)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+    base = bootstrap_exposures(data, catalog, n_replicates=5, seed=1)
+    sharded = bootstrap_exposures(
+        data, catalog, n_replicates=5, seed=1, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        base.point.to_numpy(), sharded.point.to_numpy(),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        base.mean.to_numpy(), sharded.mean.to_numpy(),
+        rtol=1e-9, atol=1e-12,
+    )
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_sharded_assignment_rejects_indivisible_samples():
+    import jax
+
+    from salamander_tpu.parallel import make_mesh
+
+    X, W, _, _ = _synthetic(n_samples=10)  # 10 % 4 != 0
+    data, catalog = _frames(X, W)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+    with pytest.raises(ValueError, match="sample ways"):
+        assign_exposures(data, catalog, mesh=mesh)
