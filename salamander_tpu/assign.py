@@ -204,6 +204,7 @@ def assign_signatures(
     tol: float = 1e-7,
     batch_size: int | None = None,
     mesh=None,
+    checkpoint_dir=None,
 ) -> AssignmentResult:
     """Sparse per-sample signature assignment against a fixed catalog.
 
@@ -245,6 +246,13 @@ def assign_signatures(
     on CPU; on TPU borderline samples may differ within the acceptance
     budget (reduction-regrouping ulps, the package-wide split-program
     lesson).
+
+    ``checkpoint_dir``: preemption-safe resume (checkpoint.ChunkStore).
+    Cohort-scale assignment is minutes of device compute across many
+    sample chunks; every completed chunk's result is written atomically as
+    it finishes, and re-running with the same data and arguments (and the
+    same backend chunk layout) skips past completed chunks. A store from
+    a different run is warned about and discarded.
     """
     X, obs_names, var_names = _extract_counts(data)
     W, sig_names = _align_catalog(catalog, var_names)
@@ -281,6 +289,25 @@ def assign_signatures(
     if batch_size is not None and batch_size % sample_ways:
         batch_size += sample_ways - batch_size % sample_ways
 
+    store = None
+    if checkpoint_dir is not None:
+        from .checkpoint import ChunkStore, data_fingerprint
+
+        store = ChunkStore(checkpoint_dir, {
+            "pipeline": "assign_signatures",
+            "format": 1,
+            "data": data_fingerprint(X, W),
+            "rel_tol": float(rel_tol),
+            "abs_tol": float(abs_tol),
+            "candidate_iters": int(candidate_iters),
+            "polish_iterations": int(polish_iterations),
+            "max_iterations": int(max_iterations),
+            "tol": float(tol),
+            "batch_size": None if batch_size is None else int(batch_size),
+            "use_guarded": bool(use_guarded),
+            "mesh": mesh is not None,
+        })
+
     def run(chunk: np.ndarray) -> dict[str, np.ndarray]:
         if use_guarded:
             out = ops.eliminate_signatures_guarded(
@@ -304,24 +331,32 @@ def assign_signatures(
         fetched["n_rounds"] = int(n_rounds)
         return fetched
 
-    if batch_size is None or batch_size >= D:
-        parts = [run(X)]
-    else:
-        parts = []
-        for start in range(0, D, batch_size):
-            chunk = X[:, start:start + batch_size]
-            pad = batch_size - chunk.shape[1]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[:, :1], pad, axis=1)], axis=1
-                )
-            out = run(chunk)
-            if pad:
-                out = {
-                    key: value[..., :-pad] if np.ndim(value) else value
-                    for key, value in out.items()
-                }
-            parts.append(out)
+    width = D if batch_size is None or batch_size >= D else batch_size
+    parts = []
+    for start in range(0, D, width):
+        stop = min(start + width, D)
+        name = f"chunk_{start:08d}"
+        if store is not None:
+            cached = store.load(name, match={"start": start, "stop": stop})
+            if cached is not None:
+                cached["n_rounds"] = int(cached["n_rounds"])
+                parts.append(cached)
+                continue
+        chunk = X[:, start:stop]
+        pad = width - chunk.shape[1]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[:, :1], pad, axis=1)], axis=1
+            )
+        out = run(chunk)
+        if pad:
+            out = {
+                key: value[..., :-pad] if np.ndim(value) else value
+                for key, value in out.items()
+            }
+        if store is not None:
+            store.save(name, match={"start": start, "stop": stop}, **out)
+        parts.append(out)
 
     def cat(key):
         return np.concatenate([part[key] for part in parts], axis=-1)
@@ -375,6 +410,7 @@ def bootstrap_exposures(
     tol: float = 1e-7,
     replicate_batch: int | None = None,
     mesh=None,
+    checkpoint_dir=None,
 ) -> BootstrapExposuresResult:
     """Uncertainty of catalog-refit exposures by count bootstrap.
 
@@ -406,6 +442,13 @@ def bootstrap_exposures(
     (n_samples must divide the ways); resampling and every replicate's
     refit column are sample-local, so the flat (V, B*D) refit partitions
     cleanly and only the aggregated convergence sums all-reduce.
+
+    ``checkpoint_dir``: preemption-safe resume — every completed replicate
+    chunk's exposures are written atomically; re-running with the same
+    data/arguments (and chunk layout) resumes past them. ``quantiles`` and
+    ``min_fraction`` are host post-processing and deliberately NOT part of
+    the store's identity: rerun with different summaries at zero device
+    cost.
     """
     X, obs_names, var_names = _extract_counts(data)
     W, sig_names = _align_catalog(catalog, var_names)
@@ -449,16 +492,39 @@ def bootstrap_exposures(
     n_resamples = n_replicates - 1
     n_chunks = -(-n_resamples // (chunk - 1))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
+    store = None
+    if checkpoint_dir is not None:
+        from .checkpoint import ChunkStore, data_fingerprint
+
+        store = ChunkStore(checkpoint_dir, {
+            "pipeline": "bootstrap_exposures",
+            "format": 1,
+            "data": data_fingerprint(X, W, mask),
+            "n_replicates": int(n_replicates),
+            "seed": int(seed),
+            "method": str(method),
+            "max_iterations": int(max_iterations),
+            "tol": float(tol),
+            "chunk": int(chunk),
+            "mesh": mesh is not None,
+        })
     point_H = None
     resamples_H = []
     got = 0
     refit = (ops.bootstrap_refit_guarded if budget is not None
              else ops.bootstrap_refit)
     for i in range(n_chunks):
-        H = fetch_pytree(refit(
-            X_dev, W_dev, mask_dev, keys[i], chunk, method=method,
-            max_iterations=max_iterations, tol=tol,
-        ))
+        name = f"chunk_{i:06d}"
+        cached = store.load(name) if store is not None else None
+        if cached is not None:
+            H = cached["H"]
+        else:
+            H = fetch_pytree(refit(
+                X_dev, W_dev, mask_dev, keys[i], chunk, method=method,
+                max_iterations=max_iterations, tol=tol,
+            ))
+            if store is not None:
+                store.save(name, H=H)
         if point_H is None:
             point_H = H[:1]
         take = min(chunk - 1, n_resamples - got)

@@ -43,13 +43,8 @@ results identical to the single-chunk call: lane draws are
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
 import warnings
-import zipfile
 from dataclasses import dataclass, field
-from pathlib import Path
 from typing import Any
 
 import jax
@@ -220,122 +215,6 @@ def _cluster_silhouettes(matched: np.ndarray) -> np.ndarray:
     b = mean_to.min(axis=1)
     s = (b - a) / np.maximum(np.maximum(a, b), np.finfo(np.float64).tiny)
     return s.reshape(k, n_replicates).mean(axis=1)
-
-
-# --------------------------------------------------------------------- #
-# Preemption-safe checkpointing
-# --------------------------------------------------------------------- #
-
-
-_CHECKPOINT_FORMAT = 1
-
-
-class _ExtractionCheckpoint:
-    """Resume store for one extract_signatures run: a directory holding
-    ``meta.json`` (the run's full identity — data fingerprint, seed, ranks,
-    convergence budget, lane chunking) plus one ``chunk_*.npz`` per
-    completed discovery chunk and one ``rank_*.npz`` per completed
-    consensus refit. Every write is atomic (tmp file + ``os.replace``), so
-    a kill at ANY point leaves a loadable store. Lane draws are
-    (seed, rank, replicate)-keyed and the host clustering is deterministic,
-    so resuming with identical arguments continues the identical
-    computation; a meta mismatch (different data/arguments/backend layout)
-    warns, discards the stale store and recomputes from scratch rather
-    than mixing results from two different runs."""
-
-    def __init__(self, directory, meta: dict):
-        self.dir = Path(directory)
-        self.dir.mkdir(parents=True, exist_ok=True)
-        meta_path = self.dir / "meta.json"
-        existing = None
-        if meta_path.exists():
-            try:
-                existing = json.loads(meta_path.read_text())
-            except (OSError, json.JSONDecodeError):
-                existing = None
-        if existing != meta:
-            if existing is not None:
-                warnings.warn(
-                    f"extraction checkpoint at {self.dir} was written by a "
-                    "different run (data, arguments or lane layout differ) "
-                    "- discarding it and starting fresh",
-                    UserWarning,
-                )
-            for stale in self.dir.glob("chunk_*.npz"):
-                stale.unlink()
-            for stale in self.dir.glob("rank_*.npz"):
-                stale.unlink()
-            self._atomic_write_text(meta_path, json.dumps(meta, indent=1))
-
-    def _atomic_write_text(self, path: Path, text: str) -> None:
-        tmp = path.with_suffix(path.suffix + ".tmp")
-        tmp.write_text(text)
-        os.replace(tmp, path)
-
-    def _atomic_savez(self, path: Path, **arrays) -> None:
-        tmp = path.with_suffix(".tmp.npz")
-        np.savez(tmp, **arrays)
-        os.replace(tmp, path)
-
-    # -- discovery chunks ------------------------------------------------
-    def _chunk_path(self, start: int) -> Path:
-        return self.dir / f"chunk_{start:06d}.npz"
-
-    def load_chunk(self, start: int, stop: int):
-        path = self._chunk_path(start)
-        if not path.exists():
-            return None
-        try:
-            with np.load(path) as archive:
-                if int(archive["start"]) != start or \
-                        int(archive["stop"]) != stop:
-                    return None
-                return (archive["W"], archive["loss"],
-                        archive["iterations"])
-        except (OSError, ValueError, KeyError, zipfile.BadZipFile):
-            return None
-
-    def save_chunk(self, start: int, stop: int, W, loss, iterations):
-        self._atomic_savez(
-            self._chunk_path(start),
-            start=np.asarray(start), stop=np.asarray(stop),
-            W=np.asarray(W), loss=np.asarray(loss),
-            iterations=np.asarray(iterations),
-        )
-
-    # -- per-rank consensus refits ---------------------------------------
-    def _rank_path(self, rank: int) -> Path:
-        return self.dir / f"rank_{rank:03d}.npz"
-
-    def load_rank(self, rank: int, consensus: np.ndarray):
-        """Return the cached refit exposures H (k, D) iff the cached entry
-        was computed from EXACTLY this consensus (the clustering is
-        deterministic host math, so a resumed run reproduces it bit-for-bit
-        from the restored chunks; any difference means stale state)."""
-        path = self._rank_path(rank)
-        if not path.exists():
-            return None
-        try:
-            with np.load(path) as archive:
-                if not np.array_equal(archive["consensus"], consensus):
-                    return None
-                return archive["H"]
-        except (OSError, ValueError, KeyError, zipfile.BadZipFile):
-            return None
-
-    def save_rank(self, rank: int, consensus: np.ndarray, H: np.ndarray):
-        self._atomic_savez(
-            self._rank_path(rank),
-            consensus=np.asarray(consensus), H=np.asarray(H),
-        )
-
-
-def _data_fingerprint(X_host: np.ndarray) -> str:
-    contiguous = np.ascontiguousarray(X_host)
-    digest = hashlib.sha256(contiguous.tobytes())
-    digest.update(str(contiguous.shape).encode())
-    digest.update(str(contiguous.dtype).encode())
-    return digest.hexdigest()
 
 
 # --------------------------------------------------------------------- #
@@ -633,9 +512,12 @@ def extract_signatures(
 
     ckpt = None
     if checkpoint_dir is not None:
-        ckpt = _ExtractionCheckpoint(checkpoint_dir, {
-            "format": _CHECKPOINT_FORMAT,
-            "data": _data_fingerprint(X_host),
+        from .checkpoint import ChunkStore, data_fingerprint
+
+        ckpt = ChunkStore(checkpoint_dir, {
+            "pipeline": "extract_signatures",
+            "format": 1,
+            "data": data_fingerprint(X_host),
             "seed": int(seed),
             "ranks": [int(k) for k in ranks],
             "n_bootstraps": int(n_bootstraps),
@@ -659,12 +541,14 @@ def extract_signatures(
     for start in range(0, n_lanes, chunk_size):
         stop = min(start + chunk_size, n_lanes)
         if ckpt is not None:
-            cached = ckpt.load_chunk(start, stop)
+            cached = ckpt.load(
+                f"chunk_{start:06d}",
+                match={"start": start, "stop": stop},
+            )
             if cached is not None:
-                W_c, loss_c, iter_c = cached
-                W_parts.append(np.asarray(W_c))
-                loss_parts.append(np.asarray(loss_c))
-                iter_parts.append(np.asarray(iter_c))
+                W_parts.append(np.asarray(cached["W"]))
+                loss_parts.append(np.asarray(cached["loss"]))
+                iter_parts.append(np.asarray(cached["iterations"]))
                 continue
         sl = slice(start, stop)
         params0, lane_data = prepare(
@@ -712,7 +596,11 @@ def extract_signatures(
         loss_parts.append(np.asarray(loss_c))
         iter_parts.append(np.asarray(iter_c))
         if ckpt is not None:
-            ckpt.save_chunk(start, stop, W_c, loss_c, iter_c)
+            ckpt.save(
+                f"chunk_{start:06d}",
+                match={"start": start, "stop": stop},
+                W=W_c, loss=loss_c, iterations=iter_c,
+            )
         # the fetch synchronized this chunk; dropping the references frees
         # its device buffers before the next chunk's prepare allocates
         del params0, lane_data, result, losses_device
@@ -750,9 +638,14 @@ def extract_signatures(
 
         H = None
         if ckpt is not None:
-            cached_H = ckpt.load_rank(rank, consensus)
-            if cached_H is not None:
-                H = np.asarray(cached_H, dtype=np.float64)
+            # the cached refit counts only if it was computed from EXACTLY
+            # this consensus (the clustering is deterministic host math, so
+            # a resumed run reproduces it bit-for-bit from restored chunks)
+            cached = ckpt.load(
+                f"rank_{rank:03d}", match={"consensus": consensus}
+            )
+            if cached is not None:
+                H = np.asarray(cached["H"], dtype=np.float64)
         if H is None:
             W_pad = np.full((n_features, n_padded), 1.0 / n_features)
             W_pad[:, :rank] = consensus.T
@@ -766,7 +659,9 @@ def extract_signatures(
             )
             H = np.asarray(H_pad, dtype=np.float64)[:rank]  # (k, D)
             if ckpt is not None:
-                ckpt.save_rank(rank, consensus, H)
+                ckpt.save(
+                    f"rank_{rank:03d}", match={"consensus": consensus}, H=H
+                )
         recon = consensus.T.astype(np.float64) @ H      # (V, D)
         positive = X64 > 0
         consensus_kl = float(

@@ -492,3 +492,96 @@ def test_sharded_assignment_rejects_indivisible_samples():
     mesh = make_mesh(jax.devices()[:8], sample_ways=4)
     with pytest.raises(ValueError, match="sample ways"):
         assign_exposures(data, catalog, mesh=mesh)
+
+
+# --------------------------------------------------------------------- #
+# preemption-safe checkpointing (checkpoint.ChunkStore)
+# --------------------------------------------------------------------- #
+
+
+def test_assign_checkpoint_full_and_partial_resume(problem, tmp_path,
+                                                   monkeypatch):
+    """A checkpointed assignment equals the plain run; a full resume does
+    ZERO elimination work (both search entry points stubbed to raise); a
+    partial store recomputes exactly the missing chunk."""
+    from salamander_tpu.ops import assign as ops
+
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    kwargs = dict(rel_tol=0.02, batch_size=3)  # 8 samples -> 3 chunks
+    baseline = assign_signatures(data, catalog, **kwargs)
+    store = tmp_path / "assign_ckpt"
+    first = assign_signatures(data, catalog, checkpoint_dir=store, **kwargs)
+    pd.testing.assert_frame_equal(baseline.active, first.active)
+    np.testing.assert_array_equal(
+        baseline.exposures.to_numpy(), first.exposures.to_numpy()
+    )
+    chunk_files = sorted(store.glob("chunk_*.npz"))
+    assert len(chunk_files) == 3
+
+    def boom(*args, **bkwargs):
+        raise AssertionError("resume must not recompute completed chunks")
+
+    monkeypatch.setattr(ops, "eliminate_signatures", boom)
+    monkeypatch.setattr(ops, "eliminate_signatures_guarded", boom)
+    resumed = assign_signatures(data, catalog, checkpoint_dir=store, **kwargs)
+    pd.testing.assert_frame_equal(baseline.active, resumed.active)
+    np.testing.assert_array_equal(
+        baseline.exposures.to_numpy(), resumed.exposures.to_numpy()
+    )
+    monkeypatch.undo()
+
+    chunk_files[1].unlink()
+    calls = []
+    real = ops.eliminate_signatures
+
+    def counting(*args, **ckwargs):
+        calls.append(1)
+        return real(*args, **ckwargs)
+
+    monkeypatch.setattr(ops, "eliminate_signatures", counting)
+    partial = assign_signatures(data, catalog, checkpoint_dir=store, **kwargs)
+    assert len(calls) == 1
+    pd.testing.assert_frame_equal(baseline.active, partial.active)
+
+    # a different configuration discards the stale store instead of mixing
+    with pytest.warns(UserWarning, match="different run"):
+        other = assign_signatures(
+            data, catalog, rel_tol=0.05, batch_size=3, checkpoint_dir=store
+        )
+    fresh = assign_signatures(data, catalog, rel_tol=0.05, batch_size=3)
+    pd.testing.assert_frame_equal(other.active, fresh.active)
+
+
+def test_bootstrap_checkpoint_resume(problem, tmp_path, monkeypatch):
+    """Bootstrap chunks resume from the store; summaries (quantiles) are
+    deliberately outside the store identity, so re-summarizing is free."""
+    from salamander_tpu.ops import assign as ops
+
+    X, W, _, _ = problem
+    data, catalog = _frames(X, W)
+    store = tmp_path / "boot_ckpt"
+    base = sal.bootstrap_exposures(
+        data, catalog, n_replicates=5, seed=2, replicate_batch=3,
+    )
+    first = sal.bootstrap_exposures(
+        data, catalog, n_replicates=5, seed=2, replicate_batch=3,
+        checkpoint_dir=store,
+    )
+    np.testing.assert_array_equal(
+        base.mean.to_numpy(), first.mean.to_numpy()
+    )
+
+    def boom(*args, **bkwargs):
+        raise AssertionError("resume must not refit completed chunks")
+
+    monkeypatch.setattr(ops, "bootstrap_refit", boom)
+    monkeypatch.setattr(ops, "bootstrap_refit_guarded", boom)
+    resumed = sal.bootstrap_exposures(
+        data, catalog, n_replicates=5, seed=2, replicate_batch=3,
+        checkpoint_dir=store, quantiles=(0.1, 0.9),  # new summaries, free
+    )
+    np.testing.assert_array_equal(
+        base.mean.to_numpy(), resumed.mean.to_numpy()
+    )
+    assert set(resumed.quantiles) == {0.1, 0.9}
