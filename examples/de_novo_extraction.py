@@ -63,3 +63,14 @@ print("\ncluster silhouettes:", np.round(silhouette, 3))
 # -- persist the whole discovery run (minutes of device time) ---------------
 # sal.save_extraction(result, "extraction.npz")
 # result = sal.load_extraction("extraction.npz")
+
+# -- semi-supervised: discover NEW signatures on top of known ones ----------
+# the best COSMIC match above can be pinned as given (frozen in every
+# lane); ranks then count the signatures discovered on top of it
+best_match = cosmic.loc[[annotation["matched"].iloc[0]]]
+semi = sal.extract_signatures(
+    counts, ranks=range(1, 5), n_bootstraps=10, seed=0,
+    given_signatures=best_match, min_stability=0.8,
+)
+print(f"\nsemi-supervised: {semi.suggested_rank} new signatures on top of "
+      f"{list(best_match.index)} (given rows ride every lane frozen)")

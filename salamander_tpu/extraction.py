@@ -107,7 +107,8 @@ def _lane_init(key, X_lane, mask):
 
 
 def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
-                   method, n_padded, with_gamma=False):
+                   method, n_padded, with_gamma=False,
+                   W_given=None, n_given: int = 0):
     """Resample counts and initialize every (rank, replicate) lane.
 
     Returns (params0, data) for the masked lockstep fit. Lane keys are
@@ -121,17 +122,31 @@ def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
 
     with_gamma adds the per-lane persistent line-search step the masked
     MvNMF update carries (reset to 1 per fit — reference mvnmf.py:212-218).
+
+    W_given/n_given (semi-supervised extraction): the first n_given
+    signature columns of EVERY lane are set to W_given and the masked step
+    functions freeze them (reference given-signature semantics,
+    src/salamander/models/_utils_klnmf.py update_W's n_given_signatures);
+    lane_ranks count the NEW signatures, occupying columns
+    [n_given : n_given + rank]. Given exposures (H rows [:n_given]) stay
+    free and are drawn like any other active row.
     """
     X_boot = resample_counts(X, key, n_bootstraps, method)  # (B, V, D)
     # models clip counts to EPSILON at fit start (reference
     # signature_nmf.py:269-281); replicate fits follow the same contract
     X_boot = jnp.maximum(X_boot, EPSILON)
     X_lanes = X_boot[lane_replicates]                       # (L, V, D)
-    masks = lane_ranks[:, None] > jnp.arange(n_padded)[None, :]
+    masks = (
+        (n_given + lane_ranks)[:, None] > jnp.arange(n_padded)[None, :]
+    )
     lane_keys = jax.vmap(
         lambda k, b: jax.random.fold_in(jax.random.fold_in(key, k), b)
     )(lane_ranks, lane_replicates)
     W0, H0 = jax.vmap(_lane_init)(lane_keys, X_lanes, masks)
+    if n_given:
+        W0 = W0.at[:, :, :n_given].set(
+            jnp.asarray(W_given, W0.dtype)[None, :, :]
+        )
     params0 = {"W": W0, "H": H0, "mask": masks}
     if with_gamma:
         params0["gamma"] = jnp.ones((W0.shape[0],), X.dtype)
@@ -299,6 +314,7 @@ def extract_signatures(
     model: str = "klnmf",
     lam: float = 1.0,
     delta: float = 1.0,
+    given_signatures=None,
     min_iterations: int = 500,
     max_iterations: int = 10_000,
     conv_test_freq: int = 10,
@@ -329,6 +345,20 @@ def extract_signatures(
     KL subproblem for BOTH families (the volume penalty touches only W,
     which the refit holds fixed); 'mvnmf' lane losses and ``best_loss``
     are the penalized objective KL + lam*logdet(W^T W + delta I).
+
+    given_signatures (semi-supervised extraction): known signatures (a
+    signatures-x-features DataFrame/AnnData, e.g. COSMIC rows already
+    assigned to the cohort) that every lane carries FROZEN in its leading
+    columns — the reference's given-signature concept
+    (src/salamander/models/_utils_klnmf.py update_W n_given_signatures)
+    lifted into the discovery pipeline: ``ranks`` then counts the NEW
+    signatures discovered on top of the given ones (each lane fits
+    n_given + rank total; given exposures stay free). Consensus
+    clustering, silhouettes and the rank decision run on the NEW
+    signatures only (the given ones are identical across replicates by
+    construction); ``consensus``/``exposures`` frames carry given + new
+    (given names first, new names rolled past any collisions), and
+    ``fit_final`` fits n_given + suggested total signatures.
 
     suggested_rank: under ``rank_rule='largest'`` (default, the
     SigProfilerExtractor-style decision) it is the LARGEST scanned rank
@@ -413,10 +443,21 @@ def extract_signatures(
         )
     X_host, obs_names, var_names = _extract_counts(data)  # (V, D)
     n_features, n_samples = X_host.shape
-    n_padded = ranks[-1]
+    W_given_host = None
+    given_names: list[str] = []
+    n_given = 0
+    if given_signatures is not None:
+        from .assign import _align_catalog
+
+        W_given_host, given_names = _align_catalog(
+            given_signatures, var_names
+        )
+        n_given = W_given_host.shape[1]
+    n_padded = n_given + ranks[-1]
     if n_padded > n_samples or n_padded > n_features:
         raise ValueError(
-            f"max rank {n_padded} exceeds the data's "
+            f"max total rank {n_padded} (n_given={n_given} + "
+            f"max new rank {ranks[-1]}) exceeds the data's "
             f"min(n_samples, n_features) = {min(n_samples, n_features)}"
         )
 
@@ -424,18 +465,27 @@ def extract_signatures(
     lane_replicates = np.tile(np.arange(n_bootstraps), len(ranks))
 
     X = jnp.asarray(np.maximum(X_host, EPSILON), dtype=dtype)
+    W_given = (
+        None if W_given_host is None
+        else jnp.asarray(W_given_host, dtype=dtype)
+    )
     key = jax.random.PRNGKey(seed)
     prepare = jax.jit(
         _prepare_lanes,
-        static_argnames=("n_bootstraps", "method", "n_padded", "with_gamma"),
+        static_argnames=("n_bootstraps", "method", "n_padded", "with_gamma",
+                         "n_given"),
     )
 
     if model == "mvnmf":
         from .ops.mvnmf import make_masked_step_functions as _mv_masked
 
-        update_fn, objective_fn = _mv_masked(lam, delta)
+        update_fn, objective_fn = _mv_masked(
+            lam, delta, n_given_signatures=n_given
+        )
     else:
-        update_fn, objective_fn = make_masked_step_functions()
+        update_fn, objective_fn = make_masked_step_functions(
+            n_given_signatures=n_given
+        )
     from .models.signature_nmf import promote_objective
     from .parallel.compaction import _cached_extraction_compacting_runner
 
@@ -518,6 +568,8 @@ def extract_signatures(
             "pipeline": "extract_signatures",
             "format": 1,
             "data": data_fingerprint(X_host),
+            "given": (None if W_given_host is None
+                      else data_fingerprint(W_given_host)),
             "seed": int(seed),
             "ranks": [int(k) for k in ranks],
             "n_bootstraps": int(n_bootstraps),
@@ -556,6 +608,7 @@ def extract_signatures(
             jnp.asarray(lane_replicates[sl]),
             n_bootstraps=n_bootstraps, method=resample_method,
             n_padded=n_padded, with_gamma=(model == "mvnmf"),
+            W_given=W_given, n_given=n_given,
         )
         if lane_spec is not None:
             from .parallel.mesh import SAMPLE_AXIS
@@ -578,7 +631,7 @@ def extract_signatures(
         if use_runner:
             runner = _cached_extraction_compacting_runner(
                 config, promoted is not objective_fn, 8,
-                family=model, lam=lam, delta=delta,
+                family=model, lam=lam, delta=delta, n_given=n_given,
             )
             result, losses_device = runner.run(params0, lane_data)
         else:
@@ -628,8 +681,14 @@ def extract_signatures(
     X64 = np.asarray(X_host, dtype=np.float64)
     norm_X = np.linalg.norm(X64)
     for rank in ranks:
+        total = n_given + rank
         lanes = lane_ranks == rank
-        stack = np.transpose(W_lanes[lanes][:, :, :rank], (0, 2, 1))
+        # consensus-cluster the NEW signatures only: the given columns are
+        # frozen identical across replicates, so they carry no stability
+        # signal (and would trivially inflate silhouettes)
+        stack = np.transpose(
+            W_lanes[lanes][:, :, n_given:total], (0, 2, 1)
+        )
         lane_losses = losses[lanes]
         consensus, matched, _, _ = _consensus_cluster(
             stack, int(np.argmin(lane_losses))
@@ -648,21 +707,30 @@ def extract_signatures(
                 H = np.asarray(cached["H"], dtype=np.float64)
         if H is None:
             W_pad = np.full((n_features, n_padded), 1.0 / n_features)
-            W_pad[:, :rank] = consensus.T
+            if n_given:
+                W_pad[:, :n_given] = W_given_host
+            W_pad[:, n_given:total] = consensus.T
             mask2d = jnp.asarray(
-                np.arange(n_padded)[:, None] < np.full((1, n_samples), rank)
+                np.arange(n_padded)[:, None] < np.full((1, n_samples), total)
             )
             H_pad, _ = refit(
                 X, jnp.asarray(W_pad, dtype=dtype), mask2d,
                 max_iterations=max_iterations, tol=tol,
                 conv_test_freq=conv_test_freq,
             )
-            H = np.asarray(H_pad, dtype=np.float64)[:rank]  # (k, D)
+            H = np.asarray(H_pad, dtype=np.float64)[:total]  # (G + k, D)
             if ckpt is not None:
                 ckpt.save(
                     f"rank_{rank:03d}", match={"consensus": consensus}, H=H
                 )
-        recon = consensus.T.astype(np.float64) @ H      # (V, D)
+        if n_given:
+            W_full = np.concatenate(
+                [np.asarray(W_given_host, np.float64),
+                 consensus.T.astype(np.float64)], axis=1
+            )  # (V, G + k)
+        else:
+            W_full = consensus.T.astype(np.float64)
+        recon = W_full @ H                              # (V, D)
         positive = X64 > 0
         consensus_kl = float(
             np.sum(X64[positive] * np.log(X64[positive] / recon[positive]))
@@ -674,12 +742,25 @@ def extract_signatures(
         )
         best_loss = consensus_kl
         if model == "mvnmf":
-            Wc = consensus.T.astype(np.float64)  # (V, k) columns = signatures
-            _, logdet = np.linalg.slogdet(Wc.T @ Wc + delta * np.eye(rank))
+            # volume penalty over the FULL signature matrix (given + new),
+            # matching what the lanes minimized
+            _, logdet = np.linalg.slogdet(
+                W_full.T @ W_full + delta * np.eye(total)
+            )
             best_loss = consensus_kl + lam * logdet
-        names = [f"Sig{j + 1}" for j in range(rank)]
+        # new signature names roll past any collision with the given names
+        # (reference initialize_base name-rolling semantics)
+        new_names: list[str] = []
+        existing = set(given_names)
+        j = 1
+        while len(new_names) < rank:
+            candidate = f"Sig{j}"
+            if candidate not in existing:
+                new_names.append(candidate)
+            j += 1
+        names = given_names + new_names
         consensus_by_rank[rank] = pd.DataFrame(
-            consensus, index=names, columns=var_names
+            W_full.T, index=names, columns=var_names
         )
         exposures_by_rank[rank] = pd.DataFrame(
             H.T, index=obs_names, columns=names
@@ -713,7 +794,7 @@ def extract_signatures(
             pd.DataFrame(X_host.T, index=obs_names, columns=var_names)
         )
         shared_kwargs = dict(
-            n_signatures=suggested,
+            n_signatures=n_given + suggested,
             min_iterations=min_iterations, max_iterations=max_iterations,
             conv_test_freq=conv_test_freq, tol=tol,
             dtype=np.dtype(dtype).name,

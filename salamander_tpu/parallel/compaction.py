@@ -633,6 +633,7 @@ def _cached_compacting_runner(config: FitConfig, masked: bool,
 def _cached_extraction_compacting_runner(
     config: FitConfig, promote: bool, min_bucket: int,
     family: str = "klnmf", lam: float = 1.0, delta: float = 1.0,
+    n_given: int = 0,
 ) -> CompactingRunner:
     """Compacting runner for de novo extraction's discovery fit: rank-masked
     KLNMF (or min-vol MvNMF) lanes where every lane fits its OWN bootstrap
@@ -645,12 +646,14 @@ def _cached_extraction_compacting_runner(
         from ..ops import mvnmf as mv_ops
 
         update_fn, objective_fn = mv_ops.make_masked_step_functions(
-            lam, delta
+            lam, delta, n_given_signatures=n_given
         )
     else:
         from ..ops import klnmf as ops
 
-        update_fn, objective_fn = ops.make_masked_step_functions()
+        update_fn, objective_fn = ops.make_masked_step_functions(
+            n_given_signatures=n_given
+        )
     if promote:
         from ..models.signature_nmf import promote_objective
 

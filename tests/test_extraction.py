@@ -567,3 +567,80 @@ def test_checkpoint_mismatch_discards_store(planted, tmp_path):
             data, seed=5, checkpoint_dir=store, **shared
         )
     _result_equal(resumed, baseline5)
+
+
+# --------------------------------------------------------------------- #
+# semi-supervised extraction (given_signatures)
+# --------------------------------------------------------------------- #
+
+
+def test_given_signatures_semisupervised(planted):
+    """One planted signature supplied as given: lanes carry it frozen,
+    the scan discovers the remaining two, and the result frames carry
+    given + new with the given row bit-exact."""
+    data, W_true = planted  # 3 planted row signatures
+    given = pd.DataFrame(
+        W_true[:1], index=["Known1"], columns=data.columns
+    )
+    result = sal.extract_signatures(
+        data, ranks=[1, 2, 3], n_bootstraps=6, seed=0,
+        min_iterations=100, max_iterations=2000, dtype=np.float64,
+        given_signatures=given,
+    )
+    assert result.suggested_rank == 2  # 2 NEW signatures on top of 1 given
+
+    cons = result.consensus[2]
+    assert cons.shape == (3, data.shape[1])  # given + 2 new, full frame
+    assert list(cons.index) == ["Known1", "Sig1", "Sig2"]
+    # the given row is the aligned given signature EXACTLY (frozen columns
+    # never move through the masked updates)
+    from salamander_tpu.ops.klnmf import EPSILON
+
+    aligned = np.maximum(W_true[0], EPSILON)
+    aligned = aligned / aligned.sum()
+    np.testing.assert_array_equal(cons.to_numpy()[0], aligned)
+
+    # the two new consensus signatures recover the other planted processes
+    units = cons.to_numpy()[1:]
+    units = units / np.linalg.norm(units, axis=1, keepdims=True)
+    rest = W_true[1:] / np.linalg.norm(W_true[1:], axis=1, keepdims=True)
+    sim = rest @ units.T
+    from scipy.optimize import linear_sum_assignment
+
+    r, c = linear_sum_assignment(1.0 - sim)
+    assert np.all(sim[r, c] > 0.95)
+
+    # stability/silhouettes are NEW-signature quantities
+    assert result.silhouettes[2].shape == (2,)
+    assert result.matched[2].shape[1] == 2
+    # exposures and the final model span given + new
+    assert result.exposures[2].shape == (data.shape[0], 3)
+    assert result.model is not None
+    assert result.model.signatures.shape[0] == 3  # (signatures, features)
+    np.testing.assert_array_equal(
+        np.asarray(result.model.asignatures.X)[0], aligned
+    )
+
+
+def test_given_signatures_name_rolling_and_mvnmf(planted):
+    """Given names colliding with the Sig{j} scheme roll the new names
+    forward (reference initialize_base semantics); the min-vol family
+    threads n_given through its masked line search too."""
+    data, W_true = planted
+    given = pd.DataFrame(
+        W_true[:1], index=["Sig1"], columns=data.columns
+    )
+    result = sal.extract_signatures(
+        data, ranks=[2], n_bootstraps=3, seed=1,
+        min_iterations=50, max_iterations=500, dtype=np.float64,
+        given_signatures=given, model="mvnmf", fit_final=False,
+        min_stability=0.0,
+    )
+    assert list(result.consensus[2].index) == ["Sig1", "Sig2", "Sig3"]
+    from salamander_tpu.ops.klnmf import EPSILON
+
+    aligned = np.maximum(W_true[0], EPSILON)
+    aligned = aligned / aligned.sum()
+    np.testing.assert_array_equal(
+        result.consensus[2].to_numpy()[0], aligned
+    )
