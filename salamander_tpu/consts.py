@@ -52,6 +52,29 @@ def _build_indel_types_83() -> list[str]:
 INDEL_TYPES_83 = _build_indel_types_83()
 assert len(INDEL_TYPES_83) == 83
 
+# The 10 canonical COSMIC DBS-78 reference doublets with their alternate
+# alleles (reverse-complement-collapsed: AT/CG/GC/TA are their own reverse
+# complements and keep 6 alternates, the other six doublets keep 9).
+# Beyond the reference (its consts stop at SBS96/ID83); channel order is the
+# standard COSMIC v3 DBS78 catalog order.
+_DBS_ALTS = {
+    "AC": ["CA", "CG", "CT", "GA", "GG", "GT", "TA", "TG", "TT"],
+    "AT": ["CA", "CC", "CG", "GA", "GC", "TA"],
+    "CC": ["AA", "AG", "AT", "GA", "GG", "GT", "TA", "TG", "TT"],
+    "CG": ["AT", "GC", "GT", "TA", "TC", "TT"],
+    "CT": ["AA", "AC", "AG", "GA", "GC", "GG", "TA", "TC", "TG"],
+    "GC": ["AA", "AG", "AT", "CA", "CG", "TA"],
+    "TA": ["AT", "CG", "CT", "GC", "GG", "GT"],
+    "TC": ["AA", "AG", "AT", "CA", "CG", "CT", "GA", "GG", "GT"],
+    "TG": ["AA", "AC", "AT", "CA", "CC", "CT", "GA", "GC", "GT"],
+    "TT": ["AA", "AC", "AG", "CA", "CC", "CG", "GA", "GC", "GG"],
+}
+
+DBS_TYPES_78 = [
+    f"{ref}>{alt}" for ref, alts in _DBS_ALTS.items() for alt in alts
+]
+assert len(DBS_TYPES_78) == 78
+
 # A 10-color qualitative palette (Mathematica default colors).
 COLORS_MATHEMATICA = [
     (0.368417, 0.506779, 0.709798),
@@ -103,3 +126,25 @@ COLORS_INDEL83 = [
     color for size, color in zip(_GROUP_SIZES, COLORS_INDEL) for _ in range(size)
 ]
 assert len(COLORS_INDEL83) == 83
+
+# Standard DBS-78 group colors (one per reference doublet, the
+# SigProfiler/COSMIC spectrum-plot convention).
+COLORS_DBS = [
+    "#03BDEF",  # AC>NN light blue
+    "#0266CC",  # AT>NN blue
+    "#A5CF63",  # CC>NN light green
+    "#016601",  # CG>NN dark green
+    "#FE9898",  # CT>NN light red
+    "#E42A25",  # GC>NN red
+    "#FEB064",  # TA>NN light orange
+    "#FD8004",  # TC>NN orange
+    "#CB98FD",  # TG>NN light purple
+    "#4C0299",  # TT>NN purple
+]
+
+COLORS_DBS78 = [
+    color
+    for alts, color in zip(_DBS_ALTS.values(), COLORS_DBS)
+    for _ in range(len(alts))
+]
+assert len(COLORS_DBS78) == 78

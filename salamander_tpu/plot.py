@@ -22,7 +22,14 @@ from matplotlib.axes import Axes
 from scipy.cluster import hierarchy
 from scipy.spatial.distance import pdist
 
-from .consts import COLORS_INDEL83, COLORS_SBS96, INDEL_TYPES_83, SBS_TYPES_96
+from .consts import (
+    COLORS_DBS78,
+    COLORS_INDEL83,
+    COLORS_SBS96,
+    DBS_TYPES_78,
+    INDEL_TYPES_83,
+    SBS_TYPES_96,
+)
 from .utils import _concat_light, _get_basis_obsm, _get_basis_obsp, match_to_catalog
 
 
@@ -298,8 +305,11 @@ def correlation(adata, **kwargs):
 # --------------------------------------------------------------------------
 
 def _get_colors_barplot(var_names, colors=None):
-    """Resolve the bar colors: SBS96/Indel83 standards auto-detected from the
-    feature set, single colors broadcast, explicit lists validated."""
+    """Resolve the bar colors: SBS96/Indel83/DBS78 standards auto-detected
+    from the feature set, single colors broadcast, explicit lists validated.
+
+    SBS96/Indel83 detection matches the reference (plot.py:420-457); DBS78
+    (COSMIC doublet-base substitutions) is beyond-reference."""
     var_names = list(var_names)
     n_vars = len(var_names)
 
@@ -321,6 +331,15 @@ def _get_colors_barplot(var_names, colors=None):
                 "when the signatures have 83 features."
             )
         return COLORS_INDEL83
+    if colors == "DBS78" or (
+        n_vars == 78 and var_names == DBS_TYPES_78 and colors is None
+    ):
+        if n_vars != 78:
+            raise ValueError(
+                "The standard DBS colors can only be used "
+                "when the signatures have 78 features."
+            )
+        return COLORS_DBS78
     if type(colors) in (str, tuple):
         return n_vars * [colors]
     if type(colors) is list:

@@ -11,7 +11,7 @@ import pandas as pd
 import pytest
 
 from salamander_tpu import plot
-from salamander_tpu.consts import INDEL_TYPES_83, SBS_TYPES_96
+from salamander_tpu.consts import DBS_TYPES_78, INDEL_TYPES_83, SBS_TYPES_96
 from salamander_tpu.containers import AnnData
 
 
@@ -57,12 +57,19 @@ def test_barplot_colors_resolution():
         ["x"] * 96, "SBS96"
     )
     assert len(plot._get_colors_barplot(INDEL_TYPES_83)) == 83
+    assert plot._get_colors_barplot(DBS_TYPES_78) == plot._get_colors_barplot(
+        ["x"] * 78, "DBS78"
+    )
+    # 10 reference-doublet groups, contiguous group coloring
+    assert len(set(plot._get_colors_barplot(DBS_TYPES_78))) == 10
     assert plot._get_colors_barplot(["a", "b"], "red") == ["red", "red"]
     assert plot._get_colors_barplot(["a", "b"]) == ["gray", "gray"]
     with pytest.raises(ValueError):
         plot._get_colors_barplot(["a", "b"], ["red"])
     with pytest.raises(ValueError):
         plot._get_colors_barplot(["a"] * 5, "SBS96")
+    with pytest.raises(ValueError):
+        plot._get_colors_barplot(["a"] * 5, "DBS78")
 
 
 @pytest.fixture(scope="module")
