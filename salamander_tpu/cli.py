@@ -1,0 +1,519 @@
+"""Command-line interface for the cohort-scale pipelines.
+
+``python -m salamander_tpu <command>`` drives the package's production
+workflows end-to-end from count matrices on disk — fit one model, run the
+de novo consensus extraction, assign a cohort against a fixed catalog, or
+bootstrap exposure uncertainty — with the same checkpoint/resume, device
+and chunking controls the Python API exposes. The reference is a
+library-only package (no console entry points anywhere in its
+pyproject.toml); operating its workflows on a cluster means writing a
+driver script per run. Here the drivers ship with the package, so a
+preempted extraction resumes with the identical command line
+(``--checkpoint-dir``).
+
+Input conventions
+-----------------
+Count matrices follow the reference's shipped data layout (features as
+rows, one column per sample — e.g. data/pcawg_breast_sbs.csv); pass
+``--samples-as rows`` for the transposed layout. Catalogs are CSVs in
+either orientation (feature names are matched against the counts' and the
+orientation auto-detected), or the built-in names ``cosmic-sbs`` /
+``cosmic-indel``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+__all__ = ["main"]
+
+
+def _read_counts(path: str, samples_as: str) -> pd.DataFrame:
+    """Counts CSV -> samples-x-features DataFrame."""
+    frame = pd.read_csv(path, index_col=0)
+    if samples_as == "columns":
+        frame = frame.T
+    frame.index = frame.index.astype(str)
+    frame.columns = frame.columns.astype(str)
+    return frame
+
+
+def _read_catalog(spec: str) -> pd.DataFrame:
+    """Catalog spec (builtin name or CSV path) -> DataFrame.
+
+    Orientation is auto-detected downstream against the counts' feature
+    names (assign._align_catalog), so both layouts are accepted here.
+    """
+    from . import datasets
+
+    if spec == "cosmic-sbs":
+        return datasets.load_cosmic_sbs_catalog()
+    if spec == "cosmic-indel":
+        return datasets.load_cosmic_indel_catalog()
+    return pd.read_csv(spec, index_col=0)
+
+
+def _parse_ranks(spec: str) -> list[int]:
+    """'2-10' (inclusive) or '2,3,5' -> sorted unique ranks."""
+    ranks: set[int] = set()
+    for part in spec.split(","):
+        part = part.strip()
+        if "-" in part[1:]:  # allow plain ints; '-' only as a range here
+            lo, hi = part.split("-", 1)
+            ranks.update(range(int(lo), int(hi) + 1))
+        else:
+            ranks.add(int(part))
+    if not ranks or min(ranks) < 1:
+        raise argparse.ArgumentTypeError(f"invalid rank spec: {spec!r}")
+    return sorted(ranks)
+
+
+def _make_mesh(spec: str | None):
+    """--mesh spec -> parallel.make_mesh(). 'auto' factors all visible
+    devices into (restarts, samples); 'samples=N' pins the sample ways."""
+    if spec is None:
+        return None
+    from .parallel import make_mesh
+
+    if spec == "auto":
+        return make_mesh()
+    if spec.startswith("samples="):
+        return make_mesh(sample_ways=int(spec.split("=", 1)[1]))
+    raise argparse.ArgumentTypeError(
+        f"invalid mesh spec {spec!r}: use 'auto' or 'samples=N'"
+    )
+
+
+def _add_mesh(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--mesh", default=None,
+        help="shard over the visible devices: 'auto' (factor all devices "
+        "into restarts x samples) or 'samples=N'",
+    )
+
+
+def _add_common(parser: argparse.ArgumentParser, multi: bool = False) -> None:
+    if multi:
+        parser.add_argument(
+            "counts", nargs="+",
+            help="counts CSV(s) (features as rows by default); several "
+            "files = one modality each (--model mmcorrnmf)",
+        )
+    else:
+        parser.add_argument(
+            "counts", help="counts CSV (features as rows by default)"
+        )
+    parser.add_argument(
+        "--samples-as", choices=["columns", "rows"], default="columns",
+        help="which axis of the counts CSV holds the samples "
+        "(default: columns, the reference data layout)",
+    )
+    parser.add_argument(
+        "--output", "-o", default=".",
+        help="output directory (created if missing)",
+    )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (skip any configured accelerator)",
+    )
+
+
+def _apply_backend(args) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+
+        # sitecustomize may pin an accelerator platform list; the env var
+        # alone is ignored once that ran, so set the config directly.
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _outdir(args) -> Path:
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    return out
+
+
+def _parse_ks(spec: str, n_modalities: int) -> list[int]:
+    ks = [int(part) for part in str(spec).split(",")]
+    if len(ks) == 1:
+        ks = ks * n_modalities
+    if len(ks) != n_modalities:
+        raise argparse.ArgumentTypeError(
+            f"-k lists {len(ks)} signature counts for {n_modalities} "
+            "counts file(s)"
+        )
+    return ks
+
+
+def _cmd_fit(args) -> int:
+    _apply_backend(args)
+    from . import io as sio
+    from .containers import AnnData, MuData
+    from .models import (
+        ARDNMF,
+        KLNMF,
+        CorrNMFDet,
+        MultimodalCorrNMF,
+        MvNMF,
+    )
+
+    frames = [_read_counts(path, args.samples_as) for path in args.counts]
+    names = (
+        args.names.split(",") if args.names
+        else [Path(path).stem for path in args.counts]
+    )
+    if len(names) != len(frames) or len(set(names)) != len(names):
+        raise SystemExit(
+            f"--names must list {len(frames)} distinct modality names"
+        )
+    ks = _parse_ks(args.n_signatures, len(frames))
+    if args.model != "mmcorrnmf" and len(frames) > 1:
+        raise SystemExit(
+            "several counts files require --model mmcorrnmf; the other "
+            "families fit one matrix"
+        )
+    out = _outdir(args)
+    init_kwargs = {"seed": args.seed} if args.seed is not None else None
+    common = dict(
+        init_method=args.init_method,
+        min_iterations=args.min_iterations,
+        max_iterations=args.max_iterations,
+        conv_test_freq=args.conv_test_freq,
+        tol=args.tol,
+        dtype=args.dtype,
+    )
+
+    if args.model == "mmcorrnmf":
+        mdata = MuData(
+            {name: AnnData(frame) for name, frame in zip(names, frames)}
+        )
+        model = MultimodalCorrNMF(
+            ns_signatures=ks, dim_embeddings=args.dim_embeddings, **common
+        )
+        model.fit(mdata, init_kwargs=init_kwargs, verbose=args.verbose)
+        model_path = out / "model.npz"
+        sio.save_model(model, str(model_path))
+        for name in names:
+            model.asignatures[name].to_df().to_csv(
+                out / f"signatures_{name}.csv"
+            )
+            model.exposures[name].to_csv(out / f"exposures_{name}.csv")
+        if args.export_h5ad:
+            mdata.write_h5mu(str(out / "fitted.h5mu"))
+        objective = model.history["objective_function"][-1]
+        print(
+            f"fit: mmcorrnmf ks={ks} over modalities {names} converged in "
+            f"{model.history['n_iterations']} iterations, ELBO "
+            f"{objective:.6g}; wrote {model_path}"
+        )
+        return 0
+
+    adata = AnnData(frames[0])
+    if args.model == "klnmf":
+        model = KLNMF(n_signatures=ks[0], **common)
+    elif args.model == "mvnmf":
+        model = MvNMF(n_signatures=ks[0], lam=args.lam, delta=args.delta,
+                      **common)
+    elif args.model == "corrnmf":
+        model = CorrNMFDet(n_signatures=ks[0],
+                           dim_embeddings=args.dim_embeddings, **common)
+    else:
+        model = ARDNMF(n_signatures=ks[0], **common)
+    model.fit(adata, init_kwargs=init_kwargs, verbose=args.verbose)
+
+    model_path = out / "model.npz"
+    sio.save_model(model, str(model_path))
+    model.asignatures.to_df().to_csv(out / "signatures.csv")
+    pd.DataFrame(
+        adata.obsm["exposures"],
+        index=adata.obs_names,
+        columns=model.asignatures.obs_names,
+    ).to_csv(out / "exposures.csv")
+    if args.export_h5ad:
+        adata.write_h5ad(str(out / "fitted.h5ad"))
+    objective = model.history["objective_function"][-1]
+    print(
+        f"fit: {args.model} k={ks[0]} converged in "
+        f"{model.history['n_iterations']} iterations, objective "
+        f"{objective:.6g}; wrote {model_path}"
+    )
+    return 0
+
+
+def _cmd_extract(args) -> int:
+    _apply_backend(args)
+    from .extraction import extract_signatures
+    from .io import save_extraction
+
+    counts = _read_counts(args.counts, args.samples_as)
+    given = (
+        _read_catalog(args.given_signatures)
+        if args.given_signatures else None
+    )
+    result = extract_signatures(
+        counts,
+        _parse_ranks(args.ranks),
+        n_bootstraps=args.n_bootstraps,
+        resample_method=args.resample_method,
+        seed=args.seed,
+        min_stability=args.min_stability,
+        rank_rule=args.rank_rule,
+        model=args.model,
+        lam=args.lam,
+        delta=args.delta,
+        given_signatures=given,
+        min_iterations=args.min_iterations,
+        max_iterations=args.max_iterations,
+        tol=args.tol,
+        max_lane_gb=args.max_lane_gb,
+        mesh=_make_mesh(args.mesh),
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    out = _outdir(args)
+    save_extraction(result, str(out / "extraction.npz"))
+    result.table.to_csv(out / "rank_table.csv")
+    for rank, consensus in result.consensus.items():
+        consensus.to_csv(out / f"consensus_signatures_rank{rank}.csv")
+        result.exposures[rank].to_csv(out / f"exposures_rank{rank}.csv")
+    print(result.table.to_string())
+    if result.suggested_rank is None:
+        print("suggested rank: none (no rank met the stability threshold)")
+    else:
+        print(f"suggested rank: {result.suggested_rank}")
+    print(f"wrote {out / 'extraction.npz'}")
+    return 0
+
+
+def _cmd_assign(args) -> int:
+    _apply_backend(args)
+    from .assign import assign_exposures, assign_signatures
+
+    counts = _read_counts(args.counts, args.samples_as)
+    catalog = _read_catalog(args.catalog)
+    out = _outdir(args)
+    if args.dense:
+        exposures = assign_exposures(
+            counts, catalog,
+            max_iterations=args.max_iterations, tol=args.tol,
+            mesh=_make_mesh(args.mesh),
+        )
+        exposures.to_csv(out / "exposures.csv")
+        print(
+            f"assign (dense): {exposures.shape[0]} samples x "
+            f"{exposures.shape[1]} catalog signatures; "
+            f"wrote {out / 'exposures.csv'}"
+        )
+        return 0
+    result = assign_signatures(
+        counts, catalog,
+        rel_tol=args.rel_tol,
+        abs_tol=args.abs_tol,
+        candidate_iters=args.candidate_iters,
+        max_iterations=args.max_iterations,
+        tol=args.tol,
+        batch_size=args.batch_size,
+        mesh=_make_mesh(args.mesh),
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    result.exposures.to_csv(out / "exposures.csv")
+    result.active.to_csv(out / "active.csv")
+    summary = pd.DataFrame({
+        "kl_dense": result.kl_dense,
+        "kl_sparse": result.kl_sparse,
+        "n_active": result.n_active,
+    })
+    summary.to_csv(out / "summary.csv")
+    (out / "meta.json").write_text(json.dumps(result.meta, indent=1))
+    assigned = result.assigned_signatures()
+    print(
+        f"assign (sparse): {result.exposures.shape[0]} samples, mean "
+        f"support {result.n_active.mean():.2f} signatures, "
+        f"{len(assigned)} catalog signatures active cohort-wide; "
+        f"wrote {out / 'exposures.csv'}"
+    )
+    return 0
+
+
+def _cmd_bootstrap(args) -> int:
+    _apply_backend(args)
+    from .assign import bootstrap_exposures
+
+    counts = _read_counts(args.counts, args.samples_as)
+    catalog = _read_catalog(args.catalog)
+    active = None
+    if args.active:
+        active = pd.read_csv(args.active, index_col=0).astype(bool)
+    quantiles = tuple(float(q) for q in args.quantiles.split(","))
+    result = bootstrap_exposures(
+        counts, catalog,
+        n_replicates=args.n_replicates,
+        seed=args.seed,
+        method=args.resample_method,
+        quantiles=quantiles,
+        min_fraction=args.min_fraction,
+        active=active,
+        max_iterations=args.max_iterations,
+        tol=args.tol,
+        replicate_batch=args.replicate_batch,
+        mesh=_make_mesh(args.mesh),
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    out = _outdir(args)
+    result.point.to_csv(out / "exposures_point.csv")
+    result.mean.to_csv(out / "exposures_mean.csv")
+    result.std.to_csv(out / "exposures_std.csv")
+    result.presence.to_csv(out / "presence.csv")
+    for q, frame in result.quantiles.items():
+        frame.to_csv(out / f"exposures_q{q:g}.csv")
+    print(
+        f"bootstrap: {result.meta['n_replicates']} replicates "
+        f"({result.meta['method']}), wrote point/mean/std/presence and "
+        f"{len(result.quantiles)} quantile frames to {out}"
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="salamander_tpu",
+        description=__doc__.split("\n\n")[0],
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    fit = sub.add_parser(
+        "fit", help="fit one NMF model and save it (io.save_model)"
+    )
+    _add_common(fit, multi=True)
+    fit.add_argument(
+        "--model",
+        choices=["klnmf", "mvnmf", "corrnmf", "ardnmf", "mmcorrnmf"],
+        default="klnmf",
+    )
+    fit.add_argument(
+        "--n-signatures", "-k", required=True,
+        help="signature count, or a comma list (one per counts file) "
+        "for mmcorrnmf",
+    )
+    fit.add_argument(
+        "--names", default=None,
+        help="comma list of modality names for mmcorrnmf "
+        "(default: counts file stems)",
+    )
+    fit.add_argument("--init-method", default="nndsvd")
+    fit.add_argument("--min-iterations", type=int, default=500)
+    fit.add_argument("--max-iterations", type=int, default=10_000)
+    fit.add_argument("--conv-test-freq", type=int, default=10)
+    fit.add_argument("--tol", type=float, default=1e-7)
+    fit.add_argument("--dtype", default="float32")
+    fit.add_argument("--seed", type=int, default=None)
+    fit.add_argument("--lam", type=float, default=1.0)
+    fit.add_argument("--delta", type=float, default=1.0)
+    fit.add_argument("--dim-embeddings", type=int, default=None)
+    fit.add_argument("--export-h5ad", action="store_true")
+    fit.add_argument("--verbose", type=int, choices=[0, 1], default=0)
+    fit.set_defaults(func=_cmd_fit)
+
+    extract = sub.add_parser(
+        "extract",
+        help="de novo consensus signature extraction over a rank range",
+    )
+    _add_common(extract)
+    extract.add_argument(
+        "--ranks", required=True,
+        help="rank range '2-10' (inclusive) or list '2,3,5'",
+    )
+    extract.add_argument("--n-bootstraps", type=int, default=20)
+    extract.add_argument(
+        "--resample-method", choices=["multinomial", "poisson"],
+        default="multinomial",
+    )
+    extract.add_argument("--seed", type=int, default=0)
+    extract.add_argument("--min-stability", type=float, default=0.8)
+    extract.add_argument(
+        "--rank-rule", choices=["largest", "prefix"], default="largest"
+    )
+    extract.add_argument("--model", choices=["klnmf", "mvnmf"],
+                         default="klnmf")
+    extract.add_argument("--lam", type=float, default=1.0)
+    extract.add_argument("--delta", type=float, default=1.0)
+    extract.add_argument(
+        "--given-signatures", default=None,
+        help="CSV of known signatures to carry frozen (semi-supervised)",
+    )
+    extract.add_argument("--min-iterations", type=int, default=500)
+    extract.add_argument("--max-iterations", type=int, default=10_000)
+    extract.add_argument("--tol", type=float, default=1e-7)
+    extract.add_argument("--max-lane-gb", type=float, default=None)
+    extract.add_argument("--checkpoint-dir", default=None)
+    _add_mesh(extract)
+    extract.set_defaults(func=_cmd_extract)
+
+    assign = sub.add_parser(
+        "assign",
+        help="assign a cohort against a fixed catalog (sparse by default)",
+    )
+    _add_common(assign)
+    assign.add_argument(
+        "catalog",
+        help="catalog CSV (either orientation) or 'cosmic-sbs'/"
+        "'cosmic-indel'",
+    )
+    assign.add_argument(
+        "--dense", action="store_true",
+        help="full-catalog refit only (no support search)",
+    )
+    assign.add_argument("--rel-tol", type=float, default=0.02)
+    assign.add_argument("--abs-tol", type=float, default=0.0)
+    assign.add_argument("--candidate-iters", type=int, default=50)
+    assign.add_argument("--max-iterations", type=int, default=10_000)
+    assign.add_argument("--tol", type=float, default=1e-7)
+    assign.add_argument("--batch-size", type=int, default=None)
+    assign.add_argument("--checkpoint-dir", default=None)
+    _add_mesh(assign)
+    assign.set_defaults(func=_cmd_assign)
+
+    bootstrap = sub.add_parser(
+        "bootstrap",
+        help="bootstrap uncertainty of catalog-refit exposures",
+    )
+    _add_common(bootstrap)
+    bootstrap.add_argument(
+        "catalog",
+        help="catalog CSV (either orientation) or 'cosmic-sbs'/"
+        "'cosmic-indel'",
+    )
+    bootstrap.add_argument("--n-replicates", type=int, default=200)
+    bootstrap.add_argument("--seed", type=int, default=0)
+    bootstrap.add_argument(
+        "--resample-method", choices=["multinomial", "poisson"],
+        default="multinomial",
+    )
+    bootstrap.add_argument("--quantiles", default="0.05,0.5,0.95")
+    bootstrap.add_argument("--min-fraction", type=float, default=0.05)
+    bootstrap.add_argument(
+        "--active", default=None,
+        help="bool samples-x-signatures CSV (e.g. assign's active.csv) "
+        "restricting each sample to a support",
+    )
+    bootstrap.add_argument("--max-iterations", type=int, default=10_000)
+    bootstrap.add_argument("--tol", type=float, default=1e-7)
+    bootstrap.add_argument("--replicate-batch", type=int, default=None)
+    bootstrap.add_argument("--checkpoint-dir", default=None)
+    _add_mesh(bootstrap)
+    bootstrap.set_defaults(func=_cmd_bootstrap)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via __main__
+    sys.exit(main())

@@ -1,0 +1,239 @@
+"""CLI (python -m salamander_tpu) end-to-end on tiny synthetic cohorts.
+
+The reference ships no console entry points; these tests pin the
+beyond-reference driver surface: every subcommand runs in-process via
+cli.main on CSVs in a temp directory and its outputs round-trip through
+the corresponding Python API objects.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from salamander_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    """A planted 3-signature cohort: counts CSV (features x samples, the
+    reference data layout) + the true signatures as a catalog CSV."""
+    rng = np.random.default_rng(7)
+    V, D, K = 12, 24, 3
+    W = rng.dirichlet(np.ones(V) * 0.4, size=K)        # (K, V) rows
+    H = rng.gamma(2.0, 50.0, size=(D, K))
+    X = rng.poisson(H @ W).astype(float) + 1.0
+    root = tmp_path_factory.mktemp("cli_cohort")
+    counts = pd.DataFrame(
+        X,
+        index=[f"s{d}" for d in range(D)],
+        columns=[f"f{v}" for v in range(V)],
+    )
+    counts.T.to_csv(root / "counts.csv")               # features x samples
+    catalog = pd.DataFrame(
+        W,
+        index=[f"Cat{k}" for k in range(K)],
+        columns=counts.columns,
+    )
+    catalog.to_csv(root / "catalog.csv")
+    return {"root": root, "counts": counts, "catalog": catalog}
+
+
+def test_parse_ranks():
+    assert cli._parse_ranks("2-5") == [2, 3, 4, 5]
+    assert cli._parse_ranks("2,4,3,4") == [2, 3, 4]
+    assert cli._parse_ranks("7") == [7]
+    with pytest.raises(Exception):
+        cli._parse_ranks("0-2")
+
+
+def test_read_counts_orientations(cohort):
+    by_cols = cli._read_counts(str(cohort["root"] / "counts.csv"), "columns")
+    pd.testing.assert_frame_equal(by_cols, cohort["counts"])
+    # the transposed layout with --samples-as rows
+    (cohort["root"] / "counts_rows.csv").write_text(
+        cohort["counts"].to_csv()
+    )
+    by_rows = cli._read_counts(
+        str(cohort["root"] / "counts_rows.csv"), "rows"
+    )
+    pd.testing.assert_frame_equal(by_rows, cohort["counts"])
+
+
+def test_cli_fit_saves_model(cohort, tmp_path, capsys):
+    rc = cli.main([
+        "fit", str(cohort["root"] / "counts.csv"),
+        "--model", "klnmf", "-k", "3", "--seed", "1",
+        "--min-iterations", "30", "--max-iterations", "60",
+        "--export-h5ad",
+        "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    assert "fit: klnmf k=3" in capsys.readouterr().out
+
+    from salamander_tpu.io import load_model
+
+    model = load_model(str(tmp_path / "model.npz"))
+    sigs = pd.read_csv(tmp_path / "signatures.csv", index_col=0)
+    np.testing.assert_allclose(
+        sigs.to_numpy(), np.asarray(model.asignatures.X), rtol=1e-6
+    )
+    exposures = pd.read_csv(tmp_path / "exposures.csv", index_col=0)
+    assert exposures.shape == (24, 3)
+    assert (tmp_path / "fitted.h5ad").exists()
+
+
+def test_cli_extract_writes_result(cohort, tmp_path, capsys):
+    rc = cli.main([
+        "extract", str(cohort["root"] / "counts.csv"),
+        "--ranks", "2-3", "--n-bootstraps", "3", "--seed", "0",
+        "--min-iterations", "30", "--max-iterations", "60",
+        "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "suggested rank" in out
+
+    from salamander_tpu.io import load_extraction
+
+    result = load_extraction(str(tmp_path / "extraction.npz"))
+    table = pd.read_csv(tmp_path / "rank_table.csv", index_col=0)
+    assert list(table.index) == [2, 3] == list(result.table.index)
+    for rank in (2, 3):
+        sigs = pd.read_csv(
+            tmp_path / f"consensus_signatures_rank{rank}.csv", index_col=0
+        )
+        assert sigs.shape == (rank, 12)
+
+
+def test_cli_assign_sparse_and_dense(cohort, tmp_path, capsys):
+    sparse_dir = tmp_path / "sparse"
+    rc = cli.main([
+        "assign", str(cohort["root"] / "counts.csv"),
+        str(cohort["root"] / "catalog.csv"),
+        "--max-iterations", "300",
+        "-o", str(sparse_dir),
+    ])
+    assert rc == 0
+    assert "assign (sparse)" in capsys.readouterr().out
+    active = pd.read_csv(sparse_dir / "active.csv", index_col=0)
+    exposures = pd.read_csv(sparse_dir / "exposures.csv", index_col=0)
+    assert active.shape == exposures.shape == (24, 3)
+    # off-support exposures are exact zeros
+    assert (exposures.to_numpy()[~active.to_numpy().astype(bool)] == 0).all()
+    summary = pd.read_csv(sparse_dir / "summary.csv", index_col=0)
+    assert list(summary.columns) == ["kl_dense", "kl_sparse", "n_active"]
+
+    dense_dir = tmp_path / "dense"
+    rc = cli.main([
+        "assign", str(cohort["root"] / "counts.csv"),
+        str(cohort["root"] / "catalog.csv"),
+        "--dense", "--max-iterations", "300",
+        "-o", str(dense_dir),
+    ])
+    assert rc == 0
+    dense = pd.read_csv(dense_dir / "exposures.csv", index_col=0)
+    assert dense.shape == (24, 3)
+    # the dense refit keeps every signature active
+    assert (dense.to_numpy() > 0).all()
+
+
+def test_cli_bootstrap_uses_active_support(cohort, tmp_path):
+    assign_dir = tmp_path / "assign"
+    cli.main([
+        "assign", str(cohort["root"] / "counts.csv"),
+        str(cohort["root"] / "catalog.csv"),
+        "--max-iterations", "300", "-o", str(assign_dir),
+    ])
+    boot_dir = tmp_path / "boot"
+    rc = cli.main([
+        "bootstrap", str(cohort["root"] / "counts.csv"),
+        str(cohort["root"] / "catalog.csv"),
+        "--n-replicates", "5", "--max-iterations", "200",
+        "--quantiles", "0.5",
+        "--active", str(assign_dir / "active.csv"),
+        "-o", str(boot_dir),
+    ])
+    assert rc == 0
+    active = pd.read_csv(assign_dir / "active.csv", index_col=0)
+    mean = pd.read_csv(boot_dir / "exposures_mean.csv", index_col=0)
+    assert (mean.to_numpy()[~active.to_numpy().astype(bool)] == 0).all()
+    assert (boot_dir / "exposures_q0.5.csv").exists()
+    presence = pd.read_csv(boot_dir / "presence.csv", index_col=0)
+    assert ((presence.to_numpy() >= 0) & (presence.to_numpy() <= 1)).all()
+
+
+def test_cli_extract_checkpoint_resume(cohort, tmp_path):
+    """A second identical invocation resumes from the store (same result)."""
+    kwargs = [
+        "extract", str(cohort["root"] / "counts.csv"),
+        "--ranks", "2", "--n-bootstraps", "3",
+        "--min-iterations", "30", "--max-iterations", "60",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    assert cli.main(kwargs + ["-o", str(tmp_path / "first")]) == 0
+    assert cli.main(kwargs + ["-o", str(tmp_path / "second")]) == 0
+    first = pd.read_csv(
+        tmp_path / "first" / "consensus_signatures_rank2.csv", index_col=0
+    )
+    second = pd.read_csv(
+        tmp_path / "second" / "consensus_signatures_rank2.csv", index_col=0
+    )
+    pd.testing.assert_frame_equal(first, second)
+
+
+def test_cli_fit_multimodal(cohort, tmp_path, capsys):
+    root = cohort["root"]
+    # second modality: fewer features, same samples
+    rng = np.random.default_rng(3)
+    other = pd.DataFrame(
+        rng.poisson(40.0, size=(24, 7)).astype(float) + 1.0,
+        index=cohort["counts"].index,
+        columns=[f"g{v}" for v in range(7)],
+    )
+    other.T.to_csv(root / "counts_other.csv")
+    rc = cli.main([
+        "fit", str(root / "counts.csv"), str(root / "counts_other.csv"),
+        "--model", "mmcorrnmf", "-k", "2,2", "--names", "sbs,other",
+        "--seed", "0", "--min-iterations", "10", "--max-iterations", "20",
+        "--export-h5ad",
+        "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    assert "fit: mmcorrnmf" in capsys.readouterr().out
+    for name, n_feat in [("sbs", 12), ("other", 7)]:
+        sigs = pd.read_csv(tmp_path / f"signatures_{name}.csv", index_col=0)
+        assert sigs.shape == (2, n_feat)
+        exposures = pd.read_csv(
+            tmp_path / f"exposures_{name}.csv", index_col=0
+        )
+        assert exposures.shape == (24, 2)
+    assert (tmp_path / "fitted.h5mu").exists()
+
+    from salamander_tpu.io import load_model
+
+    model = load_model(str(tmp_path / "model.npz"))
+    assert model.ns_signatures == [2, 2]
+
+
+def test_cli_fit_multi_counts_requires_mm(cohort, tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main([
+            "fit", str(cohort["root"] / "counts.csv"),
+            str(cohort["root"] / "counts.csv"),
+            "--model", "klnmf", "-k", "2", "-o", str(tmp_path),
+        ])
+
+
+def test_cli_assign_under_mesh(cohort, tmp_path):
+    """--mesh samples=N shards the cohort over the virtual CPU devices and
+    matches the unsharded supports."""
+    plain_dir, mesh_dir = tmp_path / "plain", tmp_path / "mesh"
+    base = [
+        "assign", str(cohort["root"] / "counts.csv"),
+        str(cohort["root"] / "catalog.csv"), "--max-iterations", "300",
+    ]
+    assert cli.main(base + ["-o", str(plain_dir)]) == 0
+    assert cli.main(base + ["--mesh", "samples=4", "-o", str(mesh_dir)]) == 0
+    plain = pd.read_csv(plain_dir / "active.csv", index_col=0)
+    sharded = pd.read_csv(mesh_dir / "active.csv", index_col=0)
+    pd.testing.assert_frame_equal(plain, sharded)
