@@ -4,6 +4,9 @@ Feature-parity with /root/reference/src/salamander/consts.py (SBS_TYPES_96
 :3-9, INDEL_TYPES_83 :12-37, color palettes :40-88). The vocabularies are the
 standard COSMIC SBS-96 / ID-83 channel definitions; the indel list is built
 programmatically here from its (kind, unit, size, length-counts) structure.
+Beyond the reference, the full COSMIC catalog family is covered: DBS-78
+doublet substitutions, CN-48 copy-number segments and SV-32 structural
+variants, each with a grouped spectrum-plot palette.
 """
 
 from __future__ import annotations
@@ -148,3 +151,87 @@ COLORS_DBS78 = [
     for _ in range(len(alts))
 ]
 assert len(COLORS_DBS78) == 78
+
+# COSMIC CN-48 copy-number channels (Steele et al. 2022): total-copy-number
+# class x heterozygosity state x segment-length bin. Homozygous deletions use
+# three coarse length bins; every other (class, zygosity) group uses five.
+# Beyond the reference (its consts stop at SBS96/ID83).
+_CN_SIZES_HOMDEL = ["0-100kb", "100kb-1Mb", ">1Mb"]
+_CN_SIZES = ["0-100kb", "100kb-1Mb", "1Mb-10Mb", "10Mb-40Mb", ">40Mb"]
+_CN_GROUPS = (
+    [("0", "homdel", _CN_SIZES_HOMDEL)]
+    + [(cn, "LOH", _CN_SIZES) for cn in ["1", "2", "3-4", "5-8", "9+"]]
+    + [(cn, "het", _CN_SIZES) for cn in ["2", "3-4", "5-8", "9+"]]
+)
+
+CN_TYPES_48 = [
+    f"{cn}:{zygosity}:{size}"
+    for cn, zygosity, sizes in _CN_GROUPS
+    for size in sizes
+]
+assert len(CN_TYPES_48) == 48
+
+# CN-48 group colors: one per (total copy number, zygosity) group, deletion
+# classes in blues (darkest = homozygous deletion), LOH classes warm
+# (amber -> dark red with rising copy number), het classes in greens/purples.
+COLORS_CN = [
+    "#08306B",  # 0 homdel  dark navy
+    "#2171B5",  # 1 LOH     blue
+    "#FDD49E",  # 2 LOH     pale amber
+    "#FDBB84",  # 3-4 LOH   amber
+    "#EF6548",  # 5-8 LOH   orange-red
+    "#990000",  # 9+ LOH    dark red
+    "#C7E9C0",  # 2 het     pale green
+    "#74C476",  # 3-4 het   green
+    "#238B45",  # 5-8 het   dark green
+    "#6A51A3",  # 9+ het    purple
+]
+
+COLORS_CN48 = [
+    color
+    for (_, _, sizes), color in zip(_CN_GROUPS, COLORS_CN)
+    for _ in range(len(sizes))
+]
+assert len(COLORS_CN48) == 48
+
+# COSMIC SV-32 structural-variant channels: clustered / non-clustered x
+# {deletion, tandem duplication, inversion, translocation}, with five length
+# bins for the length-bearing classes (translocations carry no length).
+# Beyond the reference.
+_SV_SIZES = ["1-10Kb", "10-100Kb", "100Kb-1Mb", "1Mb-10Mb", ">10Mb"]
+_SV_GROUPS = [
+    (cluster, svtype)
+    for cluster in ["clustered", "non-clustered"]
+    for svtype in ["del", "tds", "inv", "trans"]
+]
+
+SV_TYPES_32 = [
+    name
+    for cluster, svtype in _SV_GROUPS
+    for name in (
+        [f"{cluster}_{svtype}"]
+        if svtype == "trans"
+        else [f"{cluster}_{svtype}_{size}" for size in _SV_SIZES]
+    )
+]
+assert len(SV_TYPES_32) == 32
+
+# SV-32 group colors: one per (cluster status, SV class) group; the
+# clustered half uses saturated hues, the non-clustered half lighter tints.
+COLORS_SV = [
+    "#C82828",  # clustered del
+    "#5AA02C",  # clustered tds
+    "#2C66A0",  # clustered inv
+    "#7B4FA0",  # clustered trans
+    "#E89A9A",  # non-clustered del
+    "#B4D98E",  # non-clustered tds
+    "#94B8DC",  # non-clustered inv
+    "#C4A8DC",  # non-clustered trans
+]
+
+COLORS_SV32 = [
+    color
+    for (_, svtype), color in zip(_SV_GROUPS, COLORS_SV)
+    for _ in range(1 if svtype == "trans" else len(_SV_SIZES))
+]
+assert len(COLORS_SV32) == 32

@@ -23,12 +23,16 @@ from scipy.cluster import hierarchy
 from scipy.spatial.distance import pdist
 
 from .consts import (
+    CN_TYPES_48,
+    COLORS_CN48,
     COLORS_DBS78,
     COLORS_INDEL83,
     COLORS_SBS96,
+    COLORS_SV32,
     DBS_TYPES_78,
     INDEL_TYPES_83,
     SBS_TYPES_96,
+    SV_TYPES_32,
 )
 from .utils import _concat_light, _get_basis_obsm, _get_basis_obsp, match_to_catalog
 
@@ -305,14 +309,29 @@ def correlation(adata, **kwargs):
 # --------------------------------------------------------------------------
 
 def _get_colors_barplot(var_names, colors=None):
-    """Resolve the bar colors: SBS96/Indel83/DBS78 standards auto-detected
-    from the feature set, single colors broadcast, explicit lists validated.
+    """Resolve the bar colors: SBS96/Indel83/DBS78/CN48/SV32 standards
+    auto-detected from the feature set, single colors broadcast, explicit
+    lists validated.
 
     SBS96/Indel83 detection matches the reference (plot.py:420-457); DBS78
-    (COSMIC doublet-base substitutions) is beyond-reference."""
+    (COSMIC doublet-base substitutions), CN48 (copy-number segments) and
+    SV32 (structural variants) are beyond-reference."""
     var_names = list(var_names)
     n_vars = len(var_names)
 
+    for tag, noun, vocab, palette in (
+        ("CN48", "CN", CN_TYPES_48, COLORS_CN48),
+        ("SV32", "SV", SV_TYPES_32, COLORS_SV32),
+    ):
+        if colors == tag or (
+            n_vars == len(vocab) and var_names == vocab and colors is None
+        ):
+            if n_vars != len(vocab):
+                raise ValueError(
+                    f"The standard {noun} colors can only be used when the "
+                    f"signatures have {len(vocab)} features."
+                )
+            return palette
     if colors == "SBS96" or (
         n_vars == 96 and var_names == SBS_TYPES_96 and colors is None
     ):

@@ -20,6 +20,11 @@ def test_pcawg_loaders():
     sv = datasets.load_pcawg_sv()
     assert sv.shape == (192, 32)
     assert list(sbs.index) == list(indel.index) == list(sv.index)
+    # the shipped SV catalog uses the standard SV-32 channel vocabulary,
+    # so barplots on it auto-detect the grouped SV palette
+    from salamander_tpu.consts import SV_TYPES_32
+
+    assert list(sv.columns) == SV_TYPES_32
 
 
 def test_cosmic_catalogs():

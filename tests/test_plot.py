@@ -11,7 +11,13 @@ import pandas as pd
 import pytest
 
 from salamander_tpu import plot
-from salamander_tpu.consts import DBS_TYPES_78, INDEL_TYPES_83, SBS_TYPES_96
+from salamander_tpu.consts import (
+    CN_TYPES_48,
+    DBS_TYPES_78,
+    INDEL_TYPES_83,
+    SBS_TYPES_96,
+    SV_TYPES_32,
+)
 from salamander_tpu.containers import AnnData
 
 
@@ -70,6 +76,39 @@ def test_barplot_colors_resolution():
         plot._get_colors_barplot(["a"] * 5, "SBS96")
     with pytest.raises(ValueError):
         plot._get_colors_barplot(["a"] * 5, "DBS78")
+
+
+def test_barplot_colors_cn48_sv32():
+    assert plot._get_colors_barplot(CN_TYPES_48) == plot._get_colors_barplot(
+        ["x"] * 48, "CN48"
+    )
+    # 10 (total copy number, zygosity) groups, contiguous group coloring
+    assert len(set(plot._get_colors_barplot(CN_TYPES_48))) == 10
+    assert plot._get_colors_barplot(SV_TYPES_32) == plot._get_colors_barplot(
+        ["x"] * 32, "SV32"
+    )
+    # 8 (cluster status, SV class) groups
+    assert len(set(plot._get_colors_barplot(SV_TYPES_32))) == 8
+    with pytest.raises(ValueError):
+        plot._get_colors_barplot(["a"] * 5, "CN48")
+    with pytest.raises(ValueError):
+        plot._get_colors_barplot(["a"] * 5, "SV32")
+
+
+def test_cn48_sv32_vocabulary_structure():
+    # homdel carries 3 coarse length bins; every other CN group carries 5
+    assert len(CN_TYPES_48) == len(set(CN_TYPES_48)) == 48
+    homdel = [c for c in CN_TYPES_48 if c.split(":")[1] == "homdel"]
+    assert len(homdel) == 3 and homdel[0] == "0:homdel:0-100kb"
+    assert sum(c.split(":")[1] == "LOH" for c in CN_TYPES_48) == 25
+    assert sum(c.split(":")[1] == "het" for c in CN_TYPES_48) == 20
+    # translocations carry no length bin; the other SV classes carry 5
+    assert len(SV_TYPES_32) == len(set(SV_TYPES_32)) == 32
+    assert "clustered_trans" in SV_TYPES_32
+    assert "non-clustered_trans" in SV_TYPES_32
+    assert sum(c.endswith("_trans") for c in SV_TYPES_32) == 2
+    assert SV_TYPES_32[0] == "clustered_del_1-10Kb"
+    assert sum(c.startswith("clustered_") for c in SV_TYPES_32) == 16
 
 
 @pytest.fixture(scope="module")
