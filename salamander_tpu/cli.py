@@ -1,7 +1,8 @@
 """Command-line interface for the cohort-scale pipelines.
 
 ``python -m salamander_tpu <command>`` drives the package's production
-workflows end-to-end from count matrices on disk — fit one model, run the
+workflows end-to-end from count matrices on disk — fit one model, run a
+multi-start rank scan with stability-based rank suggestion, run the
 de novo consensus extraction, assign a cohort against a fixed catalog, or
 bootstrap exposure uncertainty — with the same checkpoint/resume, device
 and chunking controls the Python API exposes. The reference is a
@@ -28,6 +29,7 @@ import json
 import sys
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 
 __all__ = ["main"]
@@ -245,6 +247,91 @@ def _cmd_fit(args) -> int:
     return 0
 
 
+def _cmd_scan(args) -> int:
+    _apply_backend(args)
+    from . import tools as tl
+    from .engine import FitConfig
+
+    frame = _read_counts(args.counts, args.samples_as)
+    ranks = _parse_ranks(args.ranks)
+    config = FitConfig(
+        min_iterations=args.min_iterations,
+        max_iterations=args.max_iterations,
+        conv_test_freq=args.conv_test_freq,
+        tol=args.tol,
+    )
+    mesh = _make_mesh(args.mesh)
+    out = _outdir(args)
+
+    if args.model == "corrnmf":
+        from .parallel import rank_scan_corrnmf
+
+        results = rank_scan_corrnmf(
+            frame.values, ranks,
+            dim_embeddings=args.dim_embeddings,
+            n_restarts=args.n_restarts, base_seed=args.seed,
+            config=config, mesh=mesh,
+        )
+    elif args.model == "mvnmf":
+        from .parallel import rank_scan_mvnmf
+
+        results = rank_scan_mvnmf(
+            frame.values.T, ranks, args.n_restarts, seed=args.seed,
+            lam=args.lam, delta=args.delta, config=config, mesh=mesh,
+        )
+    else:
+        from .parallel import rank_scan_klnmf
+
+        results = rank_scan_klnmf(
+            frame.values.T, ranks, args.n_restarts, seed=args.seed,
+            config=config, mesh=mesh,
+        )
+
+    table = tl.rank_selection_table(results)
+    table.to_csv(out / "rank_selection.csv")
+    try:
+        suggested = int(tl.suggest_rank(
+            results, min_stability=args.min_stability
+        ))
+    except ValueError as reason:
+        suggested = None
+        print(f"scan: no rank suggestion ({reason})")
+
+    # winning restart of every scanned rank, with the cohort's names
+    for k, result in results.items():
+        sig_names = [f"Sig{i + 1}" for i in range(int(k))]
+        if args.model == "corrnmf":
+            W = np.asarray(result.model.signatures).T  # (V, k)
+            H = np.asarray(result.model.exposures)     # (D, k)
+        else:
+            W = np.asarray(result.best_W)              # (V, k)
+            H = np.asarray(result.best_H).T            # (D, k)
+        pd.DataFrame(W, index=frame.columns, columns=sig_names).to_csv(
+            out / f"signatures_k{k}.csv"
+        )
+        pd.DataFrame(H, index=frame.index, columns=sig_names).to_csv(
+            out / f"exposures_k{k}.csv"
+        )
+
+    (out / "suggested_rank.json").write_text(json.dumps({
+        "model": args.model,
+        "ranks": [int(k) for k in results],
+        "n_restarts": args.n_restarts,
+        "min_stability": args.min_stability,
+        "suggested_rank": suggested,
+    }, indent=1))
+    label = (
+        str(suggested) if suggested is not None
+        else "none (inspect rank_selection.csv)"
+    )
+    print(
+        f"scan: {args.model} ranks {ranks[0]}..{ranks[-1]} x "
+        f"{args.n_restarts} restarts; suggested rank {label}; "
+        f"wrote {out / 'rank_selection.csv'}"
+    )
+    return 0
+
+
 def _cmd_extract(args) -> int:
     _apply_backend(args)
     from .extraction import extract_signatures
@@ -417,6 +504,33 @@ def build_parser() -> argparse.ArgumentParser:
     fit.add_argument("--export-h5ad", action="store_true")
     fit.add_argument("--verbose", type=int, choices=[0, 1], default=0)
     fit.set_defaults(func=_cmd_fit)
+
+    scan = sub.add_parser(
+        "scan",
+        help="multi-start rank scan with stability-based rank suggestion",
+    )
+    _add_common(scan)
+    scan.add_argument("--model", choices=["klnmf", "mvnmf", "corrnmf"],
+                      default="klnmf")
+    scan.add_argument(
+        "--ranks", required=True,
+        help="rank range '2-10' (inclusive) or list '2,3,5'",
+    )
+    scan.add_argument("--n-restarts", "-r", type=int, default=20)
+    scan.add_argument("--seed", type=int, default=0)
+    scan.add_argument(
+        "--min-stability", type=float, default=0.9,
+        help="per-signature matched-cosine threshold for suggest_rank",
+    )
+    scan.add_argument("--lam", type=float, default=1.0)
+    scan.add_argument("--delta", type=float, default=1.0)
+    scan.add_argument("--dim-embeddings", type=int, default=None)
+    scan.add_argument("--min-iterations", type=int, default=500)
+    scan.add_argument("--max-iterations", type=int, default=10_000)
+    scan.add_argument("--conv-test-freq", type=int, default=10)
+    scan.add_argument("--tol", type=float, default=1e-7)
+    _add_mesh(scan)
+    scan.set_defaults(func=_cmd_scan)
 
     extract = sub.add_parser(
         "extract",

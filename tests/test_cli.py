@@ -6,6 +6,8 @@ cli.main on CSVs in a temp directory and its outputs round-trip through
 the corresponding Python API objects.
 """
 
+import json
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -80,6 +82,49 @@ def test_cli_fit_saves_model(cohort, tmp_path, capsys):
     exposures = pd.read_csv(tmp_path / "exposures.csv", index_col=0)
     assert exposures.shape == (24, 3)
     assert (tmp_path / "fitted.h5ad").exists()
+
+
+def test_cli_scan_writes_table_and_winners(cohort, tmp_path, capsys):
+    rc = cli.main([
+        "scan", str(cohort["root"] / "counts.csv"),
+        "--ranks", "2-3", "-r", "4", "--seed", "0",
+        "--min-iterations", "30", "--max-iterations", "60",
+        "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    assert "scan: klnmf ranks 2..3 x 4 restarts" in capsys.readouterr().out
+    table = pd.read_csv(tmp_path / "rank_selection.csv", index_col=0)
+    assert list(table.index) == [2, 3]
+    assert "best_loss" in table.columns and "min_stability" in table.columns
+    meta = json.loads((tmp_path / "suggested_rank.json").read_text())
+    assert meta["ranks"] == [2, 3]
+    for rank in (2, 3):
+        sigs = pd.read_csv(tmp_path / f"signatures_k{rank}.csv", index_col=0)
+        assert sigs.shape == (12, rank)
+        np.testing.assert_allclose(sigs.sum(axis=0), 1.0, rtol=1e-4)
+        exposures = pd.read_csv(
+            tmp_path / f"exposures_k{rank}.csv", index_col=0
+        )
+        assert exposures.shape == (24, rank)
+        assert list(exposures.index) == list(cohort["counts"].index)
+
+
+def test_cli_scan_corrnmf(cohort, tmp_path, capsys):
+    rc = cli.main([
+        "scan", str(cohort["root"] / "counts.csv"),
+        "--model", "corrnmf", "--ranks", "2", "-r", "2",
+        "--dim-embeddings", "2",
+        "--min-iterations", "5", "--max-iterations", "10",
+        "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    assert "scan: corrnmf" in capsys.readouterr().out
+    sigs = pd.read_csv(tmp_path / "signatures_k2.csv", index_col=0)
+    assert sigs.shape == (12, 2)
+    exposures = pd.read_csv(tmp_path / "exposures_k2.csv", index_col=0)
+    assert exposures.shape == (24, 2)
+    assert (pd.read_csv(tmp_path / "rank_selection.csv", index_col=0)
+            .shape[0] == 1)
 
 
 def test_cli_extract_writes_result(cohort, tmp_path, capsys):
