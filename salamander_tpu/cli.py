@@ -190,6 +190,27 @@ def _cmd_fit(args) -> int:
         dtype=args.dtype,
     )
 
+    minibatch = args.batch_size is not None
+    if minibatch and args.model in ("mvnmf", "ardnmf"):
+        raise SystemExit(
+            "--batch-size (online fitting) is available for klnmf, "
+            "corrnmf and mmcorrnmf"
+        )
+
+    def _minibatch_kwargs():
+        kwargs = dict(
+            batch_size=args.batch_size,
+            n_steps=args.n_steps,
+            eval_freq=args.eval_freq,
+            streaming=args.streaming,
+            init_kwargs=init_kwargs,
+        )
+        if args.seed is not None:
+            kwargs["seed"] = args.seed
+        if args.forgetting is not None:
+            kwargs["forgetting"] = args.forgetting
+        return kwargs
+
     if args.model == "mmcorrnmf":
         mdata = MuData(
             {name: AnnData(frame) for name, frame in zip(names, frames)}
@@ -197,7 +218,10 @@ def _cmd_fit(args) -> int:
         model = MultimodalCorrNMF(
             ns_signatures=ks, dim_embeddings=args.dim_embeddings, **common
         )
-        model.fit(mdata, init_kwargs=init_kwargs, verbose=args.verbose)
+        if minibatch:
+            model.fit_minibatch(mdata, **_minibatch_kwargs())
+        else:
+            model.fit(mdata, init_kwargs=init_kwargs, verbose=args.verbose)
         model_path = out / "model.npz"
         sio.save_model(model, str(model_path))
         for name in names:
@@ -226,7 +250,10 @@ def _cmd_fit(args) -> int:
                            dim_embeddings=args.dim_embeddings, **common)
     else:
         model = ARDNMF(n_signatures=ks[0], **common)
-    model.fit(adata, init_kwargs=init_kwargs, verbose=args.verbose)
+    if minibatch:
+        model.fit_minibatch(adata, **_minibatch_kwargs())
+    else:
+        model.fit(adata, init_kwargs=init_kwargs, verbose=args.verbose)
 
     model_path = out / "model.npz"
     sio.save_model(model, str(model_path))
@@ -503,6 +530,22 @@ def build_parser() -> argparse.ArgumentParser:
     fit.add_argument("--dim-embeddings", type=int, default=None)
     fit.add_argument("--export-h5ad", action="store_true")
     fit.add_argument("--verbose", type=int, choices=[0, 1], default=0)
+    fit.add_argument(
+        "--batch-size", type=int, default=None,
+        help="online (minibatch) fitting instead of full-batch cycles "
+        "(klnmf, corrnmf, mmcorrnmf; model.fit_minibatch)",
+    )
+    fit.add_argument("--n-steps", type=int, default=2000)
+    fit.add_argument("--eval-freq", type=int, default=50)
+    fit.add_argument(
+        "--forgetting", type=float, default=None,
+        help="Robbins-Monro decay exponent (default: the family's own)",
+    )
+    fit.add_argument(
+        "--streaming", action="store_true",
+        help="keep the count matrix host-resident and stream minibatches "
+        "to the device (cohorts larger than accelerator memory)",
+    )
     fit.set_defaults(func=_cmd_fit)
 
     scan = sub.add_parser(

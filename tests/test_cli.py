@@ -84,6 +84,35 @@ def test_cli_fit_saves_model(cohort, tmp_path, capsys):
     assert (tmp_path / "fitted.h5ad").exists()
 
 
+def test_cli_fit_minibatch_streaming(cohort, tmp_path, capsys):
+    rc = cli.main([
+        "fit", str(cohort["root"] / "counts.csv"),
+        "--model", "klnmf", "-k", "3", "--seed", "1",
+        "--batch-size", "8", "--n-steps", "40", "--eval-freq", "10",
+        "--streaming",
+        "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    assert "fit: klnmf k=3" in capsys.readouterr().out
+    sigs = pd.read_csv(tmp_path / "signatures.csv", index_col=0)
+    assert sigs.shape == (3, 12)
+    np.testing.assert_allclose(sigs.sum(axis=1), 1.0, rtol=1e-4)
+
+    from salamander_tpu.io import load_model
+
+    model = load_model(str(tmp_path / "model.npz"))
+    assert model.history["n_iterations"] == 40
+
+
+def test_cli_fit_minibatch_rejects_mvnmf(cohort, tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main([
+            "fit", str(cohort["root"] / "counts.csv"),
+            "--model", "mvnmf", "-k", "2", "--batch-size", "8",
+            "-o", str(tmp_path),
+        ])
+
+
 def test_cli_scan_writes_table_and_winners(cohort, tmp_path, capsys):
     rc = cli.main([
         "scan", str(cohort["root"] / "counts.csv"),
