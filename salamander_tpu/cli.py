@@ -152,6 +152,13 @@ def _parse_ks(spec: str, n_modalities: int) -> list[int]:
     return ks
 
 
+def _last_objective(model) -> str:
+    """Final objective for the summary line; '<not evaluated>' when the
+    trace is empty (fit_minibatch with eval_freq=0 records no values)."""
+    trace = model.history.get("objective_function", [])
+    return f"{trace[-1]:.6g}" if len(trace) else "<not evaluated>"
+
+
 def _cmd_fit(args) -> int:
     _apply_backend(args)
     from . import io as sio
@@ -231,11 +238,11 @@ def _cmd_fit(args) -> int:
             model.exposures[name].to_csv(out / f"exposures_{name}.csv")
         if args.export_h5ad:
             mdata.write_h5mu(str(out / "fitted.h5mu"))
-        objective = model.history["objective_function"][-1]
+        objective = _last_objective(model)
         print(
             f"fit: mmcorrnmf ks={ks} over modalities {names} converged in "
             f"{model.history['n_iterations']} iterations, ELBO "
-            f"{objective:.6g}; wrote {model_path}"
+            f"{objective}; wrote {model_path}"
         )
         return 0
 
@@ -265,11 +272,11 @@ def _cmd_fit(args) -> int:
     ).to_csv(out / "exposures.csv")
     if args.export_h5ad:
         adata.write_h5ad(str(out / "fitted.h5ad"))
-    objective = model.history["objective_function"][-1]
+    objective = _last_objective(model)
     print(
         f"fit: {args.model} k={ks[0]} converged in "
         f"{model.history['n_iterations']} iterations, objective "
-        f"{objective:.6g}; wrote {model_path}"
+        f"{objective}; wrote {model_path}"
     )
     return 0
 
@@ -293,6 +300,13 @@ def _cmd_scan(args) -> int:
     if args.model == "corrnmf":
         from .parallel import rank_scan_corrnmf
 
+        if args.dim_embeddings is None:
+            raise SystemExit(
+                "scan --model corrnmf needs --dim-embeddings: a rank scan "
+                "compares ELBOs across ranks, so the embedding dimension "
+                "must be held fixed (the per-fit default dim_embeddings="
+                "n_signatures would change the model with every rank)"
+            )
         results = rank_scan_corrnmf(
             frame.values, ranks,
             dim_embeddings=args.dim_embeddings,
@@ -567,7 +581,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     scan.add_argument("--lam", type=float, default=1.0)
     scan.add_argument("--delta", type=float, default=1.0)
-    scan.add_argument("--dim-embeddings", type=int, default=None)
+    scan.add_argument(
+        "--dim-embeddings", type=int, default=None,
+        help="embedding dimension, required for --model corrnmf (held "
+        "fixed across the scanned ranks)",
+    )
     scan.add_argument("--min-iterations", type=int, default=500)
     scan.add_argument("--max-iterations", type=int, default=10_000)
     scan.add_argument("--conv-test-freq", type=int, default=10)

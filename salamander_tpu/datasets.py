@@ -2,8 +2,10 @@
 with the reference implementation, plus synthetic COSMIC-scale generators
 for benchmarking (e.g. the 96 x 10k rank-scan catalog).
 
-Search order for the CSV assets: $SALAMANDER_DATA, ./data, the read-only
-reference mount. All loaders return (n_samples, n_features)-oriented
+The CSV assets ship inside the wheel (``salamander_tpu/data``), so loaders
+work from a plain ``pip install`` with no external mounts. Search order:
+$SALAMANDER_DATA (override), the packaged data directory, then ./data next
+to a source checkout. All loaders return (n_samples, n_features)-oriented
 DataFrames ready for AnnData(...) (the files store features x samples).
 """
 
@@ -17,8 +19,8 @@ import pandas as pd
 
 _SEARCH_PATHS = [
     os.environ.get("SALAMANDER_DATA"),
+    str(Path(__file__).resolve().parent / "data"),
     str(Path(__file__).resolve().parents[1] / "data"),
-    "/root/reference/data",
 ]
 
 FILES = {

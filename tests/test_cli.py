@@ -104,6 +104,29 @@ def test_cli_fit_minibatch_streaming(cohort, tmp_path, capsys):
     assert model.history["n_iterations"] == 40
 
 
+def test_cli_fit_minibatch_eval_freq_zero(cohort, tmp_path, capsys):
+    """eval_freq=0 disables objective evaluation; the summary must not
+    index an empty trace (rc 0, '<not evaluated>' in the message)."""
+    rc = cli.main([
+        "fit", str(cohort["root"] / "counts.csv"),
+        "--model", "klnmf", "-k", "3", "--seed", "1",
+        "--batch-size", "8", "--n-steps", "20", "--eval-freq", "0",
+        "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    assert "<not evaluated>" in capsys.readouterr().out
+    assert (tmp_path / "model.npz").exists()
+
+
+def test_cli_scan_corrnmf_requires_dim_embeddings(cohort, tmp_path):
+    with pytest.raises(SystemExit, match="dim-embeddings"):
+        cli.main([
+            "scan", str(cohort["root"] / "counts.csv"),
+            "--model", "corrnmf", "--ranks", "2", "-r", "2",
+            "-o", str(tmp_path),
+        ])
+
+
 def test_cli_fit_minibatch_rejects_mvnmf(cohort, tmp_path):
     with pytest.raises(SystemExit):
         cli.main([
