@@ -84,9 +84,13 @@ def _nndsvd_numpy(data_mat: np.ndarray, n_signatures: int,
         norm_pos = np.linalg.norm(u_pos) * np.linalg.norm(v_pos)
         norm_neg = np.linalg.norm(u_neg) * np.linalg.norm(v_neg)
         if norm_pos >= norm_neg:
-            scale, uu, vv = norm_pos, u_pos / np.linalg.norm(u_pos), v_pos / np.linalg.norm(v_pos)
+            scale = norm_pos
+            uu = u_pos / np.linalg.norm(u_pos)
+            vv = v_pos / np.linalg.norm(v_pos)
         else:
-            scale, uu, vv = norm_neg, u_neg / np.linalg.norm(u_neg), v_neg / np.linalg.norm(v_neg)
+            scale = norm_neg
+            uu = u_neg / np.linalg.norm(u_neg)
+            vv = v_neg / np.linalg.norm(v_neg)
         E[:, j] = np.sqrt(S[j] * scale) * uu
         F[j, :] = np.sqrt(S[j] * scale) * vv
     if variant == "nndsvda":

@@ -26,7 +26,7 @@ downstream analysis/plotting.
 
 from __future__ import annotations
 
-from typing import Any, Literal
+from typing import Literal
 
 import jax.numpy as jnp
 import numpy as np

@@ -211,8 +211,9 @@ def fit_klnmf_restarts(
     TPU backend (blocks are HBM-bound, so per-block wall scales with the
     lane count at every size; BENCHMARKS.md). Auto enables it on TPU for
     single-device convergence-based fits with n_restarts >=
-    2*compact_min_bucket (one halving; see resolve_compact); per-lane results match within f32
-    program-boundary accumulation order (bit-identical schedules).
+    2*compact_min_bucket (one halving; see resolve_compact); per-lane
+    results match within f32 program-boundary accumulation order
+    (bit-identical schedules).
     """
     config = config or FitConfig()
     if runner is None and resolve_compact(

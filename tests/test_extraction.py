@@ -7,7 +7,6 @@ share the padded program), determinism, resampler semantics, and silhouette
 correctness vs sklearn.
 """
 
-import warnings
 
 import jax
 import jax.numpy as jnp

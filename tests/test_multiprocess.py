@@ -15,7 +15,6 @@ import sys
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
