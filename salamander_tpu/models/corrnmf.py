@@ -171,6 +171,26 @@ class CorrNMF(SignatureNMF):
         else:
             self.asignatures.obsp["correlation"] = corr
 
+    def _default_embedding_styling(self, color, zorder):
+        """Fill in the joint-plot styling columns when the caller gave none:
+        signatures draw black on top (zorder 2), samples matplotlib-blue
+        underneath. Column names are stable ('color_embeddings' /
+        'zorder_embeddings') so io round-trips preserve them."""
+        per_container = {
+            "color": ("color_embeddings", "black", "#1f77b4"),
+            "zorder": ("zorder_embeddings", 2, 1),
+        }
+        resolved = []
+        for key, given in (("color", color), ("zorder", zorder)):
+            if given is not None:
+                resolved.append(given)
+                continue
+            name, sig_value, sample_value = per_container[key]
+            self.asignatures.obs[name] = [sig_value] * self.n_signatures
+            self.adata.obs[name] = [sample_value] * self.adata.n_obs
+            resolved.append(name)
+        return tuple(resolved)
+
     def plot_embeddings(
         self,
         method: str = "umap",
@@ -182,39 +202,42 @@ class CorrNMF(SignatureNMF):
         outfile: str | None = None,
         **kwargs,
     ):
+        """Scatter signature and sample embeddings in one shared plane.
+
+        Both containers are reduced jointly (they live in the same latent
+        space), then drawn by pl.embedding_multiple with signatures
+        annotated by name. When dim_embeddings is already <= 2 there is
+        nothing to reduce; the raw embedding coordinates are plotted and a
+        UserWarning says so. Parity surface: reference corrnmf.py:180-235.
+        """
         from .. import plot as pl
         import matplotlib.pyplot as plt
 
-        adatas = [self.asignatures, self.adata]
+        pair = [self.asignatures, self.adata]
         tl.reduce_dimension_multiple(
-            adatas=adatas, basis="embeddings", method=method,
+            adatas=pair, basis="embeddings", method=method,
             n_components=n_components, **kwargs,
         )
-        if self.dim_embeddings <= 2:
+        reduction_is_trivial = self.dim_embeddings <= 2
+        if reduction_is_trivial:
             warnings.warn(
                 f"The embedding dimension is {self.dim_embeddings}. "
                 "The embeddings are plotted without an additional "
                 "dimensionality reduction.",
                 UserWarning,
             )
-            basis = "embeddings"
-        else:
-            basis = method
-
-        if color is None:
-            color = "color_embeddings"
-            self.asignatures.obs[color] = self.n_signatures * ["black"]
-            self.adata.obs[color] = self.adata.n_obs * ["#1f77b4"]
-        if zorder is None:
-            zorder = "zorder_embeddings"
-            self.asignatures.obs[zorder] = self.n_signatures * [2]
-            self.adata.obs[zorder] = self.adata.n_obs * [1]
-        if annotations is None:
-            annotations = self.signature_names
-
+        basis = "embeddings" if reduction_is_trivial else method
+        color, zorder = self._default_embedding_styling(color, zorder)
         ax = pl.embedding_multiple(
-            adatas=adatas, basis=basis, dimensions=dimensions, color=color,
-            zorder=zorder, annotations=annotations, **kwargs,
+            adatas=pair,
+            basis=basis,
+            dimensions=dimensions,
+            color=color,
+            zorder=zorder,
+            annotations=(
+                self.signature_names if annotations is None else annotations
+            ),
+            **kwargs,
         )
         if outfile is not None:
             plt.savefig(outfile, bbox_inches="tight")
