@@ -58,6 +58,15 @@ class CorrNMF(SignatureNMF):
     def objective(self) -> Literal["minimize", "maximize"]:
         return "maximize"
 
+    def _sample_axes(self):
+        # samples-as-rows layout: X (D, V); per-sample scalings (D,),
+        # embeddings (D, m) and exposures (D, K) shard on axis 0. The
+        # signature-side aux reductions become all-reduces over samples.
+        return (
+            {"sample_scalings": 0, "sample_embeddings": 0, "exposures": 0},
+            {"X": 0},
+        )
+
     def compute_exposures(self) -> None:
         """Refresh adata.obsm['exposures'] from scalings and embeddings
         (host-side: all inputs are host arrays here, and an eager device

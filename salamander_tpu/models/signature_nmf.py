@@ -298,6 +298,60 @@ class SignatureNMF(ABC):
             tol=self.tol,
         )
 
+    # ------------------------------------------------------------------ #
+    # sample-axis sharding of a single fit
+    # ------------------------------------------------------------------ #
+    def _sample_axes(self):
+        """Which axis of each _device_state leaf carries the sample (D)
+        dimension, keyed by leaf name; absent/None = replicated.
+
+        The default covers the StandardNMF state layout in kernel
+        orientation (W (V,K) replicated, H (K,D) and X (V,D) on their
+        trailing axis, per-sample weight vectors on axis 0); CorrNMF
+        overrides for its samples-as-rows layout.
+        """
+        return (
+            {"H": 1},                                        # params
+            {"X": 1, "weights_kl": 0, "weights_lhalf": 0},   # data
+        )
+
+    def _shard_state(self, params, data, mesh):
+        """device_put the fit state under `mesh`, samples sharded.
+
+        Every leaf gets an explicit NamedSharding (replicated unless its
+        name appears in _sample_axes), so jit propagates the layout and XLA
+        inserts the cross-device reductions (the W-update numerator, column
+        sums and objectives all reduce over D). Numerics are unchanged -
+        sharded == unsharded is pinned in tests/test_sharding.py.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import SAMPLE_AXIS
+
+        if SAMPLE_AXIS not in mesh.axis_names:
+            raise ValueError(
+                f"mesh has axes {mesh.axis_names}; model.fit expects a "
+                f"'{SAMPLE_AXIS}' axis (parallel.make_mesh(sample_ways=...))."
+            )
+        param_axes, data_axes = self._sample_axes()
+
+        def put(tree, axes):
+            out = {}
+            for key, leaf in tree.items():
+                leaf = jnp.asarray(leaf)
+                axis = axes.get(key)
+                if axis is None:
+                    spec = PartitionSpec()
+                else:
+                    spec = PartitionSpec(
+                        *([None] * axis + [SAMPLE_AXIS])
+                    )
+                out[key] = jax.device_put(leaf, NamedSharding(mesh, spec))
+            return out
+
+        return put(params, param_axes), put(data, data_axes)
+
     def fit(
         self,
         adata,
@@ -308,6 +362,7 @@ class SignatureNMF(ABC):
         verbose: Literal[0, 1] = 0,
         verbosity_freq: int = 1000,
         stop_on_nonfinite: bool = False,
+        mesh=None,
     ) -> "SignatureNMF":
         """Fit all model parameters with the on-device engine.
 
@@ -317,17 +372,30 @@ class SignatureNMF(ABC):
         _setup_fitting_parameters (e.g. KLNMF loss weights).
         stop_on_nonfinite additionally fails fast if the objective becomes
         NaN/Inf (off by default for reference trace parity).
+
+        mesh (optional): a jax.sharding.Mesh with a 'samples' axis
+        (parallel.make_mesh); THIS single fit then shards the sample axis
+        of X and the per-sample parameters across devices, with XLA
+        inserting the cross-device reductions. Same numerics as unsharded
+        (pinned in tests); use for cohorts too large for one device.
         """
         self._setup_adata(adata)
         self._initialize(given_parameters, init_kwargs)
         self._setup_fitting_parameters(fitting_kwargs)
 
         if getattr(self, "_fits_on_host", False):
+            if mesh is not None:
+                raise ValueError(
+                    "mesh= is not available in host-loop compatibility "
+                    "modes (newton_cg_compat): the fit runs host-side."
+                )
             return self._fit_host(
                 given_parameters, history, verbose, verbosity_freq
             )
 
         params0, data = self._device_state()
+        if mesh is not None:
+            params0, data = self._shard_state(params0, data, mesh)
         update_fn, objective_fn = self._build_step(given_parameters)
         objective_fn = promote_objective(objective_fn, params0)
         config = self._fit_config()

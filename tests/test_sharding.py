@@ -165,6 +165,60 @@ def test_fit_best_of_corrnmf_with_mesh(reference_data_path):
     assert summary.best_index == int(np.argmax(summary.losses))
 
 
+@pytest.mark.parametrize("family", ["klnmf", "mvnmf", "ardnmf", "corrnmf"])
+def test_model_fit_with_mesh_matches_unsharded(corr_state, family):
+    """model.fit(adata, mesh=...) - the user-facing single-fit sharding -
+    must reproduce the unsharded fit: same trace, same parameters (the
+    sample axis of X and the per-sample parameters shard over the mesh;
+    XLA's inserted all-reduces don't change f64 numerics beyond ulps)."""
+    from salamander_tpu.models import ARDNMF, MvNMF
+
+    X = corr_state["X"]  # (64, 16) samples x features
+
+    def build():
+        if family == "klnmf":
+            return KLNMF(n_signatures=3, min_iterations=20,
+                         max_iterations=60)
+        if family == "mvnmf":
+            return MvNMF(n_signatures=3, min_iterations=20,
+                         max_iterations=60)
+        if family == "ardnmf":
+            return ARDNMF(n_signatures=4, min_iterations=20,
+                          max_iterations=60)
+        return CorrNMFDet(n_signatures=3, dim_embeddings=2,
+                          min_iterations=10, max_iterations=30)
+
+    init_kwargs = {"seed": 0}
+    plain = build().fit(AnnData(X.copy()), init_kwargs=init_kwargs)
+
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+    sharded = build().fit(AnnData(X.copy()), init_kwargs=init_kwargs,
+                          mesh=mesh)
+
+    assert sharded.history["n_iterations"] == plain.history["n_iterations"]
+    np.testing.assert_allclose(
+        sharded.history["objective_function"],
+        plain.history["objective_function"], rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.asignatures.X), np.asarray(plain.asignatures.X),
+        rtol=1e-7,
+    )
+    np.testing.assert_allclose(
+        sharded.adata.obsm["exposures"], plain.adata.obsm["exposures"],
+        rtol=1e-6,
+    )
+
+
+def test_model_fit_mesh_rejects_bad_axis(corr_state):
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("lanes",))
+    model = KLNMF(n_signatures=2, min_iterations=10, max_iterations=20)
+    with pytest.raises(ValueError, match="samples"):
+        model.fit(AnnData(corr_state["X"].copy()), mesh=mesh)
+
+
 def test_stop_on_nonfinite_through_fit(reference_data_path):
     import pandas as pd
 
