@@ -196,6 +196,7 @@ class CorrNMFDet(CorrNMF):
         history: bool = True,
         streaming: bool = False,
         eval_chunk: int = 8192,
+        mesh=None,
     ) -> "CorrNMFDet":
         """Fit with stochastic (minibatch) variational EM instead of
         full-batch cycles - for cohorts whose sample count makes full EM
@@ -238,6 +239,10 @@ class CorrNMFDet(CorrNMF):
         O(n_samples) cycles are acceptable - reach for this path when they
         are not. Raising `delay` (20-100) tempers the early noisy steps and
         preserves more of the initialization basin.
+
+        mesh (optional) shards the resident path's sample axis across
+        devices (X, sample scalings/embeddings); the streaming path is
+        host-driven single-device and rejects it.
         """
         from ..ops import svi
 
@@ -247,6 +252,12 @@ class CorrNMFDet(CorrNMF):
                 "scipy-exact host path has no minibatch twin, so compat-mode "
                 "audit traces would silently get device-Newton numerics. "
                 "Use fit() for auditable traces."
+            )
+        if mesh is not None and streaming:
+            raise ValueError(
+                "mesh= and streaming=True are mutually exclusive: streaming "
+                "keeps the counts host-resident and uploads minibatches to "
+                "ONE device. Shard a resident fit, or stream unsharded."
             )
 
         if streaming:
@@ -304,6 +315,8 @@ class CorrNMFDet(CorrNMF):
             )
         else:
             params, data = self._device_state()
+            if mesh is not None:
+                params, data = self._shard_state(params, data, mesh)
             step_fn = svi.make_svi_step(**step_kwargs)
             state0 = svi.svi_init(params)
             state, elbo_trace = svi.run_svi_guarded(

@@ -95,6 +95,7 @@ class KLNMF(StandardNMF):
         history: bool = True,
         streaming: bool = False,
         eval_chunk: int = 8192,
+        mesh=None,
     ) -> "KLNMF":
         """Fit with online (minibatch) NMF instead of full-batch cycles -
         for cohorts whose sample count makes full multiplicative-update
@@ -131,11 +132,21 @@ class KLNMF(StandardNMF):
         freezes the signatures far from the optimum - measured on PCAWG
         SBS: +2% final KL vs full batch at forgetting=0.51 after 12k
         steps, +30% at 0.7 (BENCHMARKS.md).
+
+        mesh (optional) shards the resident path's sample axis across
+        devices (X and H); the streaming path is host-driven single-device
+        and rejects it.
         """
         import jax
 
         from ..ops import svi
 
+        if mesh is not None and streaming:
+            raise ValueError(
+                "mesh= and streaming=True are mutually exclusive: streaming "
+                "keeps the counts host-resident and uploads minibatches to "
+                "ONE device. Shard a resident fit, or stream unsharded."
+            )
         if streaming:
             self._setup_adata_streaming(adata)
         else:
@@ -189,6 +200,8 @@ class KLNMF(StandardNMF):
             )
         else:
             params, data = self._device_state()
+            if mesh is not None:
+                params, data = self._shard_state(params, data, mesh)
             step_fn = svi.make_klnmf_svi_step(**step_kwargs)
             state0 = svi.klnmf_svi_init(params)
             state, trace = svi.run_svi_guarded(

@@ -694,6 +694,53 @@ class MultimodalCorrNMF:
             tol=self.tol,
         )
 
+    # ------------------------------------------------------------------ #
+    # sample-axis sharding
+    # ------------------------------------------------------------------ #
+    # leaves whose leading axis is the (shared) sample axis D; everything
+    # else in the state is signature-side and replicates. The joint
+    # sample-embedding Newton solve (reference mmcorrnmf.py:398-428) is
+    # sample-local, so only the signature-side aux reductions all-reduce.
+    _SAMPLE_LEAVES = frozenset(
+        {"sample_scalings", "sample_embeddings", "exposures", "sample_usq"}
+    )
+
+    def _shard_state(self, params, data, mesh):
+        """device_put the multimodal fit state under `mesh`.
+
+        X of every modality and the per-sample parameters (shared sample
+        embeddings, per-modality sample scalings/exposures) shard their
+        sample axis; signature-side leaves replicate. Numerics unchanged -
+        sharded == unsharded pinned in tests/test_sharding.py.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import SAMPLE_AXIS
+
+        if SAMPLE_AXIS not in mesh.axis_names:
+            raise ValueError(
+                f"mesh has axes {mesh.axis_names}; fit expects a "
+                f"'{SAMPLE_AXIS}' axis (parallel.make_mesh(sample_ways=...))."
+            )
+        samples_first = NamedSharding(mesh, PartitionSpec(SAMPLE_AXIS))
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def put(tree, force_samples=False):
+            out = {}
+            for key, leaf in tree.items():
+                if isinstance(leaf, dict):
+                    # data['X'] nests per-modality (D, V) count matrices
+                    out[key] = put(leaf, force_samples=(key == "X"))
+                    continue
+                sharded = force_samples or key in self._SAMPLE_LEAVES
+                out[key] = jax.device_put(
+                    jnp.asarray(leaf),
+                    samples_first if sharded else replicated,
+                )
+            return out
+
+        return put(params), put(data)
+
     def fit(
         self,
         mdata,
@@ -703,11 +750,23 @@ class MultimodalCorrNMF:
         verbose: Literal[0, 1] = 0,
         verbosity_freq: int = 100,
         stop_on_nonfinite: bool = False,
+        mesh=None,
     ) -> "MultimodalCorrNMF":
+        """Fit the joint model (reference fit loop: mmcorrnmf.py:455-491).
+
+        mesh (optional): a jax.sharding.Mesh with a 'samples' axis; the
+        shared sample axis of every modality's counts and the per-sample
+        parameters then shard across devices (see _shard_state).
+        """
         self._setup_mdata(mdata)
         self._initialize(given_parameters, init_kwargs)
 
         if self.newton_cg_compat:
+            if mesh is not None:
+                raise ValueError(
+                    "mesh= is not available under newton_cg_compat=True: "
+                    "the scipy-exact fit loop runs host-side."
+                )
             # reference-verbatim host loop over the scipy-exact update cycle
             of_values = [self.objective_function()]
             n_iteration = 0
@@ -736,6 +795,8 @@ class MultimodalCorrNMF:
             return self
 
         params0, data = self._device_state()
+        if mesh is not None:
+            params0, data = self._shard_state(params0, data, mesh)
         update_fn, objective_fn = self._build_step(given_parameters)
         objective_fn = promote_objective(objective_fn, params0)
         config = self._fit_config()
@@ -785,6 +846,7 @@ class MultimodalCorrNMF:
         history: bool = True,
         streaming: bool = False,
         eval_chunk: int = 8192,
+        mesh=None,
     ) -> "MultimodalCorrNMF":
         """Stochastic (minibatch) variational EM for the multimodal model:
         one shared minibatch of samples drives all modalities per step, with
@@ -799,9 +861,17 @@ class MultimodalCorrNMF:
         HOST-resident with per-step minibatch uploads - the single-chip
         beyond-HBM path, bitwise-equal to the resident path at the same
         seed (see CorrNMFDet.fit_minibatch / ops/svi.py
-        run_svi_streaming)."""
+        run_svi_streaming). mesh shards the resident path's sample axis
+        across devices (X, sample scalings, shared embeddings); the
+        streaming path is host-driven single-device and rejects it."""
         from ..ops import svi
 
+        if mesh is not None and streaming:
+            raise ValueError(
+                "mesh= and streaming=True are mutually exclusive: streaming "
+                "keeps the counts host-resident and uploads minibatches to "
+                "ONE device. Shard a resident fit, or stream unsharded."
+            )
         if self.newton_cg_compat:
             raise ValueError(
                 "fit_minibatch does not support newton_cg_compat=True: the "
@@ -863,6 +933,8 @@ class MultimodalCorrNMF:
             )
         else:
             params, data = self._device_state()
+            if mesh is not None:
+                params, data = self._shard_state(params, data, mesh)
             step_fn = svi.make_mm_svi_step(**step_kwargs)
             state0 = svi.mm_svi_init(params)
             state, elbo_trace = svi.run_svi_guarded(

@@ -219,6 +219,135 @@ def test_model_fit_mesh_rejects_bad_axis(corr_state):
         model.fit(AnnData(corr_state["X"].copy()), mesh=mesh)
 
 
+@pytest.fixture(scope="module")
+def mm_cohort():
+    """Two planted modalities over the same 48 samples (ragged features
+    and signature counts)."""
+    rng = np.random.default_rng(5)
+    D = 48
+    mods = {}
+    for name, V, K in [("sbs", 14, 2), ("indel", 9, 3)]:
+        W = rng.dirichlet(np.ones(V) * 0.5, size=K)
+        H = rng.gamma(2.0, 30.0, size=(D, K))
+        mods[name] = np.clip(
+            rng.poisson(H @ W).astype(float), np.finfo(np.float32).eps, None
+        )
+    return mods
+
+
+def _make_mdata(mods):
+    from salamander_tpu.containers import MuData
+
+    return MuData({
+        name: AnnData(X.copy()) for name, X in mods.items()
+    })
+
+
+def test_mmcorrnmf_fit_with_mesh_matches_unsharded(mm_cohort):
+    """MultimodalCorrNMF.fit(mesh=...) shards the shared sample axis; the
+    joint sample-embedding solve is sample-local and the signature-side
+    aux reductions all-reduce - numerics must match the unsharded fit."""
+    from salamander_tpu.models import MultimodalCorrNMF
+
+    def build():
+        return MultimodalCorrNMF(
+            ns_signatures=[2, 3], dim_embeddings=2,
+            min_iterations=10, max_iterations=30,
+        )
+
+    plain = build().fit(_make_mdata(mm_cohort), init_kwargs={"seed": 0})
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+    sharded = build().fit(_make_mdata(mm_cohort), init_kwargs={"seed": 0},
+                          mesh=mesh)
+
+    assert sharded.history["n_iterations"] == plain.history["n_iterations"]
+    np.testing.assert_allclose(
+        sharded.history["objective_function"],
+        plain.history["objective_function"], rtol=1e-9,
+    )
+    for name in plain.mod_names:
+        np.testing.assert_allclose(
+            np.asarray(sharded.asignatures[name].X),
+            np.asarray(plain.asignatures[name].X), rtol=1e-7,
+            err_msg=f"signatures[{name}]",
+        )
+        np.testing.assert_allclose(
+            sharded.mdata[name].obsm["exposures"],
+            plain.mdata[name].obsm["exposures"], rtol=1e-6,
+            err_msg=f"exposures[{name}]",
+        )
+    np.testing.assert_allclose(
+        sharded.mdata.obsm["embeddings"], plain.mdata.obsm["embeddings"],
+        rtol=1e-6,
+    )
+
+
+def test_mmcorrnmf_fit_minibatch_with_mesh_matches_unsharded(mm_cohort):
+    from salamander_tpu.models import MultimodalCorrNMF
+
+    def build():
+        return MultimodalCorrNMF(
+            ns_signatures=[2, 3], dim_embeddings=2,
+        )
+
+    kwargs = dict(batch_size=16, n_steps=6, eval_freq=3, seed=3,
+                  init_kwargs={"seed": 0})
+    plain = build().fit_minibatch(_make_mdata(mm_cohort), **kwargs)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+    sharded = build().fit_minibatch(_make_mdata(mm_cohort), mesh=mesh,
+                                    **kwargs)
+    np.testing.assert_allclose(
+        sharded.history["objective_function"],
+        plain.history["objective_function"], rtol=1e-9,
+    )
+    # the joint sample-embedding update runs a data-dependent Newton/line
+    # search whose stopping comparisons can flip on 1-ulp partitioned
+    # execution differences (same rationale as the EM-cycle test's U pin)
+    np.testing.assert_allclose(
+        sharded.mdata.obsm["embeddings"], plain.mdata.obsm["embeddings"],
+        rtol=1e-6,
+    )
+
+
+def test_mmcorrnmf_mesh_rejects_streaming_and_compat(mm_cohort):
+    from salamander_tpu.models import MultimodalCorrNMF
+
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+    model = MultimodalCorrNMF(ns_signatures=[2, 3], dim_embeddings=2,
+                              newton_cg_compat=True)
+    with pytest.raises(ValueError, match="newton_cg_compat"):
+        model.fit(_make_mdata(mm_cohort), mesh=mesh)
+    model2 = MultimodalCorrNMF(ns_signatures=[2, 3], dim_embeddings=2)
+    with pytest.raises(ValueError, match="streaming"):
+        model2.fit_minibatch(_make_mdata(mm_cohort), streaming=True,
+                             mesh=mesh)
+
+
+@pytest.mark.parametrize("family", ["klnmf", "corrnmf"])
+def test_fit_minibatch_with_mesh_matches_unsharded(corr_state, family):
+    """Single-modality fit_minibatch(mesh=...) == unsharded."""
+    X = corr_state["X"]
+
+    def build():
+        if family == "klnmf":
+            return KLNMF(n_signatures=3)
+        return CorrNMFDet(n_signatures=3, dim_embeddings=2)
+
+    kwargs = dict(batch_size=16, n_steps=6, eval_freq=3, seed=3,
+                  init_kwargs={"seed": 0})
+    plain = build().fit_minibatch(AnnData(X.copy()), **kwargs)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)
+    sharded = build().fit_minibatch(AnnData(X.copy()), mesh=mesh, **kwargs)
+    np.testing.assert_allclose(
+        sharded.history["objective_function"],
+        plain.history["objective_function"], rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.asignatures.X), np.asarray(plain.asignatures.X),
+        rtol=1e-7,
+    )
+
+
 def test_stop_on_nonfinite_through_fit(reference_data_path):
     import pandas as pd
 
