@@ -392,10 +392,12 @@ def extract_signatures(
     reduction-regrouping ulps.
 
     ``compact``: lane compaction for the discovery fit (None = on for
-    every single-device accelerator convergence fit — including below the
-    halving threshold, where the compacting runner degenerates to the
+    every accelerator convergence fit, sharded or not — including below
+    the halving threshold, where the compacting runner degenerates to the
     plain lockstep loop; its fori-loop blocks are also what keeps big-D
-    lane programs inside HBM). Lanes converge at wildly
+    lane programs inside HBM. Under a ``mesh`` the compacted lane counts
+    stay multiples of the restart-axis device count). Lanes converge at
+    wildly
     different iteration counts across ranks, so the uncompacted lockstep
     loop burns most of its FLOPs advancing frozen lanes; compaction halves
     the live batch as lanes finish, gathering each survivor's own bootstrap
@@ -551,10 +553,11 @@ def extract_signatures(
         # 2026-08-19, parallel/compaction.py) — a monolithic 15-lane
         # x 200k-sample convergence loop is one such program. The
         # runner's fori-loop blocks also avoid the monolithic
-        # engine's unrolled-block temporaries at big D.
+        # engine's unrolled-block temporaries at big D. Under a mesh the
+        # runner composes with the sharded lane axis (compacted lane
+        # counts stay multiples of the restart-axis device count).
         use_runner = (
-            mesh is None
-            and config.min_iterations < config.max_iterations
+            config.min_iterations < config.max_iterations
             and jax.default_backend() in ("tpu", "axon")
         )
     else:
@@ -629,9 +632,12 @@ def extract_signatures(
                 objective_fn, jax.tree.map(lambda leaf: leaf[0], params0)
             )
         if use_runner:
+            from .parallel.compaction import mesh_restart_ways
+
             runner = _cached_extraction_compacting_runner(
                 config, promoted is not objective_fn, 8,
                 family=model, lam=lam, delta=delta, n_given=n_given,
+                lane_multiple=mesh_restart_ways(mesh),
             )
             result, losses_device = runner.run(params0, lane_data)
         else:

@@ -32,8 +32,11 @@ fused level program per occupancy size, cached across calls with the
 same config) and one on-device gather per compaction. This pays when
 per-block compute dominates dispatch: at 96x10k-scale a block's MU
 updates are MXU-bound and halving the batch halves its wall.
-Single-device only: under a mesh the restart axis is already sharded and
-gathering lanes across devices would serialize it.
+Composes with meshes: when the lane axis is sharded over the mesh's
+'restarts' axis, the survivor gather lowers to collectives (tiny next to
+the block FLOPs it saves) and compacted lane counts round up to
+multiples of the restart-axis device count (lane_multiple) so every
+level still divides evenly across devices.
 
 No reference counterpart: the reference runs restarts one at a time on
 the host (models/signature_nmf.py:315-385), so it never has lockstep
@@ -245,12 +248,17 @@ class CompactingRunner:
         min_bucket: int = 8,
         batched_data: bool = False,
         program_seconds: float | None = None,
+        lane_multiple: int = 1,
     ):
         self.config = config
         self.objective_fn = objective_fn
         self.make_block_update = make_block_update
         self.min_bucket = max(1, int(min_bucket))
         self.batched_data = bool(batched_data)
+        # compacted bucket sizes stay multiples of this (the restart-axis
+        # device count under a mesh, so every level's lane count divides
+        # evenly across devices); 1 = plain halving
+        self.lane_multiple = max(1, int(lane_multiple))
         # None = resolve per-run from the backend (axon's ~60 s program
         # kill); a number forces that budget (tests force a tiny one to
         # exercise the capped path on CPU).
@@ -281,36 +289,37 @@ class CompactingRunner:
             cache[n_lanes] = jax.jit(init)
         return cache[n_lanes]
 
-    def _level_fn(self, n_lanes: int, is_last: bool):
+    def _level_fn(self, n_lanes: int, target: int):
         """One fused device program per occupancy level: advance the
-        segment to the halving point (or to completion on the last
-        level), scatter the lanes into the full-size buffers, and - on
-        non-final levels - gather the half-size survivor batch ON DEVICE
-        (stable argsort of the done mask keeps alive lanes first in
-        original order, finished passengers padding after, exactly the
-        host driver's former selection). Lane ids ride as device state,
-        so the whole compacted fit is a FIXED chain of device programs
-        with zero intermediate device->host fetches - the former
-        per-segment done-mask fetch cost ~100ms of tunnel latency each,
-        ~0.4-0.5s of pure latency per compacted call."""
+        segment to the compaction point (`target` surviving lanes; 0 =
+        the final level, run to completion), scatter the lanes into the
+        full-size buffers, and - on non-final levels - gather the
+        target-size survivor batch ON DEVICE (stable argsort of the done
+        mask keeps alive lanes first in original order, finished
+        passengers padding after, exactly the host driver's former
+        selection). Lane ids ride as device state, so the whole compacted
+        fit is a FIXED chain of device programs with zero intermediate
+        device->host fetches - the former per-segment done-mask fetch
+        cost ~100ms of tunnel latency each, ~0.4-0.5s of pure latency per
+        compacted call."""
         cache = self._programs["level"]
-        key = (n_lanes, is_last)
+        key = (n_lanes, target)
         if key not in cache:
-            half = n_lanes // 2
+            is_last = target == 0
 
             def level(out, state, ids, data):
                 batched = self._batched_objective(data)
                 block = self.make_block_update(data, n_lanes)
                 new_state = run_lockstep_segment(
                     lambda p: batched(p, data), self.config, block,
-                    state, 0 if is_last else half,
+                    state, target,
                 )
                 out = _scatter_lanes(out, ids, new_state)
                 if is_last:
                     return out
                 pos = jnp.argsort(
                     new_state.done.astype(jnp.int32), stable=True
-                )[:half]
+                )[:target]
                 carried = (
                     out, _take_lanes(new_state, pos), jnp.take(ids, pos)
                 )
@@ -348,16 +357,16 @@ class CompactingRunner:
             cache[n_lanes] = jax.jit(segment)
         return cache[n_lanes]
 
-    def _compact_fn(self, n_lanes: int, is_last: bool):
+    def _compact_fn(self, n_lanes: int, target: int):
         """The scatter(+gather) tail of a level, split out of the fused
         level program for the time-capped path: scatter the level's lanes
         into the full-size buffers and - on non-final levels - gather the
-        half-size survivor batch on device (same stable-argsort selection
-        as _level_fn)."""
+        target-size survivor batch on device (same stable-argsort
+        selection as _level_fn)."""
         cache = self._programs["compact"]
-        key = (n_lanes, is_last)
+        key = (n_lanes, target)
         if key not in cache:
-            half = n_lanes // 2
+            is_last = target == 0
 
             def compact(out, state, ids, data):
                 out = _scatter_lanes(out, ids, state)
@@ -365,7 +374,7 @@ class CompactingRunner:
                     return out
                 pos = jnp.argsort(
                     state.done.astype(jnp.int32), stable=True
-                )[:half]
+                )[:target]
                 carried = (
                     out, _take_lanes(state, pos), jnp.take(ids, pos)
                 )
@@ -401,7 +410,7 @@ class CompactingRunner:
         return max(1, int(budget / per_block))
 
     def _run_level_capped(self, out, state, ids, data, n_lanes: int,
-                          is_last: bool, budget: float):
+                          target: int, budget: float):
         """Host-driven twin of one fused level program for big-D fits:
         a chain of capped segment dispatches (each bounded to ~`budget`
         seconds of device execution, under the axon worker's ~60 s program
@@ -415,7 +424,7 @@ class CompactingRunner:
 
         freq = int(self.config.conv_test_freq)
         full_blocks = int(self.config.max_iterations) // freq
-        alive_floor = 0 if is_last else n_lanes // 2
+        alive_floor = target
         segment = self._segment_fn(n_lanes)
         cap = self._model_blocks_cap(data, n_lanes, budget)
         measured = self._measured_per_block.get(n_lanes)
@@ -456,7 +465,7 @@ class CompactingRunner:
             prev_iteration = iteration
             if n_alive <= alive_floor or iteration >= full_blocks * freq:
                 break
-        return self._compact_fn(n_lanes, is_last)(out, state, ids, data)
+        return self._compact_fn(n_lanes, target)(out, state, ids, data)
 
     def _loss_fn(self, n_lanes: int):
         cache = self._programs["loss"]
@@ -532,41 +541,58 @@ class CompactingRunner:
         out = state  # full-size accumulation buffers (device)
         ids = jnp.arange(n_restarts, dtype=jnp.int32)
 
-        # The halving schedule is static given (n_restarts, min_bucket),
-        # so the fit runs as a fixed chain of fused level programs with
-        # all gather decisions made on device - no host round-trips. If
-        # every lane converges before the schedule bottoms out, the
-        # remaining levels' segment while_loops exit on their first
-        # condition check (dispatch cost only; frozen lanes never
-        # advance, so trajectories and results are unchanged vs the
-        # former host loop's early break). Under a program-seconds budget
-        # (the axon worker's ~60 s kill), levels whose worst case could
-        # exceed it instead run as host-driven chains of capped segments
-        # (_run_level_capped) - same while_loop, paused and resumed.
+        # The halving schedule is static given (n_restarts, min_bucket,
+        # lane_multiple), so the fit runs as a fixed chain of fused level
+        # programs with all gather decisions made on device - no host
+        # round-trips. If every lane converges before the schedule
+        # bottoms out, the remaining levels' segment while_loops exit on
+        # their first condition check (dispatch cost only; frozen lanes
+        # never advance, so trajectories and results are unchanged vs
+        # the former host loop's early break). Under a program-seconds
+        # budget (the axon worker's ~60 s kill), levels whose worst case
+        # could exceed it instead run as host-driven chains of capped
+        # segments (_run_level_capped) - same while_loop, paused and
+        # resumed. Under a mesh (lane_multiple = restart-axis device
+        # count) the targets round up so every level's lane count still
+        # divides evenly across devices.
         bucket = n_restarts
         data_bucket = data  # (shrinks with the lanes under batched_data)
-        while bucket // 2 >= self.min_bucket:
+        while True:
+            target = self._next_bucket(bucket)
+            if target is None:
+                break
             if self._use_fused_level(bucket, budget, data_bucket):
-                level_out = self._level_fn(bucket, False)(
+                level_out = self._level_fn(bucket, target)(
                     out, state, ids, data_bucket
                 )
             else:
                 level_out = self._run_level_capped(
-                    out, state, ids, data_bucket, bucket, False, budget
+                    out, state, ids, data_bucket, bucket, target, budget
                 )
             if self.batched_data:
                 out, state, ids, data_bucket = level_out
             else:
                 out, state, ids = level_out
-            bucket //= 2
+            bucket = target
         if self._use_fused_level(bucket, budget, data_bucket):
-            out = self._level_fn(bucket, True)(out, state, ids, data_bucket)
+            out = self._level_fn(bucket, 0)(out, state, ids, data_bucket)
         else:
             out = self._run_level_capped(
-                out, state, ids, data_bucket, bucket, True, budget
+                out, state, ids, data_bucket, bucket, 0, budget
             )
 
         return self._loss_fn(n_restarts)(out, data, initial_objective)
+
+    def _next_bucket(self, bucket: int) -> int | None:
+        """The next (smaller) compacted lane count, or None to stop:
+        halve, round UP to a multiple of lane_multiple; stop when the
+        result would drop below min_bucket (with lane_multiple=1 this is
+        exactly the original halving schedule) or not shrink."""
+        multiple = self.lane_multiple
+        half = ((bucket // 2 + multiple - 1) // multiple) * multiple
+        if half < self.min_bucket or half >= bucket:
+            return None
+        return half
 
 
 def _klnmf_block_update_builder(use_pallas: bool, masked: bool,
@@ -613,7 +639,8 @@ def _klnmf_block_update_builder(use_pallas: bool, masked: bool,
 @functools.lru_cache(maxsize=16)
 def _cached_compacting_runner(config: FitConfig, masked: bool,
                               use_pallas: bool, pallas_interpret: bool,
-                              min_bucket: int) -> CompactingRunner:
+                              min_bucket: int,
+                              lane_multiple: int = 1) -> CompactingRunner:
     """One runner (= one compiled-program cache) per KLNMF fit flavor."""
     from ..ops import klnmf as ops
 
@@ -626,6 +653,7 @@ def _cached_compacting_runner(config: FitConfig, masked: bool,
         objective_fn,
         _klnmf_block_update_builder(use_pallas, masked, pallas_interpret),
         min_bucket=min_bucket,
+        lane_multiple=lane_multiple,
     )
 
 
@@ -633,7 +661,7 @@ def _cached_compacting_runner(config: FitConfig, masked: bool,
 def _cached_extraction_compacting_runner(
     config: FitConfig, promote: bool, min_bucket: int,
     family: str = "klnmf", lam: float = 1.0, delta: float = 1.0,
-    n_given: int = 0,
+    n_given: int = 0, lane_multiple: int = 1,
 ) -> CompactingRunner:
     """Compacting runner for de novo extraction's discovery fit: rank-masked
     KLNMF (or min-vol MvNMF) lanes where every lane fits its OWN bootstrap
@@ -672,12 +700,15 @@ def _cached_extraction_compacting_runner(
         return block
 
     return CompactingRunner(config, objective_fn, make_block_update,
-                            min_bucket=min_bucket, batched_data=True)
+                            min_bucket=min_bucket, batched_data=True,
+                            lane_multiple=lane_multiple)
 
 
 @functools.lru_cache(maxsize=8)
 def _cached_corrnmf_compacting_runner(config: FitConfig, x64: bool,
-                                      min_bucket: int) -> CompactingRunner:
+                                      min_bucket: int,
+                                      lane_multiple: int = 1,
+                                      ) -> CompactingRunner:
     """Compacting runner for (rank- and dim-)masked CorrNMF scan calls.
 
     The per-lane step is the masked variational-EM cycle
@@ -706,13 +737,16 @@ def _cached_corrnmf_compacting_runner(config: FitConfig, x64: bool,
         return block
 
     return CompactingRunner(config, objective, make_block_update,
-                            min_bucket=min_bucket)
+                            min_bucket=min_bucket,
+                            lane_multiple=lane_multiple)
 
 
 @functools.lru_cache(maxsize=16)
 def _cached_mvnmf_compacting_runner(config: FitConfig, lam: float,
                                     delta: float,
-                                    min_bucket: int) -> CompactingRunner:
+                                    min_bucket: int,
+                                    lane_multiple: int = 1,
+                                    ) -> CompactingRunner:
     """Compacting runner for rank-masked MvNMF scan calls (params carry
     the per-lane line-search gamma and the rank mask)."""
     from ..ops import mvnmf as mv_ops
@@ -730,7 +764,25 @@ def _cached_mvnmf_compacting_runner(config: FitConfig, lam: float,
         return block
 
     return CompactingRunner(config, objective_fn, make_block_update,
-                            min_bucket=min_bucket)
+                            min_bucket=min_bucket,
+                            lane_multiple=lane_multiple)
+
+
+def mesh_restart_ways(mesh) -> int:
+    """Device count along the mesh's restart axis (1 without a mesh or
+    when the mesh has no 'restarts' axis). This is the compacting
+    driver's lane_multiple under a mesh: compacted lane counts stay
+    multiples of it so every level divides evenly across devices."""
+    if mesh is None:
+        return 1
+    from .mesh import RESTART_AXIS
+
+    try:
+        return int(dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            RESTART_AXIS, 1
+        ))
+    except Exception:
+        return 1
 
 
 def resolve_compact(compact, config: FitConfig, mesh,
@@ -741,26 +793,30 @@ def resolve_compact(compact, config: FitConfig, mesh,
     per-block wall scales with lane count at EVERY measured size: warm
     speedups 5.1x (96x10k) to 19.3x (96x500) for default-config
     convergence fits at R=100 (BENCHMARKS.md). Auto therefore enables
-    compaction exactly where it is legal and at least one halving exists
-    (n_restarts >= 2 * min_bucket): single device and a convergence rule
-    (fixed-length runs never free a lane). The floor history is measured:
-    the first HOST-driven driver fetched a done mask per segment (~100ms
-    tunnel latency each), which made one-halving cap-bound calls a 1.5x
-    LOSS and briefly forced a two-halving floor; the device-scheduled
-    driver (fused level programs, on-device gathers, zero intermediate
-    fetches) cut the worst case to a ~6% wash on the same cap-bound R=8
-    CorrNMF scan while one-halving MvNMF R=8 wins 1.6x - so one halving
-    is again worth taking (BENCHMARKS.md "Lane compaction"). CPU stays
-    opt-in: the split-program driver differs from the monolithic runner
-    by f32 fusion ulps (see CLAUDE.md), and CPU is the bit-exactness
-    reference.
+    compaction exactly where it is legal and at least one halving exists:
+    a convergence rule (fixed-length runs never free a lane) and
+    n_restarts >= 2 * the effective floor. Under a mesh the restart axis
+    is sharded and compaction composes with it (lane_multiple =
+    mesh_restart_ways keeps every level's lane count evenly divisible;
+    the cross-device survivor gather is collective but tiny next to the
+    block FLOPs it saves), so the floor also rounds up to the device
+    count. The floor history is measured: the first HOST-driven driver
+    fetched a done mask per segment (~100ms tunnel latency each), which
+    made one-halving cap-bound calls a 1.5x LOSS and briefly forced a
+    two-halving floor; the device-scheduled driver (fused level programs,
+    on-device gathers, zero intermediate fetches) cut the worst case to
+    a ~6% wash on the same cap-bound R=8 CorrNMF scan while one-halving
+    MvNMF R=8 wins 1.6x - so one halving is again worth taking
+    (BENCHMARKS.md "Lane compaction"). CPU stays opt-in: the
+    split-program driver differs from the monolithic runner by f32
+    fusion ulps (see CLAUDE.md), and CPU is the bit-exactness reference.
     """
     if compact is not None:
         return bool(compact)
+    floor = max(min_bucket, mesh_restart_ways(mesh))
     return (
-        mesh is None
-        and config.min_iterations < config.max_iterations
-        and n_restarts >= 2 * min_bucket
+        config.min_iterations < config.max_iterations
+        and n_restarts >= 2 * floor
         and jax.default_backend() in ("tpu", "axon")
     )
 
@@ -777,14 +833,17 @@ def fit_klnmf_restarts_compacting(
     min_bucket: int = 8,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    mesh=None,
 ):
     """Compacting twin of parallel.restarts.fit_klnmf_restarts (same seeds,
-    same per-lane results; single device). Returns a RestartResult."""
+    same per-lane results). Under a `mesh` the lane axis shards over
+    'restarts' and compacted lane counts stay multiples of the device
+    count. Returns a RestartResult."""
     result, losses = klnmf_restarts_compacting_device(
         X, n_signatures, n_restarts, seed=seed, config=config,
         weights_kl=weights_kl, weights_lhalf=weights_lhalf, dtype=dtype,
         min_bucket=min_bucket, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret,
+        pallas_interpret=pallas_interpret, mesh=mesh,
     )
     return finalize_compacting_restarts(result, losses)
 
@@ -801,6 +860,7 @@ def klnmf_restarts_compacting_device(
     min_bucket: int = 8,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    mesh=None,
 ):
     """Dispatch-only body of fit_klnmf_restarts_compacting: returns the
     DEVICE (FitResult, losses) without any device->host fetch. The
@@ -811,6 +871,9 @@ def klnmf_restarts_compacting_device(
     from ..initialization.methods import random_init_batch
 
     config = config or FitConfig()
+    if use_pallas and mesh is not None:
+        raise ValueError("The fused Pallas path is single-device; drop "
+                         "'mesh'.")
     X = jnp.asarray(X, dtype)
     key = jax.random.PRNGKey(seed)
     W0, H0 = random_init_batch(key, X, n_signatures, n_restarts, dtype)
@@ -819,8 +882,22 @@ def klnmf_restarts_compacting_device(
         data["weights_kl"] = jnp.asarray(weights_kl, dtype)
     if weights_lhalf is not None:
         data["weights_lhalf"] = jnp.asarray(weights_lhalf, dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .mesh import SAMPLE_AXIS, restart_sharding
+
+        shardings = restart_sharding(mesh)
+        W0 = jax.device_put(W0, shardings["W"])
+        H0 = jax.device_put(H0, shardings["H"])
+        data["X"] = jax.device_put(data["X"], shardings["X"])
+        per_sample = NamedSharding(mesh, PartitionSpec(SAMPLE_AXIS))
+        for key_name in ("weights_kl", "weights_lhalf"):
+            if key_name in data:
+                data[key_name] = jax.device_put(data[key_name], per_sample)
     runner = _cached_compacting_runner(
-        config, False, use_pallas, pallas_interpret, min_bucket
+        config, False, use_pallas, pallas_interpret, min_bucket,
+        lane_multiple=mesh_restart_ways(mesh),
     )
     return runner.run({"W": W0, "H": H0}, data)
 

@@ -168,7 +168,7 @@ def rank_scan_corrnmf(
     halving steps instead of running frozen through every remaining
     lockstep EM cycle (each cycle carries the batched Newton embedding
     update, so frozen CorrNMF lanes are especially expensive).
-    Single-device; results match within f32 program-boundary
+    Composes with meshes; results match within f32 program-boundary
     accumulation order (same caveat class as the padding equivalence
     above).
     """
@@ -209,13 +209,8 @@ def rank_scan_corrnmf(
         )
         buckets.setdefault((padded_k, padded_m), []).append((offset, k, m))
 
-    from .compaction import resolve_compact
+    from .compaction import mesh_restart_ways, resolve_compact
 
-    if compact and mesh is not None:
-        raise ValueError(
-            "compact=True is single-device (the restart axis is already "
-            "sharded under a mesh); drop 'mesh' or 'compact'."
-        )
     compact = resolve_compact(compact, config, mesh, n_restarts,
                               compact_min_bucket)
     run, losses_fn = _cached_masked_run(
@@ -226,7 +221,8 @@ def rank_scan_corrnmf(
         from .compaction import _cached_corrnmf_compacting_runner
 
         compacting_runner = _cached_corrnmf_compacting_runner(
-            config, bool(jax.config.jax_enable_x64), compact_min_bucket
+            config, bool(jax.config.jax_enable_x64), compact_min_bucket,
+            lane_multiple=mesh_restart_ways(mesh),
         )
     rng_state = np.random.get_state()
     results: dict = {}

@@ -225,7 +225,7 @@ def fit_klnmf_restarts(
             X, n_signatures, n_restarts, seed=seed, config=config,
             weights_kl=weights_kl, weights_lhalf=weights_lhalf,
             dtype=dtype, min_bucket=compact_min_bucket,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, mesh=mesh,
         )
     X = jnp.asarray(X, dtype)
     key = jax.random.PRNGKey(seed)
@@ -450,16 +450,12 @@ def rank_scan_klnmf(
     restarts converge, survivors are gathered into half-size batches so
     frozen lanes stop burning block FLOPs (lockstep occupancy is ~32% on
     default-config convergence fits; measured warm speedups 5-19x at
-    R=100, BENCHMARKS.md). Single-device only; costs
+    R=100, BENCHMARKS.md). Composes with meshes (compacted lane counts
+    stay multiples of the restart-axis device count); costs
     ~log2(n_restarts/compact_min_bucket) extra compiled programs per
     bucket; per-lane results match within f32 program-boundary
     accumulation order."""
     config = config or FitConfig()
-    if compact and mesh is not None:
-        raise ValueError(
-            "compact=True is single-device (the restart axis is already "
-            "sharded under a mesh); drop 'mesh' or 'compact'."
-        )
     compact = resolve_compact(compact, config, mesh, n_restarts,
                               compact_min_bucket)
     if pad_ranks is None:
@@ -507,7 +503,7 @@ def rank_scan_klnmf(
                     seed=seed + 1000 * offset,
                     config=config, dtype=dtype, use_pallas=use_pallas,
                     pallas_interpret=pallas_interpret,
-                    min_bucket=compact_min_bucket,
+                    min_bucket=compact_min_bucket, mesh=mesh,
                 )
                 in_flight.append((k, run_out))
                 retained += _pytree_nbytes(run_out)
@@ -693,15 +689,10 @@ def rank_scan_mvnmf(
     compaction per call - converged restarts are dropped from the batch
     in halving steps instead of burning frozen-lane FLOPs (and, for
     MvNMF, frozen lanes' line-search while_loop trials) until the
-    slowest lane converges. Single-device; results match within f32
+    slowest lane converges. Composes with meshes; results match within f32
     program-boundary accumulation order.
     """
     config = config or FitConfig()
-    if compact and mesh is not None:
-        raise ValueError(
-            "compact=True is single-device (the restart axis is already "
-            "sharded under a mesh); drop 'mesh' or 'compact'."
-        )
     compact = resolve_compact(compact, config, mesh, n_restarts,
                               compact_min_bucket)
     ranks = [int(k) for k in n_signatures_range]
@@ -781,10 +772,14 @@ def rank_scan_mvnmf(
                 }
 
             if compact:
-                from .compaction import _cached_mvnmf_compacting_runner
+                from .compaction import (
+                    _cached_mvnmf_compacting_runner,
+                    mesh_restart_ways,
+                )
 
                 c_runner = _cached_mvnmf_compacting_runner(
-                    config, float(lam), float(delta), compact_min_bucket
+                    config, float(lam), float(delta), compact_min_bucket,
+                    lane_multiple=mesh_restart_ways(mesh),
                 )
                 c_result, losses = c_runner.run(params0, data)
                 params = c_result.params

@@ -165,14 +165,107 @@ def test_rank_scan_klnmf_compact_matches():
                                    np.asarray(base[k].W), rtol=1e-12)
 
 
-def test_rank_scan_klnmf_compact_rejects_mesh():
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_rank_scan_klnmf_compact_mesh_matches():
+    """Compaction composes with meshes: a compacting sharded scan must
+    reproduce the plain sharded scan rank for rank (the survivor gather
+    lowers to collectives; compacted lane counts stay multiples of the
+    restart-axis device count)."""
     from salamander_tpu.parallel import make_mesh, rank_scan_klnmf
 
-    X = _counts(seed=7)
-    mesh = make_mesh()
-    with pytest.raises(ValueError, match="single-device"):
-        rank_scan_klnmf(X, range(2, 4), n_restarts=4, seed=0, config=CONFIG,
-                        mesh=mesh, compact=True)
+    X = _counts(seed=7, D=32)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=2)  # 4 restart ways
+    base = rank_scan_klnmf(
+        X, range(2, 4), n_restarts=8, seed=0, config=CONFIG, mesh=mesh,
+        compact=False, pad_ranks=False,
+    )
+    compact = rank_scan_klnmf(
+        X, range(2, 4), n_restarts=8, seed=0, config=CONFIG, mesh=mesh,
+        compact=True, compact_min_bucket=2, pad_ranks=False,
+    )
+    for k in base:
+        np.testing.assert_array_equal(compact[k].n_iterations,
+                                      base[k].n_iterations)
+        np.testing.assert_allclose(compact[k].losses, base[k].losses,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(compact[k].W),
+                                   np.asarray(base[k].W), rtol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_rank_scan_corrnmf_compact_mesh_matches():
+    from salamander_tpu.parallel import make_mesh, rank_scan_corrnmf
+
+    rng = np.random.default_rng(21)
+    X = rng.poisson(40.0, size=(32, 12)).astype(float) + 1.0
+    config = FitConfig(min_iterations=10, max_iterations=150,
+                       conv_test_freq=5, tol=1e-7)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=4)  # 2 restart ways
+    base = rank_scan_corrnmf(
+        X, range(2, 4), dim_embeddings=2, n_restarts=8, base_seed=0,
+        config=config, build_models=False, mesh=mesh, compact=False,
+    )
+    compact = rank_scan_corrnmf(
+        X, range(2, 4), dim_embeddings=2, n_restarts=8, base_seed=0,
+        config=config, build_models=False, mesh=mesh, compact=True,
+        compact_min_bucket=2,
+    )
+    for k in base:
+        np.testing.assert_allclose(compact[k].losses, base[k].losses,
+                                   rtol=1e-8)
+        np.testing.assert_array_equal(compact[k].n_iterations,
+                                      base[k].n_iterations)
+        assert compact[k].best_index == base[k].best_index
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fit_klnmf_restarts_compact_mesh_matches_unsharded():
+    """The compacting sharded multi-start equals the single-device
+    compacting run lane for lane. Compared at float64: partitioned
+    reductions change summation order, and at float32 those ulps shift
+    borderline convergence blocks (the package-wide cross-layout lesson);
+    at f64 the jitter sits ~1e-16, far from the 1e-6 tolerance."""
+    from salamander_tpu.parallel import make_mesh
+
+    X = _counts(seed=13, D=32)
+    mesh = make_mesh(jax.devices()[:8], sample_ways=2)
+    plain = fit_klnmf_restarts_compacting(
+        X, 3, 8, seed=0, config=CONFIG, min_bucket=2, dtype=jnp.float64
+    )
+    sharded = fit_klnmf_restarts_compacting(
+        X, 3, 8, seed=0, config=CONFIG, min_bucket=2, mesh=mesh,
+        dtype=jnp.float64
+    )
+    np.testing.assert_array_equal(sharded.n_iterations, plain.n_iterations)
+    np.testing.assert_allclose(sharded.losses, plain.losses, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sharded.W), np.asarray(plain.W),
+                               rtol=1e-10)
+
+
+def test_next_bucket_schedule():
+    """The compaction schedule rounds bucket sizes up to lane_multiple
+    (device-aligned levels under a mesh) and reduces to plain halving at
+    lane_multiple=1."""
+    def runner(min_bucket, lane_multiple):
+        return CompactingRunner(
+            CONFIG, lambda p, d: jnp.zeros(()), lambda d, n: None,
+            min_bucket=min_bucket, lane_multiple=lane_multiple,
+        )
+
+    plain = runner(2, 1)
+    assert plain._next_bucket(8) == 4
+    assert plain._next_bucket(7) == 3
+    assert plain._next_bucket(3) is None  # 3 // 2 = 1 < min_bucket
+    legacy = runner(8, 1)
+    assert legacy._next_bucket(100) == 50
+    assert legacy._next_bucket(25) == 12
+    assert legacy._next_bucket(12) is None  # 6 < 8: original stop point
+
+    meshy = runner(2, 4)  # 4 restart ways
+    assert meshy._next_bucket(100) == 52   # 50 -> next multiple of 4
+    assert meshy._next_bucket(52) == 28
+    assert meshy._next_bucket(8) == 4
+    assert meshy._next_bucket(4) is None   # would not shrink
 
 
 def test_rank_scan_mvnmf_compact_matches():
@@ -417,8 +510,15 @@ def test_resolve_compact_auto_policy(monkeypatch):
     assert compaction.resolve_compact(None, conv, None, 7, 4) is False
     # fixed-length schedule never frees a lane: off
     assert compaction.resolve_compact(None, fixed, None, 64, 4) is False
-    # mesh: the restart axis is already sharded: off
-    assert compaction.resolve_compact(None, conv, object(), 64, 4) is False
+    # meshes compose: auto stays on when at least one device-aligned
+    # halving exists (floor = max(min_bucket, restart ways))
+    from salamander_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices("cpu")[:8], sample_ways=2)  # 4 ways
+    assert compaction.mesh_restart_ways(mesh) == 4
+    assert compaction.resolve_compact(None, conv, mesh, 64, 4) is True
+    assert compaction.resolve_compact(None, conv, mesh, 8, 1) is True
+    assert compaction.resolve_compact(None, conv, mesh, 7, 1) is False
 
 
 def test_deferred_fetch_budget_flush(monkeypatch):
