@@ -95,6 +95,75 @@ def test_barplot_colors_cn48_sv32():
         plot._get_colors_barplot(["a"] * 5, "SV32")
 
 
+def test_barplot_draws_resolved_channel_colors():
+    """Drawn-artist regression: a one-signature SBS-96 barplot must draw 96
+    bars whose facecolors are exactly the auto-resolved trinucleotide
+    palette and whose heights are the row-normalized values."""
+    from matplotlib.colors import to_rgba
+
+    rng = np.random.default_rng(0)
+    values = rng.uniform(0.5, 2.0, size=96)
+    frame = pd.DataFrame([values], index=["SigX"], columns=SBS_TYPES_96)
+    ax = plot._barplot_single(frame)
+    bars = ax.patches
+    assert len(bars) == 96
+    expected_colors = [to_rgba(c) for c in plot._get_colors_barplot(SBS_TYPES_96)]
+    drawn = [bar.get_facecolor() for bar in bars]
+    assert drawn == expected_colors
+    heights = np.array([bar.get_height() for bar in bars])
+    np.testing.assert_allclose(heights, values / values.sum(), rtol=1e-12)
+    assert ax.get_title() == "SigX"
+    plt.close("all")
+
+
+def test_stacked_barplot_layout():
+    """Drawn-artist regression: stacked exposure bars are row-normalized
+    (per-sample stacks reach exactly 1) and signatures stack in total-
+    contribution order (largest at the bottom)."""
+    rng = np.random.default_rng(1)
+    exposures = pd.DataFrame(
+        rng.gamma(2.0, 10.0, size=(6, 3)),
+        index=[f"s{i}" for i in range(6)],
+        columns=["SigA", "SigB", "SigC"],
+    )
+    # make SigC dominate, SigA smallest
+    exposures["SigC"] *= 10.0
+    exposures["SigA"] *= 0.1
+    ax = plot.stacked_barplot(exposures, annotate_obs=False)
+    bars = ax.patches
+    n_samples, n_sigs = exposures.shape
+    assert len(bars) == n_samples * n_sigs
+    # per-sample stacked heights reach exactly 1 (row normalization)
+    tops = {}
+    for bar in bars:
+        x = round(bar.get_x(), 6)
+        tops[x] = max(tops.get(x, 0.0), bar.get_y() + bar.get_height())
+    np.testing.assert_allclose(sorted(tops.values()), np.ones(n_samples),
+                               rtol=1e-9)
+    # the legend lists signatures in contribution order, biggest first
+    legend = ax.get_legend()
+    labels = [t.get_text() for t in legend.get_texts()]
+    assert labels == ["SigC", "SigB", "SigA"]
+    # and the bottom layer of each stack is the dominant signature
+    bottom_heights = [b.get_height() for b in bars if abs(b.get_y()) < 1e-12]
+    normalized = exposures.div(exposures.sum(axis=1), axis=0)
+    np.testing.assert_allclose(
+        sorted(bottom_heights), sorted(normalized["SigC"]), rtol=1e-9
+    )
+    plt.close("all")
+
+
+def test_history_plot_x_grid():
+    """history() plots the objective against the conv_test_freq iteration
+    grid (the reference's x axis semantics, plot.py:45-72)."""
+    values = [5.0, 4.0, 3.5, 3.3]
+    ax = plot.history(values=values, conv_test_freq=10)
+    line = ax.get_lines()[0]
+    np.testing.assert_array_equal(line.get_xdata(), [10, 20, 30, 40])
+    np.testing.assert_array_equal(line.get_ydata(), values)
+    plt.close("all")
+
+
 def test_cn48_sv32_vocabulary_structure():
     # homdel carries 3 coarse length bins; every other CN group carries 5
     assert len(CN_TYPES_48) == len(set(CN_TYPES_48)) == 48
