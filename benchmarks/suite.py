@@ -67,23 +67,98 @@ def config1_klnmf_restarts():
 # config 2: MvNMF rank sweep
 # --------------------------------------------------------------------- #
 
+def _cpu_mvnmf_iterations_per_sec(X, n_signatures=5, lam=1.0, delta=1.0,
+                                  n_iterations=60):
+    """The reference's MvNMF iteration in literal numpy: MU H update, the
+    Leplat-Gillis-Ang closed-form W step with the (K,K) inverse, and the
+    0.8-shrink backtracking line search re-evaluating the penalized KL per
+    trial (reference mvnmf.py:37-92, :197-210), objective every 10 iters."""
+    rng = np.random.default_rng(1)
+    V, D = X.shape
+    K = n_signatures
+    eps = float(np.finfo(np.float32).eps)
+    W = rng.dirichlet(np.ones(V), size=K).T
+    H = rng.uniform(size=(K, D)) * X.sum(0) / K
+    gamma = 1.0
+
+    def kl(W, H):
+        WH = W @ H
+        pos = X > 0
+        return float(
+            np.sum(X[pos] * np.log(X[pos] / WH[pos])) - X.sum() + WH.sum()
+        )
+
+    def objective(W, H):
+        _, logdet = np.linalg.slogdet(W.T @ W + delta * np.eye(K))
+        return kl(W, H) + lam * logdet
+
+    def normalize(W_trial, H):
+        sums = W_trial.sum(0)
+        return W_trial / sums, H * sums[:, None]
+
+    def iteration(W, H, gamma):
+        H = np.maximum(H * (W.T @ (X / (W @ H))), eps)
+        Y = np.linalg.inv(W.T @ W + delta * np.eye(K))
+        WY_minus = W @ np.maximum(0.0, -Y)
+        WY_abs = W @ np.abs(Y)
+        linear = H.sum(1) - 4.0 * lam * WY_minus
+        disc = linear**2 + 8.0 * lam * WY_abs * ((X / (W @ H)) @ H.T)
+        W_un = np.maximum(
+            W * (np.sqrt(disc) - linear) / (4.0 * lam * WY_abs), eps
+        )
+        prev = objective(W, H)
+        g = gamma
+        W_new, H_new = normalize(W_un, H)
+        W_new, H_new = np.maximum(W_new, eps), np.maximum(H_new, eps)
+        of_value = objective(W_new, H_new)
+        while of_value > prev and g > 1e-16:
+            g *= 0.8
+            W_trial = (1.0 - g) * W + g * W_un
+            W_new, H_new = normalize(W_trial, H)
+            W_new, H_new = np.maximum(W_new, eps), np.maximum(H_new, eps)
+            of_value = objective(W_new, H_new)
+        return W_new, H_new, min(1.0, 1.2 * g)
+
+    for _ in range(5):  # warm caches
+        W, H, gamma = iteration(W, H, gamma)
+    start = time.perf_counter()
+    for i in range(1, n_iterations + 1):
+        W, H, gamma = iteration(W, H, gamma)
+        if i % 10 == 0:
+            objective(W, H)
+    return n_iterations / (time.perf_counter() - start)
+
+
 def config2_mvnmf():
     from salamander_tpu.models import MvNMF
 
     sbs = datasets.load_pcawg_sbs()
     results = {}
     for k in range(5, 11):
+        cpu_ips = _cpu_mvnmf_iterations_per_sec(
+            sbs.values.T.astype(float), n_signatures=k
+        )
         model = MvNMF(n_signatures=k, lam=1.0, delta=1.0)
+        start = time.perf_counter()
+        model.fit(AnnData(sbs.copy()), init_kwargs={"seed": 1})
+        cold = time.perf_counter() - start
+        # steady state: refit (program cached)
         start = time.perf_counter()
         model.fit(AnnData(sbs.copy()), init_kwargs={"seed": 1})
         elapsed = time.perf_counter() - start
         iters = model.history["n_iterations"]
+        tpu_ips = iters / elapsed
         results[k] = {
-            "seconds_incl_compile": round(elapsed, 2),
+            "seconds_incl_compile": round(cold, 2),
+            "steady_seconds": round(elapsed, 2),
             "iterations": iters,
+            "tpu_iterations_per_sec": round(tpu_ips, 1),
+            "cpu_iterations_per_sec": round(cpu_ips, 1),
+            "speedup_vs_cpu": round(tpu_ips / cpu_ips, 1),
             "objective": round(model.objective_function(), 1),
         }
-        log(f"config2 k={k}: {iters} iters in {elapsed:.1f}s")
+        log(f"config2 k={k}: {iters} iters, TPU {tpu_ips:.0f} it/s vs "
+            f"CPU {cpu_ips:.0f} it/s ({tpu_ips / cpu_ips:.1f}x)")
     emit({"config": "2_mvnmf_k5_10", "per_rank": results})
 
 
@@ -91,11 +166,38 @@ def config2_mvnmf():
 # config 3: CorrNMF vs the scipy-loop reference stand-in
 # --------------------------------------------------------------------- #
 
+def _newton_cg_row(b0, others, scaling, scal_other, aux_vec, variance,
+                   maxiter):
+    """One embedding row's scipy Newton-CG solve (the reference's
+    _utils_corrnmf.update_embedding semantics). `scaling` may be a scalar
+    (per-signature solves) or fold into `scal_other` as a vector (the
+    multimodal joint sample solve, where each concatenated signature row
+    carries its own modality's sample scaling)."""
+    from scipy import optimize
+
+    m = others.shape[1]
+    q = aux_vec @ others
+
+    def fun(b):
+        z = scaling + scal_other + others @ b
+        return -(q @ b - np.sum(np.exp(z)) - b @ b / (2 * variance))
+
+    def grad(b):
+        e = np.exp(scaling + scal_other + others @ b)
+        return -(q - others.T @ e - b / variance)
+
+    def hess(b):
+        e = np.exp(scaling + scal_other + others @ b)
+        return (others * e[:, None]).T @ others + np.eye(m) / variance
+
+    options = {"maxiter": maxiter} if maxiter else None
+    return optimize.minimize(fun, b0, method="Newton-CG", jac=grad,
+                             hess=hess, options=options).x
+
+
 def _cpu_corrnmf_cycle_seconds(X, n_signatures=5, dim=2, n_cycles=3):
     """The reference's EM cycle in numpy/scipy: per-row Newton-CG loops
     (models/corrnmf_det.py:103-141 semantics)."""
-    from scipy import optimize
-
     rng = np.random.default_rng(0)
     D, V = X.shape
     K, m = n_signatures, dim
@@ -107,23 +209,8 @@ def _cpu_corrnmf_cycle_seconds(X, n_signatures=5, dim=2, n_cycles=3):
     variance = 1.0
 
     def solve_row(b0, others, scaling, scal_other, aux_vec, maxiter):
-        q = aux_vec @ others
-
-        def fun(b):
-            z = scaling + scal_other + others @ b
-            return -(q @ b - np.sum(np.exp(z)) - b @ b / (2 * variance))
-
-        def grad(b):
-            e = np.exp(scaling + scal_other + others @ b)
-            return -(q - others.T @ e - b / variance)
-
-        def hess(b):
-            e = np.exp(scaling + scal_other + others @ b)
-            return (others * e[:, None]).T @ others + np.eye(m) / variance
-
-        options = {"maxiter": maxiter} if maxiter else None
-        return optimize.minimize(fun, b0, method="Newton-CG", jac=grad,
-                                 hess=hess, options=options).x
+        return _newton_cg_row(b0, others, scaling, scal_other, aux_vec,
+                              variance, maxiter)
 
     start = time.perf_counter()
     for _ in range(n_cycles):
@@ -273,14 +360,94 @@ def config3c_corrnmf_svi():
 # config 4: multimodal
 # --------------------------------------------------------------------- #
 
+def _cpu_multimodal_cycle_seconds(mods_X, ns_signatures, dim=3, n_cycles=2):
+    """The reference's multimodal EM cycle in numpy/scipy
+    (mmcorrnmf.py:443-453): per-modality scalings/aux/signature-embedding
+    Newton loops, the JOINT per-sample Newton solve over the concatenated
+    signature axis (:398-428 - per-modality sample scalings repeated per
+    that modality's signature count), pooled variance, KL signature
+    updates."""
+    rng = np.random.default_rng(0)
+    # the reference clips counts to EPSILON at fit start
+    # (signature_nmf.py:269-281) - without it, all-zero SV samples hit
+    # log(0) in the scaling updates
+    mods_X = [np.clip(X, np.finfo(np.float32).eps, None) for X in mods_X]
+    D = mods_X[0].shape[0]
+    m = dim
+    variance = 1.0
+    Ss, sig_scals, smp_scals, Ls = [], [], [], []
+    for X, K in zip(mods_X, ns_signatures):
+        V = X.shape[1]
+        Ss.append(rng.dirichlet(np.ones(V), K))
+        sig_scals.append(np.zeros(K))
+        smp_scals.append(np.zeros(D))
+        Ls.append(rng.normal(size=(K, m)))
+    U = rng.normal(size=(D, m))
+    n_mods = len(mods_X)
+
+    start = time.perf_counter()
+    for _ in range(n_cycles):
+        auxs, Es = [], []
+        for i in range(n_mods):
+            X, S, L = mods_X[i], Ss[i], Ls[i]
+            smp_scals[i] = np.log(X.sum(1)) - np.log(
+                np.exp(sig_scals[i][:, None] + L @ U.T).sum(0)
+            )
+            E = np.exp(
+                sig_scals[i][:, None] + smp_scals[i][None, :] + L @ U.T
+            ).T
+            aux = E.T * (S @ (X / (E @ S)).T)
+            sig_scals[i] = np.log(aux.sum(1)) - np.log(
+                np.exp(smp_scals[i][None, :] + L @ U.T).sum(1)
+            )
+            auxs.append(aux)
+            Es.append(E)
+        for i in range(n_mods):
+            for k in range(ns_signatures[i]):
+                Ls[i][k] = _newton_cg_row(
+                    Ls[i][k], U, sig_scals[i][k], smp_scals[i],
+                    auxs[i][k], variance, None,
+                )
+        # joint sample solve: concatenate across modalities; each
+        # signature row carries its own modality's sample scaling
+        L_all = np.concatenate(Ls, axis=0)
+        aux_all = np.concatenate(auxs, axis=0)          # (sumK, D)
+        sig_all = np.concatenate(sig_scals)
+        smp_per_k = np.concatenate(
+            [np.tile(smp_scals[i][:, None], (1, ns_signatures[i]))
+             for i in range(n_mods)],
+            axis=1,
+        )                                               # (D, sumK)
+        for d in range(D):
+            U[d] = _newton_cg_row(
+                U[d], L_all, 0.0, sig_all + smp_per_k[d],
+                aux_all[:, d], variance, 3,
+            )
+        variance = max(
+            float(np.mean(np.concatenate([L_all, U]) ** 2)), 1e-7
+        )
+        for i in range(n_mods):
+            X, S, E = mods_X[i], Ss[i], Es[i]
+            numer = (X / (E @ S)).T @ E
+            S = (S.T * numer / numer.sum(0)).T
+            Ss[i] = np.maximum(S / S.sum(1, keepdims=True), 1e-7)
+    return (time.perf_counter() - start) / n_cycles
+
+
 def config4_multimodal():
     from salamander_tpu.models import MultimodalCorrNMF
 
-    mods = {
-        "sbs": AnnData(datasets.load_pcawg_sbs()),
-        "indel": AnnData(datasets.load_pcawg_indel()),
-        "sv": AnnData(datasets.load_pcawg_sv()),
+    frames = {
+        "sbs": datasets.load_pcawg_sbs(),
+        "indel": datasets.load_pcawg_indel(),
+        "sv": datasets.load_pcawg_sv(),
     }
+    cpu_cycle = _cpu_multimodal_cycle_seconds(
+        [frame.values.astype(float) for frame in frames.values()],
+        [5, 4, 3],
+    )
+    log(f"config4: CPU scipy-loop multimodal cycle {cpu_cycle*1e3:.0f}ms")
+    mods = {name: AnnData(frame) for name, frame in frames.items()}
     np.random.seed(0)
     model = MultimodalCorrNMF(ns_signatures=[5, 4, 3], dim_embeddings=3,
                               min_iterations=100, max_iterations=1000)
@@ -293,12 +460,15 @@ def config4_multimodal():
     model.fit(MuData(mods))
     elapsed = time.perf_counter() - start
     iters = model.history["n_iterations"]
+    tpu_cycle = elapsed / iters
     emit({
         "config": "4_multimodal_sbs_indel_sv",
         "cold_seconds_incl_compile": round(cold, 1),
         "steady_seconds": round(elapsed, 1),
         "em_cycles": iters,
-        "tpu_em_cycles_per_sec_steady": round(iters / elapsed, 2),
+        "tpu_em_cycles_per_sec_steady": round(1 / tpu_cycle, 2),
+        "cpu_scipy_em_cycles_per_sec": round(1 / cpu_cycle, 3),
+        "speedup_vs_cpu": round(cpu_cycle / tpu_cycle, 1),
         "elbo": round(model.objective_function(), 1),
     })
 
@@ -643,40 +813,6 @@ def config2c_scan_compaction_boundary():
     emit({"config": "2c_scan_compaction_boundary", **results})
 
 
-def config5c_rank_scan_pallas():
-    """K-padded KLNMF rank scan through the rank-masked fused Pallas
-    kernels vs the XLA path (96 x 10k; the D-tiled masked kernel). Warm
-    walls here; the Pallas claim is cold-compile time, measured in a fresh
-    process per path (BENCHMARKS.md records both)."""
-    from salamander_tpu.parallel import rank_scan_klnmf
-
-    X = datasets.synthetic_catalog(n_features=96, n_samples=10_000,
-                                   n_signatures=8, seed=0)
-    config = FitConfig(min_iterations=200, max_iterations=2000, tol=1e-7)
-    ks = range(2, 21)
-    walls = {}
-    losses = {}
-    for label, use_pallas in (("xla", False), ("pallas", True)):
-        rank_scan_klnmf(X, [2, 3], 4, seed=99, config=config,
-                        use_pallas=use_pallas)  # warm the small shapes
-        start = time.perf_counter()
-        result = rank_scan_klnmf(X, ks, 100, seed=0, config=config,
-                                 use_pallas=use_pallas)
-        walls[label] = round(time.perf_counter() - start, 1)
-        losses[label] = {int(k): float(r.best_loss) for k, r in result.items()}
-        log(f"config5c {label}: {walls[label]}s")
-    agree = all(
-        abs(losses["xla"][k] - losses["pallas"][k])
-        <= 2e-4 * abs(losses["xla"][k])
-        for k in losses["xla"]
-    )
-    emit({
-        "config": "5c_rank_scan_pallas_96x10k",
-        "walls_incl_partial_compile": walls,
-        "best_losses_agree_rtol2e4": bool(agree),
-    })
-
-
 def config6_ardnmf():
     """ARD rank inference vs the 19-rank scan (config 5): ONE over-complete
     ARDNMF fit (K_max=20) on the planted-k=8 96x10k cohort infers the rank
@@ -941,7 +1077,6 @@ CONFIGS = {
     "5": config5_rank_scan,
     "5b": config5b_rank_scan_padded,
     "5d": config5d_rank_scan_auto,
-    "5c": config5c_rank_scan_pallas,
     "6": config6_ardnmf,
     "7": config7_extraction,
     "7b": config7b_extraction_chunked,

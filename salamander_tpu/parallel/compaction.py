@@ -595,8 +595,7 @@ class CompactingRunner:
         return half
 
 
-def _klnmf_block_update_builder(use_pallas: bool, masked: bool,
-                                pallas_interpret: bool = False):
+def _klnmf_block_update_builder(masked: bool):
     """make_block_update factory for the KLNMF flavors (plain multi-start
     params {"W","H"}; rank-masked scans add "mask")."""
     from ..ops import klnmf as ops
@@ -607,23 +606,6 @@ def _klnmf_block_update_builder(use_pallas: bool, masked: bool,
         update_fn, _ = ops.make_step_functions()
 
     def make_block_update(data, n_lanes: int):
-        if use_pallas:
-            from ..ops.pallas_klnmf import (
-                make_block_update_auto,
-                make_block_update_auto_masked,
-            )
-
-            if masked:
-                return make_block_update_auto_masked(
-                    data["X"], n_lanes, interpret=pallas_interpret
-                )
-            return make_block_update_auto(
-                data["X"], n_lanes,
-                weights_kl=data.get("weights_kl"),
-                weights_lhalf=data.get("weights_lhalf"),
-                interpret=pallas_interpret,
-            )
-
         batched_update = jax.vmap(update_fn, in_axes=(0, None))
 
         def block(params, steps):
@@ -638,7 +620,6 @@ def _klnmf_block_update_builder(use_pallas: bool, masked: bool,
 
 @functools.lru_cache(maxsize=16)
 def _cached_compacting_runner(config: FitConfig, masked: bool,
-                              use_pallas: bool, pallas_interpret: bool,
                               min_bucket: int,
                               lane_multiple: int = 1) -> CompactingRunner:
     """One runner (= one compiled-program cache) per KLNMF fit flavor."""
@@ -651,7 +632,7 @@ def _cached_compacting_runner(config: FitConfig, masked: bool,
     return CompactingRunner(
         config,
         objective_fn,
-        _klnmf_block_update_builder(use_pallas, masked, pallas_interpret),
+        _klnmf_block_update_builder(masked),
         min_bucket=min_bucket,
         lane_multiple=lane_multiple,
     )
@@ -831,8 +812,6 @@ def fit_klnmf_restarts_compacting(
     weights_lhalf=None,
     dtype=jnp.float32,
     min_bucket: int = 8,
-    use_pallas: bool = False,
-    pallas_interpret: bool = False,
     mesh=None,
 ):
     """Compacting twin of parallel.restarts.fit_klnmf_restarts (same seeds,
@@ -842,8 +821,7 @@ def fit_klnmf_restarts_compacting(
     result, losses = klnmf_restarts_compacting_device(
         X, n_signatures, n_restarts, seed=seed, config=config,
         weights_kl=weights_kl, weights_lhalf=weights_lhalf, dtype=dtype,
-        min_bucket=min_bucket, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret, mesh=mesh,
+        min_bucket=min_bucket, mesh=mesh,
     )
     return finalize_compacting_restarts(result, losses)
 
@@ -858,8 +836,6 @@ def klnmf_restarts_compacting_device(
     weights_lhalf=None,
     dtype=jnp.float32,
     min_bucket: int = 8,
-    use_pallas: bool = False,
-    pallas_interpret: bool = False,
     mesh=None,
 ):
     """Dispatch-only body of fit_klnmf_restarts_compacting: returns the
@@ -871,9 +847,6 @@ def klnmf_restarts_compacting_device(
     from ..initialization.methods import random_init_batch
 
     config = config or FitConfig()
-    if use_pallas and mesh is not None:
-        raise ValueError("The fused Pallas path is single-device; drop "
-                         "'mesh'.")
     X = jnp.asarray(X, dtype)
     key = jax.random.PRNGKey(seed)
     W0, H0 = random_init_batch(key, X, n_signatures, n_restarts, dtype)
@@ -896,7 +869,7 @@ def klnmf_restarts_compacting_device(
             if key_name in data:
                 data[key_name] = jax.device_put(data[key_name], per_sample)
     runner = _cached_compacting_runner(
-        config, False, use_pallas, pallas_interpret, min_bucket,
+        config, False, min_bucket,
         lane_multiple=mesh_restart_ways(mesh),
     )
     return runner.run({"W": W0, "H": H0}, data)

@@ -120,46 +120,19 @@ def _lockstep_run(update_fn, objective_fn, config: FitConfig):
 
 
 def build_klnmf_restart_runner(config: FitConfig, weighted: bool = False,
-                               mesh=None, use_pallas: bool = False):
+                               mesh=None):
     """Compile (once) the batched multi-start KLNMF fit.
 
     Returns a jitted function (params0, data) -> (FitResult, losses) where
     params0 = {"W": (R,V,K), "H": (R,K,D)} and data = {"X": (V,D)} plus any
-    'weights_kl'/'weights_lhalf' entries (set weighted=True when the data
-    will carry weights; it only gates the Pallas-compatibility check - the
-    weights themselves always come from the data pytree at call time).
-    use_pallas fuses each convergence block of MU updates into one
-    VMEM-resident TPU kernel (unweighted path only).
+    'weights_kl'/'weights_lhalf' entries (`weighted` is accepted for call
+    compatibility; the weights always come from the data pytree at call
+    time). The former use_pallas fused-kernel route was retired after
+    losing every measured regime (ops/pallas_klnmf.py docstring has the
+    numbers).
     """
+    del weighted
     update_fn, objective_fn = ops.make_step_functions()
-    if use_pallas and mesh is not None:
-        raise ValueError("The fused Pallas path is single-device; drop 'mesh'.")
-
-    if use_pallas:
-        # Natively-batched loop around a fused VMEM-resident MU kernel (the
-        # kernel advances ALL restarts per call - vmap would serialize it);
-        # make_block_update_auto picks the weighted or D-tiled variant from
-        # the data shapes.
-        from ..ops.pallas_klnmf import make_block_update_auto
-
-        def run_pallas(params0, data):
-            n_restarts = params0["W"].shape[0]
-            block_update = make_block_update_auto(
-                data["X"], n_restarts,
-                weights_kl=data.get("weights_kl"),
-                weights_lhalf=data.get("weights_lhalf"),
-            )
-            batched_objective = jax.vmap(objective_fn, in_axes=(0, None))
-            result = fit_loop_lockstep(
-                lambda p: batched_objective(p, data),
-                params0,
-                config,
-                lambda p, steps: block_update(p, steps),
-            )
-            final_loss = batched_objective(result.params, data)
-            return result.params, final_loss, result.n_iterations
-
-        return jax.jit(run_pallas)
 
     # Natively-batched lockstep loop (one while over the whole batch):
     # ~40% higher aggregate throughput than vmap-of-while for multi-start.
@@ -192,7 +165,6 @@ def fit_klnmf_restarts(
     mesh=None,
     dtype=jnp.float32,
     runner=None,
-    use_pallas: bool = False,
     compact: bool | None = None,
     compact_min_bucket: int = 8,
 ) -> RestartResult:
@@ -201,8 +173,7 @@ def fit_klnmf_restarts(
     X is (n_features, n_samples) in kernel orientation. Pass a `mesh` from
     make_mesh() to shard restarts/samples across devices; pass a prebuilt
     `runner` (build_klnmf_restart_runner) to amortize compilation across
-    calls with identical shapes/config. use_pallas enables the fused
-    VMEM-resident MU-block kernel (single-device, unweighted).
+    calls with identical shapes/config.
 
     compact (None = auto, parallel.compaction.resolve_compact): run the
     fit through the lane-compacting driver - as restarts converge,
@@ -224,8 +195,7 @@ def fit_klnmf_restarts(
         return fit_klnmf_restarts_compacting(
             X, n_signatures, n_restarts, seed=seed, config=config,
             weights_kl=weights_kl, weights_lhalf=weights_lhalf,
-            dtype=dtype, min_bucket=compact_min_bucket,
-            use_pallas=use_pallas, mesh=mesh,
+            dtype=dtype, min_bucket=compact_min_bucket, mesh=mesh,
         )
     X = jnp.asarray(X, dtype)
     key = jax.random.PRNGKey(seed)
@@ -242,7 +212,6 @@ def fit_klnmf_restarts(
             config,
             weighted=(weights_kl is not None or weights_lhalf is not None),
             mesh=mesh,
-            use_pallas=use_pallas,
         )
     if mesh is not None:
         shardings = restart_sharding(mesh)
@@ -296,41 +265,12 @@ def rank_scan(
     return results
 
 
-def build_klnmf_masked_runner(config: FitConfig, mesh=None,
-                              use_pallas: bool = False,
-                              pallas_interpret: bool = False):
+def build_klnmf_masked_runner(config: FitConfig, mesh=None):
     """Compile (once) a rank-MASKED multi-start KLNMF fit: lanes of different
     rank share one K-padded program. params0 = {"W": (R,V,Kp), "H": (R,Kp,D),
     "mask": (R,Kp) bool}; returns (params, losses, n_iterations) like
-    build_klnmf_restart_runner.
-
-    use_pallas fuses each convergence block into the rank-masked TPU kernel
-    (VMEM-resident or D-tiled by problem size,
-    ops/pallas_klnmf.py make_block_update_auto_masked) - same numerics as
-    the XLA path within float32 accumulation order, ~10x faster cold
-    compiles (the rank-scan wall-clock on the remote-compile platform).
-    Single-device only (pallas_interpret runs it on CPU for tests)."""
+    build_klnmf_restart_runner."""
     update_fn, objective_fn = ops.make_masked_step_functions()
-    if use_pallas and mesh is not None:
-        raise ValueError("The fused Pallas path is single-device; drop 'mesh'.")
-    if use_pallas:
-        from ..ops.pallas_klnmf import make_block_update_auto_masked
-
-        def run_pallas(params0, data):
-            block_update = make_block_update_auto_masked(
-                data["X"], params0["W"].shape[0], interpret=pallas_interpret,
-            )
-            batched_objective = jax.vmap(objective_fn, in_axes=(0, None))
-            result = fit_loop_lockstep(
-                lambda p: batched_objective(p, data),
-                params0,
-                config,
-                block_update,
-            )
-            final_loss = batched_objective(result.params, data)
-            return result.params, final_loss, result.n_iterations
-
-        return jax.jit(run_pallas)
 
     run = _lockstep_run(update_fn, objective_fn, config)
     if mesh is None:
@@ -384,15 +324,10 @@ def _resolve_pack(pack_points, config: FitConfig) -> bool:
 
 
 @functools.lru_cache(maxsize=8)
-def _cached_masked_runner(config: FitConfig, mesh, use_pallas: bool = False,
-                          pallas_interpret: bool = False):
-    """One jitted masked runner per (config, mesh, pallas flags): repeated
-    rank scans and all buckets of one scan share a single jit cache
-    (per-shape compiles)."""
-    return build_klnmf_masked_runner(
-        config, mesh=mesh, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret,
-    )
+def _cached_masked_runner(config: FitConfig, mesh):
+    """One jitted masked runner per (config, mesh): repeated rank scans and
+    all buckets of one scan share a single jit cache (per-shape compiles)."""
+    return build_klnmf_masked_runner(config, mesh=mesh)
 
 
 def rank_scan_klnmf(
@@ -405,8 +340,6 @@ def rank_scan_klnmf(
     dtype=jnp.float32,
     pad_ranks: bool | None = None,
     rank_bucket: int = 8,
-    use_pallas: bool | None = None,
-    pallas_interpret: bool = False,
     pack_points: bool | None = None,
     compact: bool | None = None,
     compact_min_bucket: int = 8,
@@ -428,16 +361,6 @@ def rank_scan_klnmf(
     MU blocks are HBM-bound, so padded K costs nothing but masked+compact
     buys nothing either, and the remote compile cache amortizes the
     per-rank compiles across processes; BENCHMARKS.md).
-
-    use_pallas routes the MU blocks through the rank-masked fused TPU
-    kernels (single device; with pad_ranks=False it uses the per-rank fused
-    kernel via fit_klnmf_restarts). Numerics match the XLA path within f32
-    accumulation order (pinned on hardware by bench.py's self-checks).
-    None (default) resolves to OFF since the round-3 precision
-    correction: Mosaic supports only full-f32 dots, so the kernels pay
-    bf16x6 MXU passes while the XLA path runs the tiered HIGH update
-    policy - measured 848.8 s vs 66.0 s on the 19-rank 96x10k scan
-    (BENCHMARKS.md config 5c). Opt in only for experiments.
 
     pack_points: whether several ranks of a bucket may share one lockstep
     program call (None = auto: only for fixed-length runs; see
@@ -463,19 +386,6 @@ def rank_scan_klnmf(
         # padded-masked x compacting combination measured slower AND
         # erratic on the TPU tunnel platform (see docstring)
         pad_ranks = not compact
-    if use_pallas is None:
-        # OFF by default since the round-3 precision correction: Mosaic
-        # only supports DEFAULT/HIGHEST dot precisions, so the fused
-        # kernels run full-f32 dots while the XLA update path runs the
-        # tiered HIGH policy (ops/precision.py) - measured 2026-08-18 on
-        # the 19-rank 96x10k scan, the pallas route walls 848.8s vs 66.0s
-        # for XLA+compaction (config 5c). The kernels remain available
-        # opt-in (identical results within f32 accumulation order, pinned
-        # by bench.py's on-hardware self-checks) but there is no shape
-        # where they currently win. Historical context: at the corrupt
-        # DEFAULT precision they were steady-state parity with ~10x
-        # faster cold compiles, hence the old auto-on.
-        use_pallas = False
     ranks = [int(k) for k in n_signatures_range]
     results: dict[int, RestartResult] = {}
 
@@ -501,8 +411,7 @@ def rank_scan_klnmf(
                 run_out = klnmf_restarts_compacting_device(
                     X, k, n_restarts,
                     seed=seed + 1000 * offset,
-                    config=config, dtype=dtype, use_pallas=use_pallas,
-                    pallas_interpret=pallas_interpret,
+                    config=config, dtype=dtype,
                     min_bucket=compact_min_bucket, mesh=mesh,
                 )
                 in_flight.append((k, run_out))
@@ -522,8 +431,7 @@ def rank_scan_klnmf(
             results[k] = fit_klnmf_restarts(
                 X, k, n_restarts,
                 seed=seed + 1000 * offset,
-                config=config, mesh=mesh, dtype=dtype,
-                use_pallas=use_pallas, compact=False,
+                config=config, mesh=mesh, dtype=dtype, compact=False,
             )
         return results
 
@@ -550,14 +458,9 @@ def rank_scan_klnmf(
     pack = _resolve_pack(pack_points, config)
 
     try:
-        runner = _cached_masked_runner(
-            config, mesh, use_pallas, pallas_interpret
-        )
+        runner = _cached_masked_runner(config, mesh)
     except TypeError:  # unhashable mesh: fall back to a fresh runner
-        runner = build_klnmf_masked_runner(
-            config, mesh=mesh, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret,
-        )
+        runner = build_klnmf_masked_runner(config, mesh=mesh)
     cpu_device = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
     X_host = jax.device_put(X, cpu_device) if cpu_device is not None else X
     in_flight: list = []
@@ -595,11 +498,14 @@ def rank_scan_klnmf(
                 }
 
             if compact:
-                from .compaction import _cached_compacting_runner
+                from .compaction import (
+                    _cached_compacting_runner,
+                    mesh_restart_ways,
+                )
 
                 c_runner = _cached_compacting_runner(
-                    config, True, bool(use_pallas), pallas_interpret,
-                    compact_min_bucket,
+                    config, True, compact_min_bucket,
+                    lane_multiple=mesh_restart_ways(mesh),
                 )
                 c_result, losses = c_runner.run(params0, data)
                 params = c_result.params

@@ -150,11 +150,11 @@ def test_rank_scan_klnmf_compact_matches():
 
     X = _counts(seed=6)
     base = rank_scan_klnmf(X, range(2, 5), n_restarts=6, seed=0,
-                           config=CONFIG, rank_bucket=4, use_pallas=False,
+                           config=CONFIG, rank_bucket=4,
                            pad_ranks=True)
     compact = rank_scan_klnmf(
         X, range(2, 5), n_restarts=6, seed=0, config=CONFIG, rank_bucket=4,
-        use_pallas=False, pad_ranks=True, compact=True, compact_min_bucket=2,
+        pad_ranks=True, compact=True, compact_min_bucket=2,
     )
     for k in base:
         np.testing.assert_array_equal(compact[k].n_iterations,
@@ -443,7 +443,7 @@ def test_rank_scan_pad_false_respects_explicit_compact_false(monkeypatch):
                        conv_test_freq=10, tol=1e-6)
     results = restarts.rank_scan_klnmf(
         X, [2, 3], 4, seed=0, config=config, pad_ranks=False,
-        compact=False, use_pallas=False,
+        compact=False,
     )
     assert set(results) == {2, 3}
 
@@ -471,14 +471,14 @@ def test_rank_scan_pad_auto_resolves_against_compaction(monkeypatch):
     config = FitConfig(min_iterations=10, max_iterations=60,
                        conv_test_freq=10, tol=1e-6)
     restarts.rank_scan_klnmf(X, [2, 3], 4, seed=0, config=config,
-                             use_pallas=False, compact_min_bucket=2)
+                             compact_min_bucket=2)
     # compaction on -> pad resolved off -> one (dispatch-only) compacting
     # run per rank, fetched after all ranks are in flight
     assert len(seen) == 2
 
     seen.clear()
     restarts.rank_scan_klnmf(X, [2, 3], 4, seed=0, config=config,
-                             use_pallas=False, compact=False)
+                             compact=False)
     # compaction off -> pad resolved on -> the padded bucket path, no
     # compacting calls
     assert seen == []
@@ -531,7 +531,7 @@ def test_deferred_fetch_budget_flush(monkeypatch):
     X = _counts(seed=8)
     config = FitConfig(min_iterations=10, max_iterations=200,
                        conv_test_freq=10, tol=1e-6)
-    kwargs = dict(seed=0, config=config, use_pallas=False, pad_ranks=True)
+    kwargs = dict(seed=0, config=config, pad_ranks=True)
     co_cfg = FitConfig(min_iterations=10, max_iterations=60,
                        conv_test_freq=10, tol=1e-5)
 

@@ -75,7 +75,7 @@ def planted_scan():
     cfg = FitConfig(min_iterations=100, max_iterations=2000,
                     conv_test_freq=10, tol=1e-6)
     return rank_scan_klnmf(X, range(2, 6), 8, seed=0, config=cfg,
-                           use_pallas=False)
+                           )
 
 
 def test_rank_selection_table_shape_and_loss(planted_scan):
