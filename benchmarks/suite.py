@@ -162,6 +162,45 @@ def config2_mvnmf():
     emit({"config": "2_mvnmf_k5_10", "per_rank": results})
 
 
+def config2d_mvnmf_multistart():
+    """MvNMF where the chip pays off: 50 batched restarts in one lockstep
+    program (a single 96x192 fit is latency-bound - the backtracking line
+    search serializes tiny KL evaluations - so config 2's per-fit ratios
+    sit near 1x; the reference runs restarts one at a time, so the honest
+    comparison is aggregate it/s across a multi-start)."""
+    from salamander_tpu import fit_best_of
+    from salamander_tpu.models import MvNMF
+
+    sbs = datasets.load_pcawg_sbs()
+    cpu_ips = _cpu_mvnmf_iterations_per_sec(
+        sbs.values.T.astype(float), n_signatures=5
+    )
+
+    def run():
+        model = MvNMF(n_signatures=5, init_method="random")
+        start = time.perf_counter()
+        summary = fit_best_of(model, AnnData(sbs.copy()), n_restarts=50,
+                              base_seed=0)
+        return summary, time.perf_counter() - start
+
+    _, cold = run()           # compile + run
+    summary, elapsed = run()  # steady
+    total_iters = int(np.sum(summary.n_iterations))
+    agg = total_iters / elapsed
+    emit({
+        "config": "2d_mvnmf_multistart_50",
+        "cold_seconds_incl_compile": round(cold, 1),
+        "steady_seconds": round(elapsed, 2),
+        "total_iterations": total_iters,
+        "tpu_aggregate_iterations_per_sec": round(agg, 1),
+        "cpu_iterations_per_sec": round(cpu_ips, 1),
+        "speedup_vs_cpu": round(agg / cpu_ips, 1),
+        "best_loss": round(float(np.min(summary.losses)), 1),
+    })
+    log(f"config2d: R=50 aggregate {agg:,.0f} it/s vs CPU {cpu_ips:.0f} "
+        f"({agg / cpu_ips:.0f}x)")
+
+
 # --------------------------------------------------------------------- #
 # config 3: CorrNMF vs the scipy-loop reference stand-in
 # --------------------------------------------------------------------- #
@@ -1067,6 +1106,7 @@ CONFIGS = {
     "2": config2_mvnmf,
     "2b": config2b_mvnmf_rank_scan_padded,
     "2c": config2c_scan_compaction_boundary,
+    "2d": config2d_mvnmf_multistart,
     "3": config3_corrnmf,
     "3b": config3b_corrnmf_multistart,
     "3c": config3c_corrnmf_svi,
