@@ -46,3 +46,17 @@ def reference_data_path():
     if not REFERENCE_DATA.exists():
         pytest.skip("reference golden fixtures not available")
     return REFERENCE_DATA
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop jit/compile caches after every test module.
+
+    A full-suite run compiles thousands of XLA CPU programs in one
+    process; with all caches retained, the suite segfaulted inside
+    XLA's backend_compile_and_load at ~93% (observed 2026-08-20, 125 GB
+    free - compiler-state corruption, not OOM; every module passes in
+    isolation). Per-module cache clearing bounds the accumulated
+    compiler state; cross-module recompiles cost seconds."""
+    yield
+    jax.clear_caches()
