@@ -106,10 +106,28 @@ def _lane_init(key, X_lane, mask):
     return W, H
 
 
-def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
-                   method, n_padded, with_gamma=False,
-                   W_given=None, n_given: int = 0):
-    """Resample counts and initialize every (rank, replicate) lane.
+# Keep all B bootstrap resamples resident when they fit in this budget
+# (shared across lane chunks); beyond it they are regenerated per chunk so
+# peak device memory stays at the old profile.
+_BOOT_RESIDENT_BUDGET_BYTES = 2 * 1024**3
+
+
+def _resample_all(X, key, n_bootstraps, method):
+    """All B bootstrap resamples of the cohort, EPSILON-clipped (models
+    clip counts to EPSILON at fit start, reference signature_nmf.py:269-281;
+    replicate fits follow the same contract). Split out of _prepare_lanes
+    so the driver can generate the resamples ONCE and share them across
+    lane chunks: the multinomial draw is the expensive part at cohort
+    scale (per-chunk regeneration measured ~58 s/chunk at D=200k,
+    BENCHMARKS.md config 7b), while the (B, V, D) result is only
+    B x the cohort's own footprint."""
+    X_boot = resample_counts(X, key, n_bootstraps, method)  # (B, V, D)
+    return jnp.maximum(X_boot, EPSILON)
+
+
+def _prepare_lanes(X_boot, key, lane_ranks, lane_replicates, n_padded,
+                   with_gamma=False, W_given=None, n_given: int = 0):
+    """Initialize every (rank, replicate) lane from the resampled counts.
 
     Returns (params0, data) for the masked lockstep fit. Lane keys are
     fold_in(fold_in(key, rank), replicate) with per-signature sub-keys in
@@ -131,10 +149,6 @@ def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
     [n_given : n_given + rank]. Given exposures (H rows [:n_given]) stay
     free and are drawn like any other active row.
     """
-    X_boot = resample_counts(X, key, n_bootstraps, method)  # (B, V, D)
-    # models clip counts to EPSILON at fit start (reference
-    # signature_nmf.py:269-281); replicate fits follow the same contract
-    X_boot = jnp.maximum(X_boot, EPSILON)
     X_lanes = X_boot[lane_replicates]                       # (L, V, D)
     masks = (
         (n_given + lane_ranks)[:, None] > jnp.arange(n_padded)[None, :]
@@ -149,7 +163,7 @@ def _prepare_lanes(X, key, lane_ranks, lane_replicates, n_bootstraps,
         )
     params0 = {"W": W0, "H": H0, "mask": masks}
     if with_gamma:
-        params0["gamma"] = jnp.ones((W0.shape[0],), X.dtype)
+        params0["gamma"] = jnp.ones((W0.shape[0],), X_boot.dtype)
     return params0, {"X": X_lanes}
 
 
@@ -472,10 +486,22 @@ def extract_signatures(
         else jnp.asarray(W_given_host, dtype=dtype)
     )
     key = jax.random.PRNGKey(seed)
+    resample = jax.jit(
+        _resample_all, static_argnames=("n_bootstraps", "method")
+    )
     prepare = jax.jit(
         _prepare_lanes,
-        static_argnames=("n_bootstraps", "method", "n_padded", "with_gamma",
-                         "n_given"),
+        static_argnames=("n_padded", "with_gamma", "n_given"),
+    )
+    # Generate the B bootstrap resamples ONCE and share them across lane
+    # chunks (same draws: same key, same op). The multinomial draw is the
+    # expensive part at cohort scale (~58 s/chunk regenerated, config 7b);
+    # the (B, V, D) residency is bounded - beyond the budget the old
+    # per-chunk regeneration keeps peak memory unchanged.
+    boot_bytes = n_bootstraps * X.size * X.dtype.itemsize
+    X_boot_shared = (
+        resample(X, key, n_bootstraps=n_bootstraps, method=resample_method)
+        if boot_bytes <= _BOOT_RESIDENT_BUDGET_BYTES else None
     )
 
     if model == "mvnmf":
@@ -606,10 +632,14 @@ def extract_signatures(
                 iter_parts.append(np.asarray(cached["iterations"]))
                 continue
         sl = slice(start, stop)
+        X_boot = X_boot_shared
+        if X_boot is None:  # beyond the residency budget: regenerate
+            X_boot = resample(
+                X, key, n_bootstraps=n_bootstraps, method=resample_method
+            )
         params0, lane_data = prepare(
-            X, key, jnp.asarray(lane_ranks[sl]),
+            X_boot, key, jnp.asarray(lane_ranks[sl]),
             jnp.asarray(lane_replicates[sl]),
-            n_bootstraps=n_bootstraps, method=resample_method,
             n_padded=n_padded, with_gamma=(model == "mvnmf"),
             W_given=W_given, n_given=n_given,
         )
@@ -662,8 +692,9 @@ def extract_signatures(
             )
         # the fetch synchronized this chunk; dropping the references frees
         # its device buffers before the next chunk's prepare allocates
-        del params0, lane_data, result, losses_device
+        del params0, lane_data, result, losses_device, X_boot
 
+    X_boot_shared = None  # free the resamples before the consensus refit
     W_lanes = np.concatenate(W_parts, axis=0)  # (L, V, Kp)
     losses = np.concatenate(loss_parts, axis=0)
     lane_iterations = np.concatenate(iter_parts, axis=0)
