@@ -279,6 +279,32 @@ def test_extraction_lane_chunking_matches_single_chunk(planted):
         sal.extract_signatures(data, max_lane_gb=0.0, **kwargs)
 
 
+def test_extraction_resample_residency_fallback(planted, monkeypatch):
+    """Beyond the resample-residency budget the driver regenerates the
+    (B, V, D) bootstrap stack per chunk instead of keeping it resident;
+    results are identical either way (same key, same draw op)."""
+    from salamander_tpu import extraction
+
+    data, _ = planted
+    kwargs = dict(
+        ranks=[2, 3], n_bootstraps=4, seed=2, min_iterations=50,
+        max_iterations=300, dtype=np.float64, fit_final=False,
+        max_lane_gb=1e-4,  # several chunks, so the fallback re-draws
+    )
+    resident = sal.extract_signatures(data, **kwargs)
+    monkeypatch.setattr(extraction, "_BOOT_RESIDENT_BUDGET_BYTES", 0)
+    regenerated = sal.extract_signatures(data, **kwargs)
+    for k in (2, 3):
+        np.testing.assert_array_equal(
+            regenerated.replicate_losses[k], resident.replicate_losses[k]
+        )
+        np.testing.assert_array_equal(
+            regenerated.consensus[k].to_numpy(),
+            resident.consensus[k].to_numpy(),
+        )
+    pd.testing.assert_frame_equal(regenerated.table, resident.table)
+
+
 def test_rank1_prefix_skips_undefined_silhouette(planted):
     data, _ = planted
     result = sal.extract_signatures(
