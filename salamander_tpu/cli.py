@@ -203,6 +203,12 @@ def _cmd_fit(args) -> int:
             "--batch-size (online fitting) is available for klnmf, "
             "corrnmf and mmcorrnmf"
         )
+    mesh = _make_mesh(args.mesh)
+    if mesh is not None and args.streaming:
+        raise SystemExit(
+            "--mesh and --streaming are mutually exclusive: streaming "
+            "keeps the counts host-resident on ONE device"
+        )
 
     def _minibatch_kwargs():
         kwargs = dict(
@@ -212,6 +218,8 @@ def _cmd_fit(args) -> int:
             streaming=args.streaming,
             init_kwargs=init_kwargs,
         )
+        if mesh is not None:
+            kwargs["mesh"] = mesh
         if args.seed is not None:
             kwargs["seed"] = args.seed
         if args.forgetting is not None:
@@ -228,7 +236,8 @@ def _cmd_fit(args) -> int:
         if minibatch:
             model.fit_minibatch(mdata, **_minibatch_kwargs())
         else:
-            model.fit(mdata, init_kwargs=init_kwargs, verbose=args.verbose)
+            model.fit(mdata, init_kwargs=init_kwargs, verbose=args.verbose,
+                      mesh=mesh)
         model_path = out / "model.npz"
         sio.save_model(model, str(model_path))
         for name in names:
@@ -260,7 +269,8 @@ def _cmd_fit(args) -> int:
     if minibatch:
         model.fit_minibatch(adata, **_minibatch_kwargs())
     else:
-        model.fit(adata, init_kwargs=init_kwargs, verbose=args.verbose)
+        model.fit(adata, init_kwargs=init_kwargs, verbose=args.verbose,
+                  mesh=mesh)
 
     model_path = out / "model.npz"
     sio.save_model(model, str(model_path))
@@ -555,6 +565,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--forgetting", type=float, default=None,
         help="Robbins-Monro decay exponent (default: the family's own)",
     )
+    _add_mesh(fit)
     fit.add_argument(
         "--streaming", action="store_true",
         help="keep the count matrix host-resident and stream minibatches "

@@ -321,6 +321,35 @@ def test_cli_fit_multi_counts_requires_mm(cohort, tmp_path):
         ])
 
 
+def test_cli_fit_under_mesh(cohort, tmp_path):
+    """fit --mesh samples=N shards the single fit over the virtual CPU
+    devices and matches the unsharded fit."""
+    plain_dir, mesh_dir = tmp_path / "plain", tmp_path / "mesh"
+    base = [
+        "fit", str(cohort["root"] / "counts.csv"),
+        "--model", "klnmf", "-k", "3", "--seed", "1",
+        "--min-iterations", "30", "--max-iterations", "60",
+        # f64: at the CLI's f32 default, partitioned reduction order
+        # shifts results by ~2e-6 relative (cross-layout f32 ulps)
+        "--dtype", "float64",
+    ]
+    assert cli.main(base + ["-o", str(plain_dir)]) == 0
+    assert cli.main(base + ["--mesh", "samples=4", "-o", str(mesh_dir)]) == 0
+    plain = pd.read_csv(plain_dir / "signatures.csv", index_col=0)
+    sharded = pd.read_csv(mesh_dir / "signatures.csv", index_col=0)
+    np.testing.assert_allclose(sharded.to_numpy(), plain.to_numpy(),
+                               rtol=1e-7)
+
+
+def test_cli_fit_mesh_rejects_streaming(cohort, tmp_path):
+    with pytest.raises(SystemExit, match="streaming"):
+        cli.main([
+            "fit", str(cohort["root"] / "counts.csv"),
+            "--model", "klnmf", "-k", "3", "--batch-size", "8",
+            "--streaming", "--mesh", "samples=4", "-o", str(tmp_path),
+        ])
+
+
 def test_cli_assign_under_mesh(cohort, tmp_path):
     """--mesh samples=N shards the cohort over the virtual CPU devices and
     matches the unsharded supports."""
