@@ -142,6 +142,18 @@ def rank_scan_corrnmf(
     enumerate the k range, then the grid in m-major order), matching the
     generic rank_scan/fit_best_of convention.
 
+    Padding equivalence caveat: padded lanes are EQUATION-exact (masked
+    ranks/dims contribute exact zeros) but not bitwise — XLA picks
+    different fma/reduction kernels per contraction width, and CorrNMF's
+    branchy Newton line search amplifies those ulps over a fit. Fixed-m
+    scans agree with dedicated per-point fits at trajectory level
+    (~1e-9/cycle); (k, m) GRID scans with m-padding agree only to ~5e-3
+    at best-ELBO level, which is enough to flip which restart wins a
+    point. Compare padded grid scans against other padded grid scans
+    (or rerun the winner as a dedicated fit via `model_factory`) rather
+    than expecting them to reproduce dedicated-fit restart winners.
+    Measured details: BENCHMARKS.md "(k, m) grid twin".
+
     model_factory(k, m) may override the fitted class/hyperparameters
     (default: CorrNMFDet(n_signatures=k, dim_embeddings=m,
     init_method=init_method)); it drives BOTH the per-lane initialization
