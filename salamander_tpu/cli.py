@@ -63,15 +63,24 @@ def _read_catalog(spec: str) -> pd.DataFrame:
 def _parse_ranks(spec: str) -> list[int]:
     """'2-10' (inclusive) or '2,3,5' -> sorted unique ranks."""
     ranks: set[int] = set()
-    for part in spec.split(","):
-        part = part.strip()
-        if "-" in part[1:]:  # allow plain ints; '-' only as a range here
-            lo, hi = part.split("-", 1)
-            ranks.update(range(int(lo), int(hi) + 1))
-        else:
-            ranks.add(int(part))
+    try:
+        for part in spec.split(","):
+            part = part.strip()
+            if "-" in part[1:]:  # allow plain ints; '-' only as a range here
+                lo, hi = part.split("-", 1)
+                ranks.update(range(int(lo), int(hi) + 1))
+            else:
+                ranks.add(int(part))
+    except ValueError:
+        raise SystemExit(
+            f"invalid rank spec {spec!r}: use a range '2-10' or a "
+            "comma list '2,3,5'"
+        ) from None
     if not ranks or min(ranks) < 1:
-        raise argparse.ArgumentTypeError(f"invalid rank spec: {spec!r}")
+        raise SystemExit(
+            f"invalid rank spec {spec!r}: ranks must be >= 1 (an empty "
+            "range like '5-2' selects nothing)"
+        )
     return sorted(ranks)
 
 
@@ -85,8 +94,19 @@ def _make_mesh(spec: str | None):
     if spec == "auto":
         return make_mesh()
     if spec.startswith("samples="):
-        return make_mesh(sample_ways=int(spec.split("=", 1)[1]))
-    raise argparse.ArgumentTypeError(
+        try:
+            ways = int(spec.split("=", 1)[1])
+        except ValueError:
+            raise SystemExit(
+                f"invalid mesh spec {spec!r}: N in 'samples=N' must be "
+                "an integer"
+            ) from None
+        if ways < 1:
+            raise SystemExit(
+                f"invalid mesh spec {spec!r}: N must be >= 1"
+            )
+        return make_mesh(sample_ways=ways)
+    raise SystemExit(
         f"invalid mesh spec {spec!r}: use 'auto' or 'samples=N'"
     )
 
@@ -141,15 +161,42 @@ def _outdir(args) -> Path:
 
 
 def _parse_ks(spec: str, n_modalities: int) -> list[int]:
-    ks = [int(part) for part in str(spec).split(",")]
+    try:
+        ks = [int(part) for part in str(spec).split(",")]
+    except ValueError:
+        raise SystemExit(
+            f"invalid -k/--n-signatures {spec!r}: pass an integer or a "
+            "comma list of integers (one per counts file)"
+        ) from None
     if len(ks) == 1:
         ks = ks * n_modalities
     if len(ks) != n_modalities:
-        raise argparse.ArgumentTypeError(
+        raise SystemExit(
             f"-k lists {len(ks)} signature counts for {n_modalities} "
             "counts file(s)"
         )
+    if min(ks) < 1:
+        raise SystemExit(
+            f"invalid -k/--n-signatures {spec!r}: signature counts "
+            "must be >= 1"
+        )
     return ks
+
+
+def _check_budget(args) -> None:
+    """Shared sanity for the iteration-budget flags."""
+    if args.max_iterations < 1:
+        raise SystemExit("--max-iterations must be >= 1")
+    if getattr(args, "min_iterations", 0) > args.max_iterations:
+        raise SystemExit(
+            f"--min-iterations ({args.min_iterations}) exceeds "
+            f"--max-iterations ({args.max_iterations}): the fit could "
+            "never satisfy its convergence rule"
+        )
+    if getattr(args, "conv_test_freq", 1) < 1:
+        raise SystemExit("--conv-test-freq must be >= 1")
+    if getattr(args, "tol", 1.0) < 0:
+        raise SystemExit("--tol must be >= 0")
 
 
 def _last_objective(model) -> str:
@@ -197,11 +244,21 @@ def _cmd_fit(args) -> int:
         dtype=args.dtype,
     )
 
+    _check_budget(args)
     minibatch = args.batch_size is not None
     if minibatch and args.model in ("mvnmf", "ardnmf"):
         raise SystemExit(
             "--batch-size (online fitting) is available for klnmf, "
             "corrnmf and mmcorrnmf"
+        )
+    if minibatch and args.batch_size < 1:
+        raise SystemExit("--batch-size must be >= 1")
+    if minibatch and args.n_steps < 1:
+        raise SystemExit("--n-steps must be >= 1")
+    if args.streaming and not minibatch:
+        raise SystemExit(
+            "--streaming is the host-resident minibatch path; pass "
+            "--batch-size to enable online fitting"
         )
     mesh = _make_mesh(args.mesh)
     if mesh is not None and args.streaming:
@@ -296,6 +353,9 @@ def _cmd_scan(args) -> int:
     from . import tools as tl
     from .engine import FitConfig
 
+    _check_budget(args)
+    if args.n_restarts < 1:
+        raise SystemExit("--n-restarts must be >= 1")
     frame = _read_counts(args.counts, args.samples_as)
     ranks = _parse_ranks(args.ranks)
     config = FitConfig(
@@ -388,6 +448,13 @@ def _cmd_extract(args) -> int:
     from .extraction import extract_signatures
     from .io import save_extraction
 
+    _check_budget(args)
+    if args.n_bootstraps < 1:
+        raise SystemExit("--n-bootstraps must be >= 1")
+    if not 0.0 <= args.min_stability <= 1.0:
+        raise SystemExit(
+            "--min-stability is a cosine threshold in [0, 1]"
+        )
     counts = _read_counts(args.counts, args.samples_as)
     given = (
         _read_catalog(args.given_signatures)
@@ -431,6 +498,13 @@ def _cmd_assign(args) -> int:
     _apply_backend(args)
     from .assign import assign_exposures, assign_signatures
 
+    _check_budget(args)
+    if args.rel_tol < 0 or args.abs_tol < 0:
+        raise SystemExit("--rel-tol/--abs-tol budgets must be >= 0")
+    if args.candidate_iters < 1:
+        raise SystemExit("--candidate-iters must be >= 1")
+    if args.batch_size is not None and args.batch_size < 1:
+        raise SystemExit("--batch-size must be >= 1")
     counts = _read_counts(args.counts, args.samples_as)
     catalog = _read_catalog(args.catalog)
     out = _outdir(args)
@@ -481,12 +555,30 @@ def _cmd_bootstrap(args) -> int:
     _apply_backend(args)
     from .assign import bootstrap_exposures
 
+    _check_budget(args)
+    if args.n_replicates < 1:
+        raise SystemExit("--n-replicates must be >= 1")
+    if args.replicate_batch is not None and args.replicate_batch < 1:
+        raise SystemExit("--replicate-batch must be >= 1")
+    if not 0.0 <= args.min_fraction <= 1.0:
+        raise SystemExit("--min-fraction is a fraction in [0, 1]")
+    try:
+        quantiles = tuple(float(q) for q in args.quantiles.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"invalid --quantiles {args.quantiles!r}: pass a comma list "
+            "of floats like '0.05,0.5,0.95'"
+        ) from None
+    if not quantiles or any(not 0.0 < q < 1.0 for q in quantiles):
+        raise SystemExit(
+            f"invalid --quantiles {args.quantiles!r}: quantiles must lie "
+            "strictly inside (0, 1)"
+        )
     counts = _read_counts(args.counts, args.samples_as)
     catalog = _read_catalog(args.catalog)
     active = None
     if args.active:
         active = pd.read_csv(args.active, index_col=0).astype(bool)
-    quantiles = tuple(float(q) for q in args.quantiles.split(","))
     result = bootstrap_exposures(
         counts, catalog,
         n_replicates=args.n_replicates,
@@ -698,7 +790,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except FileNotFoundError as err:
+        path = err.filename if err.filename is not None else err
+        raise SystemExit(f"file not found: {path}") from None
+    except pd.errors.ParserError as err:
+        raise SystemExit(f"could not parse CSV: {err}") from None
 
 
 if __name__ == "__main__":  # pragma: no cover - exercised via __main__

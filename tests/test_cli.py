@@ -44,7 +44,7 @@ def test_parse_ranks():
     assert cli._parse_ranks("2-5") == [2, 3, 4, 5]
     assert cli._parse_ranks("2,4,3,4") == [2, 3, 4]
     assert cli._parse_ranks("7") == [7]
-    with pytest.raises(Exception):
+    with pytest.raises(SystemExit):
         cli._parse_ranks("0-2")
 
 
@@ -348,6 +348,84 @@ def test_cli_fit_mesh_rejects_streaming(cohort, tmp_path):
             "--model", "klnmf", "-k", "3", "--batch-size", "8",
             "--streaming", "--mesh", "samples=4", "-o", str(tmp_path),
         ])
+
+
+# Negative-path sweep: each subcommand x missing/zero/contradictory flags
+# must exit with a clean SystemExit message, never a raw traceback.
+# Placeholders: C = counts CSV, CAT = catalog CSV (substituted per-test).
+# match=None marks argparse-level failures (SystemExit code 2, message on
+# stderr); a string matches our explicit SystemExit message.
+NEGATIVE_CASES = [
+    # fit
+    (["fit", "C", "-k", "abc"], "invalid -k"),
+    (["fit", "C", "-k", "0"], ">= 1"),
+    (["fit", "C", "-k", "2,3"], "-k lists 2 signature counts"),
+    (["fit", "C", "-k", "3", "--min-iterations", "100",
+      "--max-iterations", "50"], "exceeds"),
+    (["fit", "C", "-k", "3", "--max-iterations", "0"], "--max-iterations"),
+    (["fit", "C", "-k", "3", "--conv-test-freq", "0"], "--conv-test-freq"),
+    (["fit", "C", "-k", "3", "--tol", "-1"], "--tol"),
+    (["fit", "C", "-k", "3", "--batch-size", "0"], "--batch-size"),
+    (["fit", "C", "-k", "3", "--batch-size", "8", "--n-steps", "0"],
+     "--n-steps"),
+    (["fit", "C", "-k", "3", "--streaming"], "--batch-size"),
+    (["fit", "C", "-k", "3", "--mesh", "bogus"], "invalid mesh spec"),
+    (["fit", "C", "-k", "3", "--mesh", "samples=x"], "integer"),
+    (["fit", "C", "-k", "3", "--mesh", "samples=0"], ">= 1"),
+    (["fit", "/nonexistent/counts.csv", "-k", "3"], "file not found"),
+    (["fit", "C"], None),                       # missing -k
+    (["fit", "C", "-k", "3", "--model", "nope"], None),
+    # scan
+    (["scan", "C", "--ranks", "abc"], "invalid rank spec"),
+    (["scan", "C", "--ranks", "0"], "invalid rank spec"),
+    (["scan", "C", "--ranks", "5-2"], "selects nothing"),
+    (["scan", "C", "--ranks", "2", "-r", "0"], "--n-restarts"),
+    (["scan", "C", "--ranks", "2", "--min-iterations", "10",
+      "--max-iterations", "5"], "exceeds"),
+    (["scan", "C"], None),                      # missing --ranks
+    # extract
+    (["extract", "C", "--ranks", "x"], "invalid rank spec"),
+    (["extract", "C", "--ranks", "2", "--n-bootstraps", "0"],
+     "--n-bootstraps"),
+    (["extract", "C", "--ranks", "2", "--min-stability", "1.5"],
+     "[0, 1]"),
+    (["extract", "C"], None),                   # missing --ranks
+    # assign
+    (["assign", "C", "CAT", "--rel-tol", "-0.1"], ">= 0"),
+    (["assign", "C", "CAT", "--candidate-iters", "0"],
+     "--candidate-iters"),
+    (["assign", "C", "CAT", "--batch-size", "0"], "--batch-size"),
+    (["assign", "C", "/nonexistent/catalog.csv"], "file not found"),
+    (["assign", "C"], None),                    # missing catalog
+    # bootstrap
+    (["bootstrap", "C", "CAT", "--n-replicates", "0"], "--n-replicates"),
+    (["bootstrap", "C", "CAT", "--quantiles", "abc"], "--quantiles"),
+    (["bootstrap", "C", "CAT", "--quantiles", "1.5"], "(0, 1)"),
+    (["bootstrap", "C", "CAT", "--min-fraction", "2"], "[0, 1]"),
+    (["bootstrap", "C", "CAT", "--replicate-batch", "0"],
+     "--replicate-batch"),
+    # top level
+    (["frobnicate"], None),                     # unknown subcommand
+]
+
+
+@pytest.mark.parametrize(
+    "argv,match", NEGATIVE_CASES,
+    ids=["-".join(case[0][:1] + [str(i)])
+         for i, case in enumerate(NEGATIVE_CASES)],
+)
+def test_cli_negative_paths(cohort, tmp_path, argv, match):
+    """Bad flag lattices exit cleanly (SystemExit, message, no traceback)."""
+    sub = {
+        "C": str(cohort["root"] / "counts.csv"),
+        "CAT": str(cohort["root"] / "catalog.csv"),
+    }
+    argv = [sub.get(token, token) for token in argv] + ["-o", str(tmp_path)]
+    with pytest.raises(SystemExit) as excinfo:
+        cli.main(argv)
+    assert excinfo.value.code not in (0, None)
+    if match is not None:
+        assert match in str(excinfo.value)
 
 
 def test_cli_assign_under_mesh(cohort, tmp_path):
