@@ -177,6 +177,13 @@ class ARDNMF(StandardNMF):
             self.prior, self._n_given_signatures(given_parameters)
         )
 
+    def _step_cache_key(self, given_parameters=None):
+        # the step bakes the prior and n_given (a/b ride in data["ard_ab"])
+        return (
+            "ardnmf", self.prior,
+            self._n_given_signatures(given_parameters),
+        )
+
     # ------------------------------------------------------------------ #
     # relevance / rank inference
     # ------------------------------------------------------------------ #

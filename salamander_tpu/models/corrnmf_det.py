@@ -110,6 +110,12 @@ class CorrNMFDet(CorrNMF):
             "fix_variance": "variance" in given,
         }
 
+    def _step_cache_key(self, given_parameters=None):
+        # the step bakes only the given-parameter freeze flags (values
+        # ride in the params pytree)
+        flags = self._given_flags(given_parameters)
+        return ("corrnmf_det",) + tuple(sorted(flags.items()))
+
     def _build_step(self, given_parameters=None):
         flags = self._given_flags(given_parameters)
         n_given = flags["n_given"]

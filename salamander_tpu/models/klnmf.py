@@ -76,6 +76,10 @@ class KLNMF(StandardNMF):
             self._n_given_signatures(given_parameters)
         )
 
+    def _step_cache_key(self, given_parameters=None):
+        # the step bakes only n_given (weights ride in the data pytree)
+        return ("klnmf", self._n_given_signatures(given_parameters))
+
     # ------------------------------------------------------------------ #
     # stochastic (minibatch) fitting: online NMF
     # ------------------------------------------------------------------ #

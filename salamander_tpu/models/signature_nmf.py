@@ -229,6 +229,15 @@ class SignatureNMF(ABC):
     def _build_step(self, given_parameters=None):
         """Return (update_fn, objective_fn) over (params, data)."""
 
+    def _step_cache_key(self, given_parameters=None):
+        """Hashable token covering everything `_build_step` bakes into its
+        closures (scalar hyperparameters and the given-parameter
+        STRUCTURE), so fit() can reuse one jitted runner across calls.
+        Counts/weights/given values ride as jit arguments and must not
+        appear here. Return None to disable runner reuse (the safe default
+        for subclasses whose step closures this base cannot see)."""
+        return None
+
     @abstractmethod
     def _absorb_params(self, params) -> None:
         """Write fitted device params back into the containers."""
@@ -416,14 +425,47 @@ class SignatureNMF(ABC):
         )
 
         live_verbose = bool(verbose) and backend_supports_callbacks()
-        run = make_fit_function(
-            update_fn,
-            objective_fn,
-            config,
-            verbose=live_verbose,
-            verbosity_freq=verbosity_freq,
-            unroll=self._unroll_blocks,
-        )
+        run = None
+        step_key = self._step_cache_key(given_parameters)
+        if step_key is not None:
+            # Reuse the jitted fit runner across fit() calls: a fresh
+            # make_fit_function per call re-traces the whole convergence
+            # loop every time (seconds of single-core host work per fit -
+            # the dominant cost of a small repeated fit, measured
+            # 2026-08-20: 9-12 s/fit traced vs ~1 s device time on PCAWG
+            # MvNMF k=5). The key captures everything baked into the step
+            # closures (model hyperparameters + given-parameter structure;
+            # counts/weights ride as jit ARGUMENTS, so data changes hit
+            # jit's own cache by shape/dtype/sharding). Models whose step
+            # bakes state the key cannot see return None (no caching).
+            runner_key = (
+                step_key, config, live_verbose, int(verbosity_freq),
+                self._unroll_blocks, str(objective_dtype),
+            )
+            cache = getattr(self, "_fit_runner_cache", None)
+            if cache is None:
+                cache = self._fit_runner_cache = {}
+            run = cache.get(runner_key)
+            if run is None:
+                run = make_fit_function(
+                    update_fn,
+                    objective_fn,
+                    config,
+                    verbose=live_verbose,
+                    verbosity_freq=verbosity_freq,
+                    unroll=self._unroll_blocks,
+                )
+                cache.clear()  # one live runner per model instance
+                cache[runner_key] = run
+        else:
+            run = make_fit_function(
+                update_fn,
+                objective_fn,
+                config,
+                verbose=live_verbose,
+                verbosity_freq=verbosity_freq,
+                unroll=self._unroll_blocks,
+            )
         result = run(params0, data)
         # one batched device->host transfer for the whole result (per-leaf
         # fetches cost ~100ms of tunnel latency EACH on the TPU platform)
