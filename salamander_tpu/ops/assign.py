@@ -389,7 +389,10 @@ def eliminate_signatures_guarded(
         tol=polish_tol, conv_test_freq=conv_test_freq,
         program_seconds=program_seconds,
     )
-    return _elimination_result(X, W, mask, H_final, kl_dense, rounds)
+    del kl_dense  # the contract program re-evaluates it with the rest
+    return _elimination_result(
+        X, W, mask, H_final, H, H_dense, rel_tol, abs_tol, rounds
+    )
 
 
 @jax.jit
@@ -398,15 +401,56 @@ def _elimination_budget(X, W, H_dense, rel_tol, abs_tol):
     return kl_dense, (1.0 + rel_tol) * kl_dense + abs_tol
 
 
+def _finalize_contract(X, W, mask, H_final, H_accepted, H_dense,
+                       rel_tol, abs_tol):
+    """Close the acceptance contract IN ONE PROGRAM: every reported sample
+    satisfies kl_sparse <= (1 + rel_tol) * kl_dense + abs_tol exactly.
+
+    Accept decisions, the dense budget and the final KL historically ran
+    in separate programs (or separate fusion regions of one program), and
+    f32 reduction-order ulps let a handful of samples land a hair over
+    budget in the REPORTED numbers (measured: 28/100k samples up to
+    7.6e-5 relative, BENCHMARKS config 8b). Here the budget and every
+    candidate KL are evaluated together, each over-budget sample falls
+    back down a chain that provably terminates within budget —
+    polished result -> pre-polish accepted state (same support) -> dense
+    full-support refit (whose KL IS kl_dense, <= budget since
+    rel_tol, abs_tol >= 0) — and the reported kl_sparse is the SELECTED
+    evaluation, not a re-evaluation that could drift by another ulp.
+
+    Returns (mask_out, H_out, kl_dense, kl_sparse, n_active).
+    """
+    kl_dense = _kl(X, W, H_dense)
+    budget = (1.0 + rel_tol) * kl_dense + abs_tol
+    kl_fin = _kl(X, W, H_final)
+    kl_acc = _kl(X, W, H_accepted)
+    use_fin = kl_fin <= budget
+    use_acc = (~use_fin) & (kl_acc <= budget)
+    use_dense = ~(use_fin | use_acc)
+    H_out = jnp.where(
+        use_fin[None, :], H_final,
+        jnp.where(use_acc[None, :], H_accepted, H_dense),
+    )
+    mask_out = jnp.where(use_dense[None, :], True, mask)
+    kl_sparse = jnp.where(
+        use_fin, kl_fin, jnp.where(use_acc, kl_acc, kl_dense)
+    )
+    return mask_out, H_out, kl_dense, kl_sparse, jnp.sum(mask_out, axis=0)
+
+
 @jax.jit
-def _elimination_result(X, W, mask, H_final, kl_dense, n_rounds):
+def _elimination_result(X, W, mask, H_final, H_accepted, H_dense,
+                        rel_tol, abs_tol, n_rounds):
+    mask_out, H_out, kl_dense, kl_sparse, n_active = _finalize_contract(
+        X, W, mask, H_final, H_accepted, H_dense, rel_tol, abs_tol
+    )
     return {
-        "mask": mask.astype(jnp.int32),
-        "H": H_final,
+        "mask": mask_out.astype(jnp.int32),
+        "H": H_out,
         "kl_dense": kl_dense,
-        "kl_sparse": _kl(X, W, H_final),
+        "kl_sparse": kl_sparse,
         "n_rounds": jnp.asarray(n_rounds, jnp.int32),
-        "n_active": jnp.sum(mask, axis=0),
+        "n_active": n_active,
     }
 
 
@@ -502,16 +546,23 @@ def eliminate_signatures(
         X, W, mask, H0=H, max_iterations=max_polish_iterations,
         tol=polish_tol, conv_test_freq=conv_test_freq,
     )
+    # same-program budget recheck: the reported per-sample KLs satisfy the
+    # acceptance budget EXACTLY (fusion-ulp drift between the accept-time
+    # and report-time evaluations otherwise leaves rare samples a hair
+    # over; see _finalize_contract)
+    mask_out, H_out, kl_dense_out, kl_sparse, n_active = _finalize_contract(
+        X, W, mask, H_final, H, H_dense, rel_tol, abs_tol
+    )
     return {
         # int32 twin of the boolean support: a bool device->host fetch
         # compiles a remote conversion program on the TPU platform
         # (CLAUDE.md; measured minutes); callers re-bool on host
-        "mask": mask.astype(jnp.int32),
-        "H": H_final,
-        "kl_dense": kl_dense,
-        "kl_sparse": _kl(X, W, H_final),
+        "mask": mask_out.astype(jnp.int32),
+        "H": H_out,
+        "kl_dense": kl_dense_out,
+        "kl_sparse": kl_sparse,
         "n_rounds": n_rounds,
-        "n_active": jnp.sum(mask, axis=0),
+        "n_active": n_active,
     }
 
 

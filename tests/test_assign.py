@@ -90,15 +90,17 @@ def test_exposures_exact_zero_off_support_epsilon_on(problem):
 
 
 def test_kl_budget_holds_per_sample(problem):
+    """The acceptance budget is a CONTRACT on the reported numbers: the
+    same-program recheck (ops/assign._finalize_contract) makes it exact,
+    no slack."""
     X, W, _, _ = problem
     data, catalog = _frames(X, W)
     rel_tol, abs_tol = 0.05, 1e-9
     res = assign_signatures(data, catalog, rel_tol=rel_tol, abs_tol=abs_tol)
     kl_dense = res.kl_dense.to_numpy()
     kl_sparse = res.kl_sparse.to_numpy()
-    # tiny slack: the final polish runs to tol, not to the exact optimum
     budget = (1.0 + rel_tol) * kl_dense + abs_tol
-    assert (kl_sparse <= budget + 1e-6 * np.abs(kl_dense).max()).all()
+    assert (kl_sparse <= budget).all()
     assert res.meta["rel_tol"] == rel_tol
 
 
@@ -108,9 +110,57 @@ def test_noisy_counts_still_within_budget():
     data, catalog = _frames(X, W)
     res = assign_signatures(data, catalog, rel_tol=0.02)
     assert (res.kl_sparse.to_numpy()
-            <= 1.02 * res.kl_dense.to_numpy() * (1 + 1e-6)).all()
+            <= 1.02 * res.kl_dense.to_numpy()).all()
     # sparser than dense for at least some samples at this tolerance
     assert res.n_active.min() < W.shape[1]
+
+
+def test_finalize_contract_fallback_chain():
+    """Direct pin of ops/assign._finalize_contract: an over-budget final
+    state falls back to the pre-polish accepted state (same support), an
+    over-budget accepted state falls back to the dense refit (full
+    support), and the reported kl_sparse is the SELECTED evaluation — so
+    the budget holds exactly in every case."""
+    from salamander_tpu.ops import assign as ops
+
+    X, W, _, _ = _synthetic(seed=11)
+    K, D = W.shape[1], X.shape[1]
+    mask0 = np.ones((K, D), dtype=bool)
+    H_dense = np.asarray(ops.refit_exposures(X, W, mask0,
+                                             max_iterations=2000)[0])
+    out = ops.eliminate_signatures(X, W, rel_tol=0.05,
+                                   candidate_iters=30)
+    mask = np.asarray(out["mask"]).astype(bool)
+    H_good = np.asarray(out["H"])
+    rel_tol, abs_tol = 0.05, 0.0
+    kl_dense = np.asarray(ops._kl(X, W, H_dense))
+    budget = (1.0 + rel_tol) * kl_dense + abs_tol
+
+    # corrupt the "final" state for sample 0 only -> fallback to accepted
+    H_bad_final = H_good.copy()
+    H_bad_final[:, 0] *= 3.0
+    m, H, kd, ks, n_active = ops._finalize_contract(
+        X, W, mask, H_bad_final, H_good, H_dense, rel_tol, abs_tol
+    )
+    ks = np.asarray(ks)
+    assert (ks <= (1.0 + rel_tol) * np.asarray(kd) + abs_tol).all()
+    np.testing.assert_array_equal(np.asarray(H)[:, 0], H_good[:, 0])
+    np.testing.assert_array_equal(np.asarray(m), mask)
+
+    # corrupt final AND accepted for sample 0 -> fallback to dense,
+    # support reset to full, reported kl == kl_dense for that sample
+    H_bad_acc = H_good.copy()
+    H_bad_acc[:, 0] *= 2.0
+    m, H, kd, ks, n_active = ops._finalize_contract(
+        X, W, mask, H_bad_final, H_bad_acc, H_dense, rel_tol, abs_tol
+    )
+    ks, kd, m = np.asarray(ks), np.asarray(kd), np.asarray(m)
+    assert (ks <= (1.0 + rel_tol) * kd + abs_tol).all()
+    assert ks[0] == kd[0]
+    assert m[:, 0].all() and int(np.asarray(n_active)[0]) == K
+    np.testing.assert_array_equal(np.asarray(H)[:, 0], H_dense[:, 0])
+    # untouched samples keep their sparse result
+    np.testing.assert_array_equal(m[:, 1:], mask[:, 1:])
 
 
 def test_chunked_equals_unchunked(problem):
