@@ -479,6 +479,7 @@ def make_fit_function(
     batched: bool = False,
     unroll: bool = True,
     batched_data: bool = False,
+    progress_cb: Callable[[dict], None] | None = None,
 ):
     """Build a jitted fit function `(params0, data) -> FitResult`.
 
@@ -491,6 +492,12 @@ def make_fit_function(
     unrolling: keep it True for cheap per-iteration updates (multiplicative
     rules); set False for heavy updates with inner loops (CorrNMF's Newton
     solves), whose unrolled graphs compile slowly.
+
+    progress_cb: called once per capped segment with a summary dict
+    (iteration, lanes alive, objective range) when the program-kill guard
+    reroutes a long fit through capped segments - live mid-fit reporting
+    on backends that reject host callbacks (axon). Small fits run as one
+    monolithic program and never call it.
     """
 
     def run(params0, data):
@@ -516,6 +523,7 @@ def make_fit_function(
         dispatcher = CappedFitDispatcher(
             update_fn, objective_fn, config,
             batched=batched, batched_data=batched_data,
+            progress=progress_cb,
         )
 
         def dispatch(params0, data):

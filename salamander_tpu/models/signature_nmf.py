@@ -425,6 +425,25 @@ class SignatureNMF(ABC):
         )
 
         live_verbose = bool(verbose) and backend_supports_callbacks()
+        progress_cb = None
+        if verbose and not live_verbose:
+            # callback-rejecting backend (axon): live reporting rides the
+            # capped-segment boundaries the program-kill guard already
+            # pays for (only long, rerouted fits have segments; short
+            # monolithic fits report via the post-fit trace below)
+            def progress_cb(info):
+                if info["n_lanes"] == 1:
+                    print(
+                        f"iteration: {info['iteration']}; objective: "
+                        f"{info['objective_min']:.2f}", flush=True,
+                    )
+                else:
+                    print(
+                        f"iteration: {info['iteration']}; objective "
+                        f"range: [{info['objective_min']:.2f}, "
+                        f"{info['objective_max']:.2f}]; lanes alive: "
+                        f"{info['n_alive']}/{info['n_lanes']}", flush=True,
+                    )
         run = None
         step_key = self._step_cache_key(given_parameters)
         if step_key is not None:
@@ -441,6 +460,7 @@ class SignatureNMF(ABC):
             runner_key = (
                 step_key, config, live_verbose, int(verbosity_freq),
                 self._unroll_blocks, str(objective_dtype),
+                progress_cb is not None,
             )
             cache = getattr(self, "_fit_runner_cache", None)
             if cache is None:
@@ -454,6 +474,7 @@ class SignatureNMF(ABC):
                     verbose=live_verbose,
                     verbosity_freq=verbosity_freq,
                     unroll=self._unroll_blocks,
+                    progress_cb=progress_cb,
                 )
                 cache.clear()  # one live runner per model instance
                 cache[runner_key] = run
@@ -465,6 +486,7 @@ class SignatureNMF(ABC):
                 verbose=live_verbose,
                 verbosity_freq=verbosity_freq,
                 unroll=self._unroll_blocks,
+                progress_cb=progress_cb,
             )
         result = run(params0, data)
         # one batched device->host transfer for the whole result (per-leaf

@@ -122,12 +122,16 @@ class CappedFitDispatcher:
     """
 
     def __init__(self, update_fn, objective_fn, config: FitConfig,
-                 batched: bool, batched_data: bool):
+                 batched: bool, batched_data: bool, progress=None):
         self.update_fn = update_fn
         self.objective_fn = objective_fn
         self.config = config
         self.batched = batched
         self.batched_data = batched_data
+        # per-segment progress hook threaded to the capped runner
+        # (CompactingRunner.progress); the only mid-fit reporting channel
+        # on callback-rejecting backends
+        self.progress = progress
         self._runners: dict[int, CompactingRunner] = {}
 
     def _make_block_builder(self):
@@ -181,7 +185,12 @@ class CappedFitDispatcher:
             lane_params = jax.tree.map(
                 lambda leaf: jnp.asarray(leaf)[None], params0
             )
-        result, _ = self._runners[n_lanes].run(lane_params, data)
+        runner = self._runners[n_lanes]
+        runner.progress = self.progress
+        try:
+            result, _ = runner.run(lane_params, data)
+        finally:
+            runner.progress = None
         if not self.batched:
             result = jax.tree.map(lambda leaf: leaf[0], result)
         return result
@@ -270,6 +279,14 @@ class CompactingRunner:
         # measured seconds per convergence-test block, keyed by lane count
         # (compile-free dispatches only; refines the pessimistic model)
         self._measured_per_block: dict[int, float] = {}
+        # optional mid-fit progress hook, called once per capped segment
+        # with a summary dict (iteration, lanes alive, objective range) -
+        # the only live-progress channel on backends that reject host
+        # callbacks (axon rejects them; model.fit wires a printer here
+        # when verbose=1). The segment boundaries are already paid for by
+        # the program-kill guard; the hook adds one small objective fetch
+        # per segment (~100 ms tunnel latency against ~30 s segments).
+        self.progress: Callable[[dict], None] | None = None
 
     # -- jitted pieces, cached per lane count ------------------------------
 
@@ -456,6 +473,16 @@ class CompactingRunner:
                     f"n_alive={n_alive} iteration={iteration}",
                     flush=True,
                 )
+            if self.progress is not None:
+                of_prev = np.asarray(state.of_prev, dtype=np.float64)
+                self.progress({
+                    "iteration": iteration,
+                    "n_alive": n_alive,
+                    "n_lanes": n_lanes,
+                    "objective_min": float(np.min(of_prev)),
+                    "objective_max": float(np.max(of_prev)),
+                    "segment_seconds": wall,
+                })
             if prev_iteration is not None:
                 blocks_run = (iteration - prev_iteration) // freq
                 if blocks_run > 0:

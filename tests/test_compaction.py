@@ -681,6 +681,47 @@ def test_program_kill_guard_single_fit_matches(monkeypatch):
                                rtol=1e-9)
 
 
+def test_program_kill_guard_verbose_prints_segments(monkeypatch, capsys):
+    """verbose=1 on a rerouted (capped-segment) fit prints live progress
+    at the segment boundaries - the mid-fit reporting channel on backends
+    that reject host callbacks - and the results are unchanged."""
+    from salamander_tpu.models import KLNMF
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.parallel import compaction
+
+    from salamander_tpu.engine import fit as engine_fit
+
+    X = _counts(seed=11)
+    adata = AnnData(X.T)
+
+    def fit_once(verbose):
+        model = KLNMF(n_signatures=3, min_iterations=20, max_iterations=500,
+                      conv_test_freq=10, tol=1e-6)
+        model.fit(adata, init_kwargs={"seed": 1}, verbose=verbose)
+        return model
+
+    # simulate the axon backend: host callbacks rejected, so verbose must
+    # fall back to segment-boundary progress + the post-fit trace
+    monkeypatch.setattr(engine_fit, "backend_supports_callbacks",
+                        lambda: False)
+    monkeypatch.setattr(compaction, "PROGRAM_SECONDS_OVERRIDE", 1e-12)
+    quiet = fit_once(0)
+    assert "iteration:" not in capsys.readouterr().out
+    loud = fit_once(1)
+    out = capsys.readouterr().out
+    monkeypatch.setattr(compaction, "PROGRAM_SECONDS_OVERRIDE", None)
+
+    # one line per capped segment: "iteration: N; objective: X"
+    lines = [ln for ln in out.splitlines()
+             if ln.startswith("iteration:") and "objective" in ln]
+    assert len(lines) >= 2  # a 1e-12 budget chops the fit into many segments
+    iters = [int(ln.split("iteration:")[1].split(";")[0]) for ln in lines]
+    assert iters == sorted(iters)  # monotone progress
+    assert quiet.history["n_iterations"] == loud.history["n_iterations"]
+    np.testing.assert_array_equal(quiet.signatures.to_numpy(),
+                                  loud.signatures.to_numpy())
+
+
 def test_program_kill_guard_batched_fit_matches(monkeypatch):
     """The guard on the batched (lockstep) monolithic path: rerouted
     multi-start results equal the monolithic lockstep's bitwise (CPU).
