@@ -382,6 +382,7 @@ def _cmd_scan(args) -> int:
             dim_embeddings=args.dim_embeddings,
             n_restarts=args.n_restarts, base_seed=args.seed,
             config=config, mesh=mesh,
+            checkpoint_dir=args.checkpoint_dir,
         )
     elif args.model == "mvnmf":
         from .parallel import rank_scan_mvnmf
@@ -389,6 +390,7 @@ def _cmd_scan(args) -> int:
         results = rank_scan_mvnmf(
             frame.values.T, ranks, args.n_restarts, seed=args.seed,
             lam=args.lam, delta=args.delta, config=config, mesh=mesh,
+            checkpoint_dir=args.checkpoint_dir,
         )
     else:
         from .parallel import rank_scan_klnmf
@@ -396,6 +398,7 @@ def _cmd_scan(args) -> int:
         results = rank_scan_klnmf(
             frame.values.T, ranks, args.n_restarts, seed=args.seed,
             config=config, mesh=mesh,
+            checkpoint_dir=args.checkpoint_dir,
         )
 
     table = tl.rank_selection_table(results)
@@ -693,6 +696,7 @@ def build_parser() -> argparse.ArgumentParser:
     scan.add_argument("--max-iterations", type=int, default=10_000)
     scan.add_argument("--conv-test-freq", type=int, default=10)
     scan.add_argument("--tol", type=float, default=1e-7)
+    scan.add_argument("--checkpoint-dir", default=None)
     _add_mesh(scan)
     scan.set_defaults(func=_cmd_scan)
 

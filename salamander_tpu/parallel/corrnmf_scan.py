@@ -104,6 +104,111 @@ def _roundup(value: int, bucket: int) -> int:
     return ((value + bucket - 1) // bucket) * bucket
 
 
+def _checkpointed_corrnmf_scan(checkpoint_dir, X, points, grid_mode, dims,
+                               ranks, n_restarts, base_seed, config,
+                               pad_ranks, rank_bucket, dim_bucket,
+                               init_method, mesh, model_factory,
+                               build_models, pack_points, compact,
+                               compact_min_bucket):
+    """Per-point resumable twin of rank_scan_corrnmf: every completed
+    (k[, m]) point is one atomic ChunkStore entry (host arrays + the
+    stripped winner pytree); missing points run through the normal driver
+    as singleton scans with their ORIGINAL offset-keyed seeds and padded
+    shapes (packing never changes per-lane results), and loaded points
+    rebuild their fitted model exactly as the driver's build_model does."""
+    from ..checkpoint import ChunkStore, data_fingerprint
+    from ..containers import AnnData
+    from .restarts import _mesh_meta
+
+    store = ChunkStore(checkpoint_dir, {
+        "task": "rank_scan_corrnmf",
+        "points": [[int(k), int(m)] for k, m in points],
+        "n_restarts": int(n_restarts),
+        "base_seed": int(base_seed),
+        "config": list(config),
+        "pad_ranks": bool(pad_ranks),
+        "rank_bucket": int(rank_bucket),
+        "dim_bucket": int(dim_bucket),
+        "grid_mode": bool(grid_mode),
+        "init_method": str(init_method),
+        "mesh": _mesh_meta(mesh),
+        "data": data_fingerprint(np.asarray(X)),
+    })
+    cpu = jax.devices("cpu")[0]
+    rng_state = np.random.get_state()
+    results: dict = {}
+    try:
+        for offset, (k, m) in enumerate(points):
+            result_key = (k, m) if grid_mode else k
+            name = f"point_k{k}_m{m}"
+            entry = store.load(name)
+            if entry is None:
+                sub = rank_scan_corrnmf(
+                    X, [k],
+                    dim_embeddings=None if grid_mode else m,
+                    n_restarts=n_restarts,
+                    base_seed=base_seed + 1000 * offset,
+                    config=config, pad_ranks=pad_ranks,
+                    rank_bucket=rank_bucket, init_method=init_method,
+                    dim_embeddings_range=[m] if grid_mode else None,
+                    dim_bucket=dim_bucket, mesh=mesh,
+                    model_factory=model_factory,
+                    build_models=build_models,
+                    pack_points=pack_points, compact=compact,
+                    compact_min_bucket=compact_min_bucket,
+                )[result_key]
+                payload = {
+                    "losses": np.asarray(sub.losses),
+                    "n_iterations": np.asarray(sub.n_iterations),
+                    "best_index": np.asarray(sub.best_index),
+                    "history": np.asarray(sub.history),
+                    "n_evals": np.asarray(sub.n_evals),
+                    "signatures": np.asarray(sub.signatures),
+                }
+                for pkey, value in sub.best_params.items():
+                    payload[f"bp_{pkey}"] = np.asarray(value)
+                store.save(name, **payload)
+                results[result_key] = sub
+                continue
+            best = int(entry["best_index"])
+            best_params = {
+                pkey[3:]: entry[pkey]
+                for pkey in entry if pkey.startswith("bp_")
+            }
+            model = None
+            if build_models:
+                model = model_factory(k, m)
+                model._setup_adata(AnnData(X.copy()))
+                seed = base_seed + 1000 * offset + best
+                np.random.seed(seed)
+                with jax.default_device(cpu):
+                    model._initialize(init_kwargs={"seed": seed})
+                    model._setup_fitting_parameters()
+                model._absorb_params(best_params)
+                model._is_fitted = True
+                n_evals_best = int(entry["n_evals"][best])
+                model.history["objective_function"] = list(
+                    entry["history"][best][:n_evals_best]
+                )
+                model.history["n_iterations"] = int(
+                    entry["n_iterations"][best]
+                )
+                model.history["step_freq"] = config.conv_test_freq
+            results[result_key] = CorrScanResult(
+                losses=entry["losses"],
+                n_iterations=entry["n_iterations"],
+                best_index=best,
+                best_params=best_params,
+                model=model,
+                history=entry["history"],
+                n_evals=entry["n_evals"],
+                signatures=entry["signatures"],
+            )
+    finally:
+        np.random.set_state(rng_state)
+    return results
+
+
 def rank_scan_corrnmf(
     X,
     n_signatures_range,
@@ -122,6 +227,7 @@ def rank_scan_corrnmf(
     pack_points: bool | None = None,
     compact: bool | None = None,
     compact_min_bucket: int = 4,
+    checkpoint_dir=None,
 ):
     """Multi-start CorrNMF model-selection scan over n_signatures (and
     optionally dim_embeddings).
@@ -183,6 +289,14 @@ def rank_scan_corrnmf(
     Composes with meshes; results match within f32 program-boundary
     accumulation order (same caveat class as the padding equivalence
     above).
+
+    checkpoint_dir: per-point preemption-safe resume
+    (checkpoint.ChunkStore) - each completed (k[, m]) point is one atomic
+    entry; a rerun with identical arguments loads finished points and
+    computes only the missing ones. The store cannot fingerprint a custom
+    `model_factory` - resuming with a DIFFERENT factory but otherwise
+    identical arguments silently reuses the old entries; keep one
+    directory per factory.
     """
     from ..containers import AnnData
     from ..models import CorrNMFDet
@@ -211,6 +325,14 @@ def rank_scan_corrnmf(
 
     # grid points in (m-major, k-minor) order; offset drives seeding
     points = [(k, m) for m in dims for k in ranks]
+
+    if checkpoint_dir is not None:
+        return _checkpointed_corrnmf_scan(
+            checkpoint_dir, X, points, grid_mode, dims, ranks, n_restarts,
+            base_seed, config, pad_ranks, rank_bucket, dim_bucket,
+            init_method, mesh, model_factory, build_models, pack_points,
+            compact, compact_min_bucket,
+        )
 
     # group points into shared-(Kp, mp) buckets
     buckets: dict[tuple[int, int], list[tuple[int, int, int]]] = {}

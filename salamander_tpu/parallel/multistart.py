@@ -104,6 +104,84 @@ def _device_init_batch(model, data, n_restarts: int, base_seed: int):
     )
 
 
+def _best_of_store(checkpoint_dir, model, is_multimodal: bool,
+                   n_restarts: int, base_seed: int, config,
+                   restart_chunk, mesh):
+    """ChunkStore for a fit_best_of run: identity = counts (+ weights)
+    fingerprint, model class + constructor hyperparameters, restart
+    layout. Fingerprints come from the HOST containers (fetching the
+    device copies back through the tunnel would cost more than the run)."""
+    from ..checkpoint import ChunkStore, data_fingerprint
+    from .restarts import _mesh_meta
+
+    if is_multimodal:
+        arrays = [
+            np.asarray(model.mdata[name].X) for name in model.mod_names
+        ]
+    else:
+        arrays = [np.asarray(model.adata.X)]
+        for weights_name in ("weights_kl", "weights_lhalf"):
+            weights = getattr(model, weights_name, None)
+            if weights is not None:
+                arrays.append(np.asarray(weights))
+    return ChunkStore(checkpoint_dir, {
+        "task": "fit_best_of",
+        "model": type(model).__name__,
+        "n_signatures": getattr(model, "n_signatures", None),
+        "ns_signatures": getattr(model, "ns_signatures", None),
+        "dim_embeddings": getattr(model, "dim_embeddings", None),
+        "lam": getattr(model, "lam", None),
+        "delta": getattr(model, "delta", None),
+        "prior": getattr(model, "prior", None),
+        "init_method": model.init_method,
+        "n_restarts": int(n_restarts),
+        "base_seed": int(base_seed),
+        "config": list(config),
+        "restart_chunk": (
+            None if restart_chunk is None else int(restart_chunk)
+        ),
+        "mesh": _mesh_meta(mesh),
+        "data": data_fingerprint(*arrays),
+    })
+
+
+def _result_to_entry(result, losses) -> dict:
+    """Flatten a fetched (FitResult, losses) chunk into npz-ready arrays
+    (params leaves by tree order - the store's meta guard pins the run
+    identity, so the treedef is identical at load time)."""
+    payload = {
+        "losses": np.asarray(losses),
+        "initial_objective": np.asarray(result.initial_objective),
+        "history": np.asarray(result.history),
+        "n_evals": np.asarray(result.n_evals),
+        "n_iterations": np.asarray(result.n_iterations),
+    }
+    for i, leaf in enumerate(jax.tree.leaves(result.params)):
+        payload[f"p{i}"] = np.asarray(leaf)
+    return payload
+
+
+def _entry_to_result(entry: dict, params0, lo: int, hi: int):
+    """Rebuild the (FitResult, losses) chunk from a stored entry, using
+    the current params0 slice only for its treedef."""
+    from ..engine.fit import FitResult
+
+    treedef = jax.tree.structure(
+        jax.tree.map(lambda leaf: leaf[lo:hi], params0)
+    )
+    params = jax.tree.unflatten(
+        treedef, [entry[f"p{i}"] for i in range(treedef.num_leaves)]
+    )
+    result = FitResult(
+        params=params,
+        initial_objective=entry["initial_objective"],
+        history=entry["history"],
+        n_evals=entry["n_evals"],
+        n_iterations=entry["n_iterations"],
+    )
+    return result, entry["losses"]
+
+
 def fit_best_of(
     model,
     data_container,
@@ -116,6 +194,8 @@ def fit_best_of(
     batched_init: bool | str = "auto",
     compact: bool | None = None,
     compact_min_bucket: int = 4,
+    checkpoint_dir=None,
+    restart_chunk: int | None = None,
 ) -> MultiStartSummary:
     """Fit `n_restarts` differently-initialized copies of `model` at once and
     keep the best.
@@ -142,6 +222,18 @@ def fit_best_of(
     model's own step functions drive the segments); single-device;
     results match the monolithic loop within f32 program-boundary
     accumulation order (bit-identical on the CPU/f64 reference path).
+
+    checkpoint_dir: preemption-safe resume (checkpoint.ChunkStore).
+    Restarts run in chunks of `restart_chunk` lanes (default: all of
+    them in one chunk) and each completed chunk is one atomic entry; a
+    rerun with identical arguments loads finished chunks and computes
+    only the missing ones. Chunk boundaries change the lockstep batch a
+    lane shares (same equivalence class as compaction: bit-identical
+    per-lane results on CPU/f64, f32 program-boundary accumulation order
+    on TPU), so pick restart_chunk once per study. Not supported together
+    with given_parameters (their values cannot be fingerprinted into the
+    run identity). restart_chunk without checkpoint_dir simply batches
+    the run in chunks (e.g. to bound device memory).
     """
     is_multimodal = hasattr(model, "mdata") and not hasattr(model, "adata")
 
@@ -248,65 +340,118 @@ def fit_best_of(
     )
     from .compaction import CompactingRunner, resolve_compact
 
-    if resolve_compact(compact, config, mesh, n_restarts,
-                       compact_min_bucket):
-        def make_block_update(data_, n_lanes):
-            batched_update = jax.vmap(update_fn, in_axes=(0, None))
+    def run_lanes(params0_part, n_lanes: int):
+        """One lockstep run over `n_lanes` restarts; returns the FETCHED
+        (FitResult, losses) pair (one batched device->host transfer -
+        per-leaf fetches cost ~100ms of tunnel latency each on the TPU
+        platform)."""
+        if resolve_compact(compact, config, mesh, n_lanes,
+                           compact_min_bucket):
+            def make_block_update(data_, _n):
+                batched_update = jax.vmap(update_fn, in_axes=(0, None))
 
-            def block(params, steps):
-                return jax.lax.fori_loop(
-                    0, steps, lambda _, q: batched_update(q, data_), params
+                def block(params, steps):
+                    return jax.lax.fori_loop(
+                        0, steps, lambda _, q: batched_update(q, data_),
+                        params,
+                    )
+
+                return block
+
+            # Reuse the runner (= its per-lane-count compiled-program
+            # cache) across repeated calls with the same family/
+            # hyperparams/shapes - each segment program is a fresh remote
+            # compile otherwise (minutes in slow windows). Only cacheable
+            # without given_parameters: the step closures bake given
+            # values in as constants. Every other closure-captured value
+            # is either a constructor hyperparameter in the key
+            # (lam/delta - the only non-shape ones any family bakes in)
+            # or shape-determined (k, dim_embeddings, ns_signatures),
+            # covered by the shape keys.
+            cache_key = None
+            if not given_parameters:
+                def shape_key(tree):
+                    leaves, treedef = jax.tree.flatten(tree)
+                    return (
+                        str(treedef),
+                        tuple((leaf.shape, str(leaf.dtype))
+                              for leaf in leaves),
+                    )
+
+                cache_key = (
+                    type(model).__name__, config, compact_min_bucket,
+                    shape_key(params0_part), shape_key(data),
+                    getattr(model, "lam", None),
+                    getattr(model, "delta", None),
+                    getattr(model, "prior", None),
+                    bool(jax.config.jax_enable_x64),
                 )
-
-            return block
-
-        # Reuse the runner (= its per-lane-count compiled-program cache)
-        # across repeated calls with the same family/hyperparams/shapes -
-        # each segment program is a fresh remote compile otherwise
-        # (minutes in slow windows). Only cacheable without
-        # given_parameters: the step closures bake given values in as
-        # constants. Every other closure-captured value is either a
-        # constructor hyperparameter in the key (lam/delta - the only
-        # non-shape ones any family bakes in) or shape-determined (k,
-        # dim_embeddings, ns_signatures), covered by the shape keys.
-        cache_key = None
-        if not given_parameters:
-            def shape_key(tree):
-                leaves, treedef = jax.tree.flatten(tree)
-                return (
-                    str(treedef),
-                    tuple((leaf.shape, str(leaf.dtype)) for leaf in leaves),
-                )
-
-            cache_key = (
-                type(model).__name__, config, compact_min_bucket,
-                shape_key(params0), shape_key(data),
-                getattr(model, "lam", None), getattr(model, "delta", None),
-                getattr(model, "prior", None),
-                bool(jax.config.jax_enable_x64),
+            runner = (
+                _RUNNER_CACHE.get(cache_key)
+                if cache_key is not None else None
             )
-        runner = _RUNNER_CACHE.get(cache_key) if cache_key is not None else None
-        if runner is None:
-            runner = CompactingRunner(config, objective_fn, make_block_update,
-                                      min_bucket=compact_min_bucket)
-            if cache_key is not None:
-                if len(_RUNNER_CACHE) >= 16:  # bound compiled-program memory
-                    _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
-                _RUNNER_CACHE[cache_key] = runner
-        result, losses_device = runner.run(params0, data)
-    else:
-        run = make_fit_function(update_fn, objective_fn, config,
-                                batched=True,
-                                unroll=getattr(model, "_unroll_blocks",
-                                               False))
-        result = run(params0, data)
+            if runner is None:
+                runner = CompactingRunner(
+                    config, objective_fn, make_block_update,
+                    min_bucket=compact_min_bucket,
+                )
+                if cache_key is not None:
+                    if len(_RUNNER_CACHE) >= 16:  # bound program memory
+                        _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+                    _RUNNER_CACHE[cache_key] = runner
+            result, losses_device = runner.run(params0_part, data)
+        else:
+            run = make_fit_function(update_fn, objective_fn, config,
+                                    batched=True,
+                                    unroll=getattr(model, "_unroll_blocks",
+                                                   False))
+            result = run(params0_part, data)
+            losses_device = jax.jit(
+                jax.vmap(objective_fn, in_axes=(0, None))
+            )(result.params, data)
+        return fetch_pytree((result, losses_device))
 
-        losses_device = jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))(
-            result.params, data
+    store = None
+    if checkpoint_dir is not None:
+        if given_parameters:
+            raise ValueError(
+                "checkpoint_dir= does not support given_parameters: their "
+                "values cannot be fingerprinted into the run identity."
+            )
+        store = _best_of_store(
+            checkpoint_dir, model, is_multimodal, n_restarts, base_seed,
+            config, restart_chunk, mesh,
         )
-    # one batched device->host transfer for result + losses (per-leaf
-    # fetches cost ~100ms of tunnel latency each on the TPU platform)
-    result, final_losses = fetch_pytree((result, losses_device))
+    if restart_chunk is None or restart_chunk >= n_restarts:
+        chunks = [(0, n_restarts)]
+    else:
+        size = max(1, int(restart_chunk))
+        chunks = [
+            (lo, min(lo + size, n_restarts))
+            for lo in range(0, n_restarts, size)
+        ]
+    parts = []
+    for lo, hi in chunks:
+        name = f"restarts_{lo}_{hi}"
+        entry = store.load(name) if store is not None else None
+        if entry is not None:
+            parts.append(_entry_to_result(entry, params0, lo, hi))
+            continue
+        part0 = jax.tree.map(lambda leaf: leaf[lo:hi], params0)
+        result, losses = run_lanes(part0, hi - lo)
+        if store is not None:
+            store.save(name, **_result_to_entry(result, losses))
+        parts.append((result, losses))
+    if len(parts) == 1:
+        result, final_losses = parts[0]
+    else:
+        result = jax.tree.map(
+            lambda *leaves: np.concatenate([np.asarray(x) for x in leaves]),
+            *[p[0] for p in parts],
+        )
+        final_losses = np.concatenate(
+            [np.asarray(p[1]) for p in parts]
+        )
     direction = getattr(model, "objective", "minimize")
     best = int(np.argmax(final_losses)) if direction == "maximize" else int(
         np.argmin(final_losses)

@@ -99,6 +99,69 @@ def _drain_scan_fetches(in_flight, n_restarts: int, results: dict) -> None:
     in_flight.clear()
 
 
+def _rank_scan_with_checkpoint(checkpoint_dir, task: str, X, ranks,
+                               n_restarts: int, seed: int,
+                               config: FitConfig, meta_extra: dict,
+                               run_point):
+    """Per-rank resumable wrapper shared by the K-padded scan drivers.
+
+    Each completed rank is one atomic ChunkStore entry (host arrays); a
+    rerun with the identical arguments loads finished ranks and computes
+    only the missing ones. run_point(offset, k) -> RestartResult computes
+    one rank through the normal driver with its ORIGINAL seed
+    (seed + 1000 * offset): singleton scans reproduce the full scan's
+    per-rank programs exactly - seeds are offset-keyed, padded shapes are
+    per-rank, and packing never changes per-lane results (pinned by
+    tests/test_rank_padding.py). Note the checkpointed path materializes
+    every rank's (R, K, D) exposures on host (the store is on disk);
+    the non-checkpointed drivers keep them device-resident.
+    """
+    from ..checkpoint import ChunkStore, data_fingerprint
+
+    store = ChunkStore(checkpoint_dir, {
+        "task": task,
+        "ranks": [int(k) for k in ranks],
+        "n_restarts": int(n_restarts),
+        "seed": int(seed),
+        "config": list(config),
+        "data": data_fingerprint(np.asarray(X)),
+        **meta_extra,
+    })
+    results: dict[int, RestartResult] = {}
+    for offset, k in enumerate(ranks):
+        entry = store.load(f"rank{k}")
+        if entry is not None:
+            results[int(k)] = RestartResult(
+                W=entry["W"], H=entry["H"], losses=entry["losses"],
+                n_iterations=entry["n_iterations"],
+                best_index=int(entry["best_index"]),
+            )
+            continue
+        sub = run_point(offset, int(k))
+        W, H = fetch_pytree((sub.W, sub.H))
+        host = RestartResult(
+            W=np.asarray(W), H=np.asarray(H),
+            losses=np.asarray(sub.losses),
+            n_iterations=np.asarray(sub.n_iterations),
+            best_index=int(sub.best_index),
+        )
+        store.save(
+            f"rank{k}", W=host.W, H=host.H, losses=host.losses,
+            n_iterations=host.n_iterations,
+            best_index=np.asarray(host.best_index),
+        )
+        results[int(k)] = host
+    return results
+
+
+def _mesh_meta(mesh):
+    """JSON-safe mesh identity for checkpoint metas (axis name/size pairs;
+    None off-mesh)."""
+    if mesh is None:
+        return None
+    return [[str(name), int(size)] for name, size in mesh.shape.items()]
+
+
 def _lockstep_run(update_fn, objective_fn, config: FitConfig):
     """The shared natively-batched fit: one lockstep while_loop over all
     restarts, per-lane convergence, final losses evaluated on device."""
@@ -343,9 +406,17 @@ def rank_scan_klnmf(
     pack_points: bool | None = None,
     compact: bool | None = None,
     compact_min_bucket: int = 8,
+    checkpoint_dir=None,
 ) -> dict[int, RestartResult]:
     """Multi-start KLNMF over a range of ranks (the model-selection scan the
     reference tutorial runs as a nested Python loop, tutorial.ipynb cell 70).
+
+    checkpoint_dir: preemption-safe resume (checkpoint.ChunkStore) - each
+    completed rank is one atomic entry, a rerun with identical arguments
+    loads finished ranks and computes only the missing ones (zero
+    recompute). The run identity (counts fingerprint, ranks, restarts,
+    seed, config, layout knobs) is pinned in meta.json; a mismatch
+    discards the store with a warning.
 
     With pad_ranks=True, ranks are rounded up to multiples of
     `rank_bucket` and every rank in a bucket runs as extra lanes of ONE
@@ -379,6 +450,24 @@ def rank_scan_klnmf(
     bucket; per-lane results match within f32 program-boundary
     accumulation order."""
     config = config or FitConfig()
+    if checkpoint_dir is not None:
+        ranks = [int(k) for k in n_signatures_range]
+        return _rank_scan_with_checkpoint(
+            checkpoint_dir, "rank_scan_klnmf", X, ranks, n_restarts, seed,
+            config,
+            {
+                "dtype": str(jnp.dtype(dtype)),
+                "pad_ranks": pad_ranks,
+                "rank_bucket": int(rank_bucket),
+                "mesh": _mesh_meta(mesh),
+            },
+            lambda offset, k: rank_scan_klnmf(
+                X, [k], n_restarts, seed=seed + 1000 * offset,
+                config=config, mesh=mesh, dtype=dtype, pad_ranks=pad_ranks,
+                rank_bucket=rank_bucket, pack_points=pack_points,
+                compact=compact, compact_min_bucket=compact_min_bucket,
+            )[k],
+        )
     compact = resolve_compact(compact, config, mesh, n_restarts,
                               compact_min_bucket)
     if pad_ranks is None:
@@ -571,8 +660,12 @@ def rank_scan_mvnmf(
     pack_points: bool | None = None,
     compact: bool | None = None,
     compact_min_bucket: int = 8,
+    checkpoint_dir=None,
 ) -> dict[int, RestartResult]:
     """Multi-start minimum-volume NMF over a range of ranks.
+
+    checkpoint_dir: per-rank preemption-safe resume, exactly as
+    rank_scan_klnmf's.
 
     The MvNMF twin of rank_scan_klnmf: with pad_ranks=True (default), ranks
     round up to multiples of `rank_bucket` and every rank of a bucket runs
@@ -599,6 +692,27 @@ def rank_scan_mvnmf(
     program-boundary accumulation order.
     """
     config = config or FitConfig()
+    if checkpoint_dir is not None:
+        ranks = [int(k) for k in n_signatures_range]
+        return _rank_scan_with_checkpoint(
+            checkpoint_dir, "rank_scan_mvnmf", X, ranks, n_restarts, seed,
+            config,
+            {
+                "lam": float(lam),
+                "delta": float(delta),
+                "dtype": str(jnp.dtype(dtype)),
+                "pad_ranks": bool(pad_ranks),
+                "rank_bucket": int(rank_bucket),
+                "mesh": _mesh_meta(mesh),
+            },
+            lambda offset, k: rank_scan_mvnmf(
+                X, [k], n_restarts, seed=seed + 1000 * offset, lam=lam,
+                delta=delta, config=config, mesh=mesh, dtype=dtype,
+                pad_ranks=pad_ranks, rank_bucket=rank_bucket,
+                pack_points=pack_points, compact=compact,
+                compact_min_bucket=compact_min_bucket,
+            )[k],
+        )
     compact = resolve_compact(compact, config, mesh, n_restarts,
                               compact_min_bucket)
     ranks = [int(k) for k in n_signatures_range]
