@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 
 from .. import containers, tools as tl
-from ..engine import FitConfig, make_fit_function
+from ..engine import FitConfig
 from ..engine.transfer import fetch_pytree
 from ..initialization.initialize import EPSILON, initialize_mmcorrnmf
 from ..ops import corrnmf as ops
@@ -343,6 +343,24 @@ class MultimodalCorrNMF:
                 "fix_sig_embeddings": "signature_embeddings" in g,
             }
         return flags
+
+    def _step_cache_key(self, given_parameters=None):
+        # everything _build_step bakes: modality layout, embedding dim and
+        # the per-modality freeze flags (given VALUES ride in params)
+        given = given_parameters or {}
+        flags = self._mod_flags(given_parameters)
+        return (
+            "mmcorrnmf",
+            tuple(self.mod_names),
+            tuple(int(n) for n in self.ns_signatures),
+            int(self.dim_embeddings),
+            tuple(
+                (name, tuple(sorted(mod_flags.items())))
+                for name, mod_flags in flags.items()
+            ),
+            "sample_embeddings" in given,
+            "variance" in given,
+        )
 
     def _build_step(self, given_parameters=None):
         given = given_parameters or {}
@@ -803,12 +821,21 @@ class MultimodalCorrNMF:
         if stop_on_nonfinite:
             config = config._replace(stop_on_nonfinite=True)
         from ..engine.fit import backend_supports_callbacks, print_history_trace
+        from .signature_nmf import cached_fit_runner, segment_progress_printer
 
+        import jax
+
+        objective_dtype = jax.eval_shape(objective_fn, params0, data).dtype
         live_verbose = bool(verbose) and backend_supports_callbacks()
-        run = make_fit_function(
-            update_fn, objective_fn, config,
-            verbose=live_verbose, verbosity_freq=verbosity_freq,
-            unroll=False,  # per-modality EM with nested Newton solves
+        progress_cb = (
+            segment_progress_printer() if verbose and not live_verbose
+            else None
+        )
+        run = cached_fit_runner(
+            self, update_fn, objective_fn, config, live_verbose,
+            verbosity_freq, given_parameters, objective_dtype,
+            False,  # unroll: per-modality EM with nested Newton solves
+            progress_cb,
         )
         result = run(params0, data)
         # one batched device->host transfer for the whole result

@@ -74,6 +74,67 @@ def cast_floating(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
+def segment_progress_printer():
+    """The verbose=1 printer for callback-rejecting backends (axon): live
+    reporting rides the capped-segment boundaries the program-kill guard
+    already pays for (only long, rerouted fits have segments; short
+    monolithic fits report via the post-fit trace). Single-lane fits
+    print the reference's 'iteration: N; objective: X' form."""
+    def progress_cb(info):
+        if info["n_lanes"] == 1:
+            print(
+                f"iteration: {info['iteration']}; objective: "
+                f"{info['objective_min']:.2f}", flush=True,
+            )
+        else:
+            print(
+                f"iteration: {info['iteration']}; objective "
+                f"range: [{info['objective_min']:.2f}, "
+                f"{info['objective_max']:.2f}]; lanes alive: "
+                f"{info['n_alive']}/{info['n_lanes']}", flush=True,
+            )
+    return progress_cb
+
+
+def cached_fit_runner(model, update_fn, objective_fn, config, live_verbose,
+                      verbosity_freq, given_parameters, objective_dtype,
+                      unroll, progress_cb):
+    """Build - or reuse - the jitted fit runner for a model's fit() call.
+
+    A fresh make_fit_function per call re-traces the whole convergence
+    loop every time (seconds of single-core host work per fit - the
+    dominant cost of a small repeated fit, measured 2026-08-20: 9-12
+    s/fit traced vs ~1 s device time on PCAWG MvNMF k=5). The cache key
+    captures everything baked into the step closures (model
+    hyperparameters + given-parameter structure via
+    `model._step_cache_key`; counts/weights ride as jit ARGUMENTS, so
+    data changes hit jit's own cache by shape/dtype/sharding). Models
+    whose step bakes state the key cannot see return None from
+    _step_cache_key and get a fresh (uncached) runner.
+    """
+    step_key = model._step_cache_key(given_parameters)
+    build = lambda: make_fit_function(
+        update_fn, objective_fn, config,
+        verbose=live_verbose, verbosity_freq=verbosity_freq,
+        unroll=unroll, progress_cb=progress_cb,
+    )
+    if step_key is None:
+        return build()
+    runner_key = (
+        step_key, config, live_verbose, int(verbosity_freq), unroll,
+        str(objective_dtype), progress_cb is not None,
+    )
+    cache = getattr(model, "_fit_runner_cache", None)
+    if cache is None:
+        cache = model._fit_runner_cache = {}
+    run = cache.get(runner_key)
+    if run is None:
+        run = build()
+        cache.clear()  # one live runner per model instance
+        cache[runner_key] = run
+    return run
+
+
 def promote_objective(objective_fn, params0):
     """Evaluate the convergence objective in float64 when the platform
     allows it, regardless of the update dtype.
@@ -425,69 +486,15 @@ class SignatureNMF(ABC):
         )
 
         live_verbose = bool(verbose) and backend_supports_callbacks()
-        progress_cb = None
-        if verbose and not live_verbose:
-            # callback-rejecting backend (axon): live reporting rides the
-            # capped-segment boundaries the program-kill guard already
-            # pays for (only long, rerouted fits have segments; short
-            # monolithic fits report via the post-fit trace below)
-            def progress_cb(info):
-                if info["n_lanes"] == 1:
-                    print(
-                        f"iteration: {info['iteration']}; objective: "
-                        f"{info['objective_min']:.2f}", flush=True,
-                    )
-                else:
-                    print(
-                        f"iteration: {info['iteration']}; objective "
-                        f"range: [{info['objective_min']:.2f}, "
-                        f"{info['objective_max']:.2f}]; lanes alive: "
-                        f"{info['n_alive']}/{info['n_lanes']}", flush=True,
-                    )
-        run = None
-        step_key = self._step_cache_key(given_parameters)
-        if step_key is not None:
-            # Reuse the jitted fit runner across fit() calls: a fresh
-            # make_fit_function per call re-traces the whole convergence
-            # loop every time (seconds of single-core host work per fit -
-            # the dominant cost of a small repeated fit, measured
-            # 2026-08-20: 9-12 s/fit traced vs ~1 s device time on PCAWG
-            # MvNMF k=5). The key captures everything baked into the step
-            # closures (model hyperparameters + given-parameter structure;
-            # counts/weights ride as jit ARGUMENTS, so data changes hit
-            # jit's own cache by shape/dtype/sharding). Models whose step
-            # bakes state the key cannot see return None (no caching).
-            runner_key = (
-                step_key, config, live_verbose, int(verbosity_freq),
-                self._unroll_blocks, str(objective_dtype),
-                progress_cb is not None,
-            )
-            cache = getattr(self, "_fit_runner_cache", None)
-            if cache is None:
-                cache = self._fit_runner_cache = {}
-            run = cache.get(runner_key)
-            if run is None:
-                run = make_fit_function(
-                    update_fn,
-                    objective_fn,
-                    config,
-                    verbose=live_verbose,
-                    verbosity_freq=verbosity_freq,
-                    unroll=self._unroll_blocks,
-                    progress_cb=progress_cb,
-                )
-                cache.clear()  # one live runner per model instance
-                cache[runner_key] = run
-        else:
-            run = make_fit_function(
-                update_fn,
-                objective_fn,
-                config,
-                verbose=live_verbose,
-                verbosity_freq=verbosity_freq,
-                unroll=self._unroll_blocks,
-                progress_cb=progress_cb,
-            )
+        progress_cb = (
+            segment_progress_printer() if verbose and not live_verbose
+            else None
+        )
+        run = cached_fit_runner(
+            self, update_fn, objective_fn, config, live_verbose,
+            verbosity_freq, given_parameters, objective_dtype,
+            self._unroll_blocks, progress_cb,
+        )
         result = run(params0, data)
         # one batched device->host transfer for the whole result (per-leaf
         # fetches cost ~100ms of tunnel latency EACH on the TPU platform)
