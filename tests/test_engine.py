@@ -214,3 +214,80 @@ def test_effective_tolerance_floor_and_recording():
                     init_method="random")
     model64.fit(adata, init_kwargs={"seed": 0})
     assert model64.history["tol_effective"] == pytest.approx(1e-7)
+
+
+# --------------------------------------------------------------------- #
+# fit-runner cache correctness (round 5): models reuse one jitted runner
+# across fit() calls; nothing from a previous fit may leak into the next
+# --------------------------------------------------------------------- #
+
+
+def _toy_counts(seed):
+    rng = np.random.default_rng(seed)
+    return rng.poisson(30.0, size=(20, 12)).astype(np.float64) + 1.0
+
+
+def test_fit_runner_cache_new_data_matches_fresh_model():
+    """Refitting the SAME model instance on different counts must equal a
+    fresh model's fit bitwise (data rides as a jit argument - a baked-in
+    X would reproduce the first cohort)."""
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import KLNMF, MvNMF
+
+    for cls in (KLNMF, MvNMF):
+        kwargs = dict(n_signatures=3, min_iterations=20, max_iterations=80,
+                      conv_test_freq=10, tol=1e-6)
+        reused = cls(**kwargs)
+        reused.fit(AnnData(_toy_counts(1)), init_kwargs={"seed": 0})
+        first_sigs = np.asarray(reused.asignatures.X).copy()
+        reused.fit(AnnData(_toy_counts(2)), init_kwargs={"seed": 0})
+
+        fresh = cls(**kwargs)
+        fresh.fit(AnnData(_toy_counts(2)), init_kwargs={"seed": 0})
+        np.testing.assert_array_equal(
+            np.asarray(reused.asignatures.X), np.asarray(fresh.asignatures.X)
+        )
+        assert (reused.history["n_iterations"]
+                == fresh.history["n_iterations"])
+        # and the refit really changed the model (guards a stale absorb)
+        assert not np.array_equal(
+            first_sigs, np.asarray(reused.asignatures.X)
+        )
+
+
+def test_fit_runner_cache_invalidates_on_hyperparameters():
+    """Mutating a baked hyperparameter (MvNMF lam) between fits must not
+    reuse the stale runner: the refit equals a fresh model built with the
+    new value."""
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import MvNMF
+
+    X = _toy_counts(3)
+    kwargs = dict(n_signatures=3, min_iterations=20, max_iterations=80,
+                  conv_test_freq=10, tol=1e-6)
+    reused = MvNMF(lam=1.0, **kwargs)
+    reused.fit(AnnData(X), init_kwargs={"seed": 0})
+    reused.lam = 5.0
+    reused.fit(AnnData(X), init_kwargs={"seed": 0})
+
+    fresh = MvNMF(lam=5.0, **kwargs)
+    fresh.fit(AnnData(X), init_kwargs={"seed": 0})
+    np.testing.assert_array_equal(
+        np.asarray(reused.asignatures.X), np.asarray(fresh.asignatures.X)
+    )
+
+
+def test_fit_runner_cache_invalidates_on_config():
+    """Changing the convergence budget between fits rebuilds the runner
+    (config is part of the cache key)."""
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import KLNMF
+
+    X = _toy_counts(4)
+    reused = KLNMF(n_signatures=3, min_iterations=20, max_iterations=40,
+                   conv_test_freq=10, tol=0.0)
+    reused.fit(AnnData(X), init_kwargs={"seed": 0})
+    assert reused.history["n_iterations"] == 40
+    reused.max_iterations = 80
+    reused.fit(AnnData(X), init_kwargs={"seed": 0})
+    assert reused.history["n_iterations"] == 80
