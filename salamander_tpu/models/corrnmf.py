@@ -142,6 +142,9 @@ class CorrNMF(SignatureNMF):
         projector = type(self)(
             **{key: getattr(self, key) for key in hyperparameter_keys}
         )
+        from .signature_nmf import share_transform_runner_cache
+
+        share_transform_runner_cache(self, projector)
         given = {
             "asignatures": self.asignatures.copy(),
             "signature_scalings": np.asarray(

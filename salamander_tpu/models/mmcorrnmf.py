@@ -1031,6 +1031,9 @@ class MultimodalCorrNMF:
         projector = type(self)(
             **{key: getattr(self, key) for key in hyperparameter_keys}
         )
+        from .signature_nmf import share_transform_runner_cache
+
+        share_transform_runner_cache(self, projector)
         given: dict[str, Any] = {"variance": float(self.variance)}
         for name in self.mod_names:
             asigs = self.asignatures[name]

@@ -135,6 +135,22 @@ def cached_fit_runner(model, update_fn, objective_fn, config, live_verbose,
     return run
 
 
+def share_transform_runner_cache(parent, projector) -> None:
+    """Give a transform() projector the parent's transform-runner cache.
+
+    Every transform() call builds a FRESH projector model, so the
+    per-instance fit-runner cache alone would re-trace the projector fit
+    on every call (seconds of host work to score a new cohort). The
+    parent keeps one cache dict shared by all projectors it creates;
+    runners are stateless jit functions keyed by step STRUCTURE, and the
+    frozen signature-side VALUES ride in the params pytree, so reuse
+    across projectors of one parent is exact."""
+    cache = getattr(parent, "_transform_runner_cache", None)
+    if cache is None:
+        cache = parent._transform_runner_cache = {}
+    projector._fit_runner_cache = cache
+
+
 def promote_objective(objective_fn, params0):
     """Evaluate the convergence objective in float64 when the platform
     allows it, regardless of the update dtype.

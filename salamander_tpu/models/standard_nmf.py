@@ -103,6 +103,9 @@ class StandardNMF(SignatureNMF):
         }
         hyperparameters["init_method"] = "flat"
         projector = type(self)(**hyperparameters)
+        from .signature_nmf import share_transform_runner_cache
+
+        share_transform_runner_cache(self, projector)
         projector.fit(
             adata.copy() if hasattr(adata, "copy") else adata,
             given_parameters={"asignatures": self.asignatures.copy()},

@@ -182,6 +182,32 @@ def test_transform_projects_new_samples(adata):
     )
 
 
+def test_transform_repeats_share_runner_without_leak(adata):
+    """Repeated transform() calls share one cached fit runner (the
+    projector would otherwise re-trace every call); the cache must not
+    leak state - a second transform on different samples equals the same
+    transform done first, bitwise."""
+    model = KLNMF(n_signatures=3, min_iterations=50, max_iterations=100)
+    model.fit(adata.copy(), init_kwargs={"seed": 2})
+
+    first_batch = adata[:5, :].copy()
+    second_batch = adata[5:12, :].copy()
+    model.transform(first_batch.copy(), history=False)
+    reused = model.transform(second_batch.copy(), history=False)
+
+    fresh_model = KLNMF(n_signatures=3, min_iterations=50,
+                        max_iterations=100)
+    fresh_model.fit(adata.copy(), init_kwargs={"seed": 2})
+    direct = fresh_model.transform(second_batch.copy(), history=False)
+    np.testing.assert_array_equal(
+        np.asarray(reused.exposures.to_numpy()),
+        np.asarray(direct.exposures.to_numpy()),
+    )
+    # the shared cache lives on the parent, and both projectors use it
+    assert getattr(model, "_transform_runner_cache", None)
+    assert len(model._transform_runner_cache) == 1
+
+
 def test_transform_requires_fitted_model(adata):
     with pytest.raises(ValueError):
         KLNMF(n_signatures=3).transform(adata)
