@@ -340,11 +340,48 @@ def fit_best_of(
     )
     from .compaction import CompactingRunner, resolve_compact
 
+    def _cache_get(key):
+        return _RUNNER_CACHE.get(key) if key is not None else None
+
+    def _cache_put(key, value):
+        if key is not None:
+            if len(_RUNNER_CACHE) >= 16:  # bound compiled-program memory
+                _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+            _RUNNER_CACHE[key] = value
+
     def run_lanes(params0_part, n_lanes: int):
         """One lockstep run over `n_lanes` restarts; returns the FETCHED
         (FitResult, losses) pair (one batched device->host transfer -
         per-leaf fetches cost ~100ms of tunnel latency each on the TPU
-        platform)."""
+        platform).
+
+        Both branches reuse their runner across repeated calls with the
+        same family/hyperparams/shapes (the compacting runner additionally
+        caches its per-lane-count segment programs) - each run is a fresh
+        trace + remote compile otherwise (minutes in slow windows). Only
+        cacheable without given_parameters: the step closures bake given
+        values in as constants. Every other closure-captured value is
+        either a constructor hyperparameter in the key (lam/delta - the
+        only non-shape ones any family bakes in) or shape-determined (k,
+        dim_embeddings, ns_signatures), covered by the shape keys."""
+        cache_key = None
+        if not given_parameters:
+            def shape_key(tree):
+                leaves, treedef = jax.tree.flatten(tree)
+                return (
+                    str(treedef),
+                    tuple((leaf.shape, str(leaf.dtype))
+                          for leaf in leaves),
+                )
+
+            cache_key = (
+                type(model).__name__, config, compact_min_bucket,
+                shape_key(params0_part), shape_key(data),
+                getattr(model, "lam", None),
+                getattr(model, "delta", None),
+                getattr(model, "prior", None),
+                bool(jax.config.jax_enable_x64),
+            )
         if resolve_compact(compact, config, mesh, n_lanes,
                            compact_min_bucket):
             def make_block_update(data_, _n):
@@ -358,57 +395,28 @@ def fit_best_of(
 
                 return block
 
-            # Reuse the runner (= its per-lane-count compiled-program
-            # cache) across repeated calls with the same family/
-            # hyperparams/shapes - each segment program is a fresh remote
-            # compile otherwise (minutes in slow windows). Only cacheable
-            # without given_parameters: the step closures bake given
-            # values in as constants. Every other closure-captured value
-            # is either a constructor hyperparameter in the key
-            # (lam/delta - the only non-shape ones any family bakes in)
-            # or shape-determined (k, dim_embeddings, ns_signatures),
-            # covered by the shape keys.
-            cache_key = None
-            if not given_parameters:
-                def shape_key(tree):
-                    leaves, treedef = jax.tree.flatten(tree)
-                    return (
-                        str(treedef),
-                        tuple((leaf.shape, str(leaf.dtype))
-                              for leaf in leaves),
-                    )
-
-                cache_key = (
-                    type(model).__name__, config, compact_min_bucket,
-                    shape_key(params0_part), shape_key(data),
-                    getattr(model, "lam", None),
-                    getattr(model, "delta", None),
-                    getattr(model, "prior", None),
-                    bool(jax.config.jax_enable_x64),
-                )
-            runner = (
-                _RUNNER_CACHE.get(cache_key)
-                if cache_key is not None else None
-            )
+            runner = _cache_get(cache_key)
             if runner is None:
                 runner = CompactingRunner(
                     config, objective_fn, make_block_update,
                     min_bucket=compact_min_bucket,
                 )
-                if cache_key is not None:
-                    if len(_RUNNER_CACHE) >= 16:  # bound program memory
-                        _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
-                    _RUNNER_CACHE[cache_key] = runner
+                _cache_put(cache_key, runner)
             result, losses_device = runner.run(params0_part, data)
         else:
-            run = make_fit_function(update_fn, objective_fn, config,
-                                    batched=True,
-                                    unroll=getattr(model, "_unroll_blocks",
-                                                   False))
+            mono_key = None if cache_key is None else ("mono",) + cache_key
+            pair = _cache_get(mono_key)
+            if pair is None:
+                run = make_fit_function(
+                    update_fn, objective_fn, config, batched=True,
+                    unroll=getattr(model, "_unroll_blocks", False),
+                )
+                losses_fn = jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))
+                pair = (run, losses_fn)
+                _cache_put(mono_key, pair)
+            run, losses_fn = pair
             result = run(params0_part, data)
-            losses_device = jax.jit(
-                jax.vmap(objective_fn, in_axes=(0, None))
-            )(result.params, data)
+            losses_device = losses_fn(result.params, data)
         return fetch_pytree((result, losses_device))
 
     store = None
