@@ -113,6 +113,21 @@ class CorrNMF(SignatureNMF):
     def _setup_fitting_parameters(self, fitting_kwargs=None) -> None:
         return
 
+    def _check_warm_start(self, given_parameters) -> None:
+        super()._check_warm_start(given_parameters)
+        try:
+            np.asarray(self.adata.obs["scalings"])
+            np.asarray(self.adata.obsm["embeddings"])
+            np.asarray(self.asignatures.obs["scalings"])
+            np.asarray(self.asignatures.obsm["embeddings"])
+            float(self.variance)
+        except (AttributeError, KeyError, TypeError):
+            raise ValueError(
+                "warm_start=True for a CorrNMF model needs the previous "
+                "fit's scalings/embeddings/variance in the containers; "
+                "fit once without warm_start (or io.load_model) first."
+            ) from None
+
     def transform(self, adata, **fit_kwargs):
         """Infer scalings and embeddings for NEW samples under this model's
         frozen signature-side parameters (signatures, signature scalings,

@@ -344,6 +344,31 @@ class MultimodalCorrNMF:
             }
         return flags
 
+    def _check_warm_start(self, given_parameters) -> None:
+        """Validate resumable multimodal state (warm_start=True)."""
+        if given_parameters:
+            raise ValueError(
+                "warm_start=True cannot be combined with given_parameters: "
+                "initialization (which warm start skips) is what stitches "
+                "given values into the model state."
+            )
+        try:
+            for name in self.mod_names:
+                asigs = self.asignatures[name]
+                np.asarray(asigs.obs["scalings"])
+                np.asarray(asigs.obsm["embeddings"])
+                np.asarray(self.mdata[name].obsm["exposures"])
+                np.asarray(self.mdata[name].obs["scalings"])
+            np.asarray(self.mdata.obsm["embeddings"])
+            float(self.variance)
+        except (AttributeError, KeyError, TypeError):
+            raise ValueError(
+                "warm_start=True resumes from the state already in the "
+                "model and containers (per-modality signatures/scalings/"
+                "exposures + shared embeddings/variance); fit once without "
+                "warm_start - or load a saved model - first."
+            ) from None
+
     def _step_cache_key(self, given_parameters=None):
         # everything _build_step bakes: modality layout, embedding dim and
         # the per-modality freeze flags (given VALUES ride in params)
@@ -769,15 +794,24 @@ class MultimodalCorrNMF:
         verbosity_freq: int = 100,
         stop_on_nonfinite: bool = False,
         mesh=None,
+        warm_start: bool = False,
     ) -> "MultimodalCorrNMF":
         """Fit the joint model (reference fit loop: mmcorrnmf.py:455-491).
 
         mesh (optional): a jax.sharding.Mesh with a 'samples' axis; the
         shared sample axis of every modality's counts and the per-sample
         parameters then shard across devices (see _shard_state).
+
+        warm_start=True skips initialization and CONTINUES from the state
+        already in the model/containers (the manual checkpoint/resume
+        path: io.save_model / load_model round-trips it); the convergence
+        rule restarts fresh.
         """
         self._setup_mdata(mdata)
-        self._initialize(given_parameters, init_kwargs)
+        if warm_start:
+            self._check_warm_start(given_parameters)
+        else:
+            self._initialize(given_parameters, init_kwargs)
 
         if self.newton_cg_compat:
             if mesh is not None:

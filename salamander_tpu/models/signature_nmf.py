@@ -438,6 +438,41 @@ class SignatureNMF(ABC):
 
         return put(params, param_axes), put(data, data_axes)
 
+    def _check_warm_start(self, given_parameters) -> None:
+        """Validate that the model/container pair carries a previous fit's
+        state to resume from (warm_start=True skips initialization)."""
+        if given_parameters:
+            raise ValueError(
+                "warm_start=True cannot be combined with given_parameters: "
+                "initialization (which warm start skips) is what stitches "
+                "given values into the model state. Freeze parameters on a "
+                "cold fit instead."
+            )
+        asignatures = getattr(self, "asignatures", None)
+        exposures = None
+        try:
+            exposures = self.adata.obsm["exposures"]
+        except (AttributeError, KeyError):
+            pass
+        if asignatures is None or exposures is None:
+            raise ValueError(
+                "warm_start=True resumes from the state already in the "
+                "model and container (signatures + exposures/scalings/"
+                "embeddings); fit once without warm_start - or load a "
+                "saved model (io.load_model) - first."
+            )
+        if (asignatures.n_obs != self.n_signatures
+                or asignatures.n_vars != self.adata.n_vars
+                or np.shape(exposures) != (self.adata.n_obs,
+                                           self.n_signatures)):
+            raise ValueError(
+                "warm_start=True found state of the wrong shape: expected "
+                f"signatures ({self.n_signatures}, {self.adata.n_vars}) "
+                f"and exposures ({self.adata.n_obs}, {self.n_signatures}); "
+                f"got signatures {asignatures.shape} and exposures "
+                f"{np.shape(exposures)}."
+            )
+
     def fit(
         self,
         adata,
@@ -449,6 +484,7 @@ class SignatureNMF(ABC):
         verbosity_freq: int = 1000,
         stop_on_nonfinite: bool = False,
         mesh=None,
+        warm_start: bool = False,
     ) -> "SignatureNMF":
         """Fit all model parameters with the on-device engine.
 
@@ -464,9 +500,20 @@ class SignatureNMF(ABC):
         of X and the per-sample parameters across devices, with XLA
         inserting the cross-device reductions. Same numerics as unsharded
         (pinned in tests); use for cohorts too large for one device.
+
+        warm_start=True skips initialization and CONTINUES from the state
+        already in the model/container (a previous fit on the same
+        container, or one restored via io.load_model + its container) -
+        the manual checkpoint/resume path for long single fits; the
+        convergence rule restarts fresh (min_iterations applies again,
+        and MvNMF's line-search gamma resets to 1). Beyond the reference
+        surface (its fit always re-initializes).
         """
         self._setup_adata(adata)
-        self._initialize(given_parameters, init_kwargs)
+        if warm_start:
+            self._check_warm_start(given_parameters)
+        else:
+            self._initialize(given_parameters, init_kwargs)
         self._setup_fitting_parameters(fitting_kwargs)
 
         if getattr(self, "_fits_on_host", False):

@@ -256,3 +256,24 @@ def test_transform_preserves_hyperparameters(counts):
     assert projected.newton_cg_compat is True
     assert projected.dtype == model.dtype
     assert projected.tol == model.tol
+
+
+def test_warm_start_continues_corrnmf(counts):
+    """warm_start=True resumes the EM from the container state (ELBO not
+    worse); missing scalings/embeddings are rejected with the CorrNMF
+    message."""
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import CorrNMFDet
+
+    model = CorrNMFDet(n_signatures=2, dim_embeddings=2,
+                       min_iterations=20, max_iterations=60)
+    container = AnnData(np.asarray(counts, dtype=float).copy())
+    model.fit(container, init_kwargs={"seed": 1})
+    elbo_cold = model.objective_function()
+    model.fit(container, warm_start=True)
+    assert model.objective_function() >= elbo_cold - 1e-9 * abs(elbo_cold)
+
+    fresh = CorrNMFDet(n_signatures=2, dim_embeddings=2)
+    with pytest.raises(ValueError, match="warm_start"):
+        fresh.fit(AnnData(np.asarray(counts, dtype=float).copy()),
+                  warm_start=True)

@@ -208,6 +208,40 @@ def test_transform_repeats_share_runner_without_leak(adata):
     assert len(model._transform_runner_cache) == 1
 
 
+def test_warm_start_continues_and_validates(adata, tmp_path):
+    """fit(warm_start=True) resumes from the state in the model/container:
+    the objective keeps improving, missing state and given_parameters are
+    rejected, and a save_model/load_model round-trip resumes too (the
+    manual checkpoint path for long single fits)."""
+    from salamander_tpu.io import load_model, save_model
+
+    model = KLNMF(n_signatures=3, min_iterations=20, max_iterations=60)
+    container = adata.copy()
+    model.fit(container, init_kwargs={"seed": 1})
+    of_cold = model.objective_function()
+
+    model.fit(container, warm_start=True)
+    of_warm = model.objective_function()
+    assert of_warm <= of_cold + 1e-9 * abs(of_cold)
+
+    # resume from disk: the saved container carries the fitted state
+    save_model(model, str(tmp_path / "ckpt.npz"))
+    restored = load_model(str(tmp_path / "ckpt.npz"))
+    restored.fit(restored.adata, warm_start=True)
+    assert restored.objective_function() <= of_warm + 1e-9 * abs(of_warm)
+
+    with pytest.raises(ValueError, match="warm_start"):
+        KLNMF(n_signatures=3).fit(adata.copy(), warm_start=True)
+    with pytest.raises(ValueError, match="given_parameters"):
+        model.fit(container, warm_start=True,
+                  given_parameters={"asignatures": model.asignatures})
+    # wrong-shape state (another model's rank) is rejected, not used
+    other = KLNMF(n_signatures=2, min_iterations=10, max_iterations=10)
+    other.fit(adata.copy(), init_kwargs={"seed": 0})
+    with pytest.raises(ValueError, match="wrong shape"):
+        other.fit(container, warm_start=True)
+
+
 def test_transform_requires_fitted_model(adata):
     with pytest.raises(ValueError):
         KLNMF(n_signatures=3).transform(adata)

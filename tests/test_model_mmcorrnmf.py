@@ -466,3 +466,27 @@ class TestGivenParameters:
     def test_given_variance(self, model, mdata):
         model.fit(mdata, given_parameters={"variance": 3.0})
         assert np.allclose(3.0, model.variance)
+
+
+def test_warm_start_continues_multimodal(counts):
+    """warm_start=True resumes the joint EM from the containers' state
+    (ELBO not worse); an unfitted model is rejected."""
+    def mdata():
+        return MuData({
+            name: AnnData(np.asarray(frame, dtype=float).copy())
+            for name, frame in counts.items()
+        })
+
+    model = MultimodalCorrNMF(ns_signatures=NS_SIGNATURES,
+                              dim_embeddings=DIM_EMBEDDINGS,
+                              min_iterations=10, max_iterations=30)
+    container = mdata()
+    model.fit(container, init_kwargs={"seed": 1})
+    elbo_cold = model.objective_function()
+    model.fit(container, warm_start=True)
+    assert model.objective_function() >= elbo_cold - 1e-9 * abs(elbo_cold)
+
+    fresh = MultimodalCorrNMF(ns_signatures=NS_SIGNATURES,
+                              dim_embeddings=DIM_EMBEDDINGS)
+    with pytest.raises(ValueError, match="warm_start"):
+        fresh.fit(mdata(), warm_start=True)
