@@ -245,6 +245,64 @@ def _cmd_fit(args) -> int:
     )
 
     _check_budget(args)
+    if args.resume is not None:
+        if args.batch_size is not None or args.streaming:
+            raise SystemExit(
+                "--resume continues a full-batch fit; it cannot be "
+                "combined with --batch-size/--streaming"
+            )
+        model = sio.load_model(args.resume)
+        expected_class = {
+            "klnmf": "KLNMF", "mvnmf": "MvNMF", "corrnmf": "CorrNMFDet",
+            "ardnmf": "ARDNMF", "mmcorrnmf": "MultimodalCorrNMF",
+        }[args.model]
+        if type(model).__name__ != expected_class:
+            raise SystemExit(
+                f"--resume checkpoint holds a {type(model).__name__} "
+                f"model but --model is {args.model}"
+            )
+        mesh = _make_mesh(args.mesh)
+        container = model.mdata if hasattr(model, "mdata") else model.adata
+        same_cohort = frames[0].shape[0] == container.n_obs and (
+            hasattr(model, "mdata")
+            or frames[0].shape == container.shape
+        )
+        if not same_cohort:
+            raise SystemExit(
+                "--resume checkpoint was fitted on a "
+                f"{container.n_obs}-sample cohort; the counts file has "
+                f"{frames[0].shape[0]} samples x {frames[0].shape[1]} "
+                "features (the checkpoint carries its own counts - pass "
+                "the same cohort)"
+            )
+        # the iteration-budget flags apply to the resumed leg
+        for attr in ("min_iterations", "max_iterations",
+                     "conv_test_freq", "tol"):
+            setattr(model, attr, getattr(args, attr))
+        model.fit(container, warm_start=True, verbose=args.verbose,
+                  mesh=mesh)
+        model_path = out / "model.npz"
+        sio.save_model(model, str(model_path))
+        if hasattr(model, "mdata"):
+            for name in model.mod_names:
+                model.asignatures[name].to_df().to_csv(
+                    out / f"signatures_{name}.csv"
+                )
+                model.exposures[name].to_csv(out / f"exposures_{name}.csv")
+        else:
+            model.asignatures.to_df().to_csv(out / "signatures.csv")
+            pd.DataFrame(
+                container.obsm["exposures"],
+                index=container.obs_names,
+                columns=model.asignatures.obs_names,
+            ).to_csv(out / "exposures.csv")
+        print(
+            f"fit: resumed {args.model} from {args.resume} for "
+            f"{model.history['n_iterations']} further iterations, "
+            f"objective {_last_objective(model)}; wrote {model_path}"
+        )
+        return 0
+
     minibatch = args.batch_size is not None
     if minibatch and args.model in ("mvnmf", "ardnmf"):
         raise SystemExit(
@@ -649,6 +707,12 @@ def build_parser() -> argparse.ArgumentParser:
     fit.add_argument("--dim-embeddings", type=int, default=None)
     fit.add_argument("--export-h5ad", action="store_true")
     fit.add_argument("--verbose", type=int, choices=[0, 1], default=0)
+    fit.add_argument(
+        "--resume", default=None, metavar="MODEL_NPZ",
+        help="continue a previous fit from its io.save_model checkpoint "
+        "(fit(warm_start=True)); the iteration-budget flags apply to "
+        "the resumed leg",
+    )
     fit.add_argument(
         "--batch-size", type=int, default=None,
         help="online (minibatch) fitting instead of full-batch cycles "

@@ -350,6 +350,54 @@ def test_cli_fit_mesh_rejects_streaming(cohort, tmp_path):
         ])
 
 
+def test_cli_fit_resume_continues(cohort, tmp_path, capsys):
+    """fit --resume model.npz warm-starts from the checkpoint; the
+    objective keeps improving and outputs are rewritten."""
+    first_dir = tmp_path / "first"
+    rc = cli.main([
+        "fit", str(cohort["root"] / "counts.csv"),
+        "--model", "klnmf", "-k", "3", "--seed", "1",
+        "--min-iterations", "20", "--max-iterations", "40",
+        "-o", str(first_dir),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    resume_dir = tmp_path / "resumed"
+    rc = cli.main([
+        "fit", str(cohort["root"] / "counts.csv"),
+        "--model", "klnmf", "-k", "3",
+        "--min-iterations", "20", "--max-iterations", "60",
+        "--resume", str(first_dir / "model.npz"),
+        "-o", str(resume_dir),
+    ])
+    assert rc == 0
+    assert "resumed klnmf" in capsys.readouterr().out
+
+    from salamander_tpu.io import load_model
+
+    first = load_model(str(first_dir / "model.npz"))
+    resumed = load_model(str(resume_dir / "model.npz"))
+    assert (resumed.history["objective_function"][-1]
+            <= first.history["objective_function"][-1])
+    assert (resume_dir / "exposures.csv").exists()
+
+    # wrong model family and minibatch combinations exit cleanly
+    with pytest.raises(SystemExit, match="--model"):
+        cli.main([
+            "fit", str(cohort["root"] / "counts.csv"),
+            "--model", "mvnmf", "-k", "3",
+            "--resume", str(first_dir / "model.npz"),
+            "-o", str(tmp_path),
+        ])
+    with pytest.raises(SystemExit, match="batch-size"):
+        cli.main([
+            "fit", str(cohort["root"] / "counts.csv"),
+            "--model", "klnmf", "-k", "3", "--batch-size", "8",
+            "--resume", str(first_dir / "model.npz"),
+            "-o", str(tmp_path),
+        ])
+
+
 # Negative-path sweep: each subcommand x missing/zero/contradictory flags
 # must exit with a clean SystemExit message, never a raw traceback.
 # Placeholders: C = counts CSV, CAT = catalog CSV (substituted per-test).
