@@ -308,9 +308,17 @@ def rank_scan(
     `lambda k: CorrNMFDet(n_signatures=k, dim_embeddings=2)`). Each rank runs
     `n_restarts` batched restarts via fit_best_of; returns {k: (model,
     MultiStartSummary)} with each model holding its best restart.
+
+    A `checkpoint_dir` in fit_best_of_kwargs is split into one
+    subdirectory per rank (each rank's run identity differs, so sharing
+    one ChunkStore would discard the previous rank's entries on every
+    point).
     """
+    from pathlib import Path
+
     from .multistart import fit_best_of
 
+    checkpoint_root = fit_best_of_kwargs.pop("checkpoint_dir", None)
     results = {}
     for offset, k in enumerate(n_signatures_range):
         model = model_factory(int(k))
@@ -319,10 +327,13 @@ def rank_scan(
             if hasattr(data_container, "copy")
             else data_container
         )
+        kwargs = dict(fit_best_of_kwargs)
+        if checkpoint_root is not None:
+            kwargs["checkpoint_dir"] = Path(checkpoint_root) / f"rank{k}"
         summary = fit_best_of(
             model, container, n_restarts,
             base_seed=base_seed + 1000 * offset,
-            **fit_best_of_kwargs,
+            **kwargs,
         )
         results[int(k)] = (model, summary)
     return results

@@ -241,3 +241,26 @@ def test_fit_best_of_restart_chunks_match_monolithic(counts, tmp_path):
                           checkpoint_dir=store)
     np.testing.assert_array_equal(resumed.losses, first.losses)
     np.testing.assert_array_equal(resumed.signatures, first.signatures)
+
+
+def test_generic_rank_scan_splits_checkpoint_per_rank(counts, tmp_path):
+    """rank_scan (the generic fit_best_of driver) splits checkpoint_dir
+    into per-rank stores - sharing one ChunkStore would wipe the previous
+    rank's entries on every point (run identities differ)."""
+    from salamander_tpu.parallel import rank_scan
+
+    def factory(k):
+        return KLNMF(n_signatures=k, init_method="random",
+                     min_iterations=20, max_iterations=60,
+                     conv_test_freq=10, tol=1e-6)
+
+    store = tmp_path / "ckpt"
+    first = rank_scan(factory, AnnData(counts.T.copy()), [2, 3], 3,
+                      base_seed=0, checkpoint_dir=store)
+    assert (store / "rank2" / "meta.json").exists()
+    assert (store / "rank3" / "meta.json").exists()
+    resumed = rank_scan(factory, AnnData(counts.T.copy()), [2, 3], 3,
+                        base_seed=0, checkpoint_dir=store)
+    for k in (2, 3):
+        np.testing.assert_array_equal(first[k][1].losses,
+                                      resumed[k][1].losses)
