@@ -31,7 +31,7 @@ from .extraction import ExtractionResult, extract_signatures
 from .io import load_extraction, load_model, save_extraction, save_model
 from .parallel import bootstrap_stability, fit_best_of
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "__version__",
