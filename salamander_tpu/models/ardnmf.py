@@ -172,6 +172,20 @@ class ARDNMF(StandardNMF):
         super()._absorb_params(params)
         self.asignatures.obs[_LAMBDA_KEY] = np.asarray(params["lam"])
 
+    def _check_warm_start(self, given_parameters) -> None:
+        super()._check_warm_start(given_parameters)
+        try:
+            np.asarray(self.asignatures.obs[_LAMBDA_KEY])
+            ok = np.isfinite(float(self.b_resolved_))
+        except (AttributeError, KeyError, TypeError):
+            ok = False
+        if not ok:
+            raise ValueError(
+                "warm_start=True for ARDNMF needs the previous fit's "
+                "relevance state (per-signature lambda + resolved b); "
+                "fit once without warm_start first."
+            )
+
     def _build_step(self, given_parameters=None):
         return ops.make_step_functions(
             self.prior, self._n_given_signatures(given_parameters)

@@ -309,3 +309,23 @@ def test_bootstrap_stability_after_prune(fitted):
     assert np.all(np.isfinite(boot.losses))
     # planted signatures are strongly supported -> near-1 matched cosines
     assert float(boot.stability.min()) > 0.9
+
+
+def test_warm_start_continues_ardnmf():
+    """warm_start=True resumes the ARD fit (objective not worse); an
+    unfitted model is rejected with the relevance-state message."""
+    from salamander_tpu.models import ARDNMF
+
+    adata, _ = planted_adata()
+    model = ARDNMF(n_signatures=K_MAX, prior="L1", a=5.0,
+                   min_iterations=20, max_iterations=60)
+    model.fit(adata, init_kwargs={"seed": 1})
+    of_cold = model.objective_function()
+    model.fit(adata, warm_start=True)
+    assert model.objective_function() <= of_cold + 1e-9 * abs(of_cold)
+
+    from salamander_tpu.models import ARDNMF
+
+    fresh = ARDNMF(n_signatures=model.n_signatures)
+    with pytest.raises(ValueError, match="warm_start"):
+        fresh.fit(adata.copy(), warm_start=True)
