@@ -196,6 +196,7 @@ def fit_best_of(
     compact_min_bucket: int = 4,
     checkpoint_dir=None,
     restart_chunk: int | None = None,
+    verbose: int = 0,
 ) -> MultiStartSummary:
     """Fit `n_restarts` differently-initialized copies of `model` at once and
     keep the best.
@@ -234,6 +235,11 @@ def fit_best_of(
     with given_parameters (their values cannot be fingerprinted into the
     run identity). restart_chunk without checkpoint_dir simply batches
     the run in chunks (e.g. to bound device memory).
+
+    verbose=1 prints a live objective-range line per capped segment on
+    long (kill-guard-rerouted or compacting capped) runs - the only live
+    channel on callback-rejecting backends; short monolithic runs print
+    nothing extra.
     """
     is_multimodal = hasattr(model, "mdata") and not hasattr(model, "adata")
 
@@ -340,6 +346,12 @@ def fit_best_of(
     )
     from .compaction import CompactingRunner, resolve_compact
 
+    progress_cb = None
+    if verbose:
+        from ..models.signature_nmf import segment_progress_printer
+
+        progress_cb = segment_progress_printer()
+
     def _cache_get(key):
         return _RUNNER_CACHE.get(key) if key is not None else None
 
@@ -402,14 +414,22 @@ def fit_best_of(
                     min_bucket=compact_min_bucket,
                 )
                 _cache_put(cache_key, runner)
-            result, losses_device = runner.run(params0_part, data)
+            runner.progress = progress_cb
+            try:
+                result, losses_device = runner.run(params0_part, data)
+            finally:
+                runner.progress = None
         else:
-            mono_key = None if cache_key is None else ("mono",) + cache_key
+            mono_key = (
+                None if cache_key is None
+                else ("mono", progress_cb is not None) + cache_key
+            )
             pair = _cache_get(mono_key)
             if pair is None:
                 run = make_fit_function(
                     update_fn, objective_fn, config, batched=True,
                     unroll=getattr(model, "_unroll_blocks", False),
+                    progress_cb=progress_cb,
                 )
                 losses_fn = jax.jit(jax.vmap(objective_fn, in_axes=(0, None)))
                 pair = (run, losses_fn)

@@ -756,3 +756,32 @@ def test_program_kill_guard_batched_fit_matches(monkeypatch):
     np.testing.assert_array_equal(np.isnan(hist_g), np.isnan(hist_b))
     np.testing.assert_array_equal(hist_g[~np.isnan(hist_g)],
                                   hist_b[~np.isnan(hist_b)])
+
+
+def test_fit_best_of_verbose_prints_capped_segments(monkeypatch, capsys):
+    """fit_best_of(verbose=1): live objective-range lines at capped
+    segment boundaries (compacting runner under a forced tiny program
+    budget); results unchanged vs the quiet run."""
+    from salamander_tpu.containers import AnnData
+    from salamander_tpu.models import KLNMF
+    from salamander_tpu.parallel import compaction, fit_best_of
+
+    X = _counts(seed=13)
+
+    def run(verbose):
+        model = KLNMF(n_signatures=3, init_method="random",
+                      min_iterations=20, max_iterations=300,
+                      conv_test_freq=10, tol=1e-6)
+        return fit_best_of(model, AnnData(X.T.copy()), 16, base_seed=0,
+                           compact=True, verbose=verbose)
+
+    monkeypatch.setattr(compaction, "PROGRAM_SECONDS_OVERRIDE", 1e-12)
+    quiet = run(0)
+    assert "lanes alive" not in capsys.readouterr().out
+    loud = run(1)
+    out = capsys.readouterr().out
+    monkeypatch.setattr(compaction, "PROGRAM_SECONDS_OVERRIDE", None)
+
+    lines = [ln for ln in out.splitlines() if "lanes alive" in ln]
+    assert len(lines) >= 2
+    np.testing.assert_array_equal(quiet.losses, loud.losses)
