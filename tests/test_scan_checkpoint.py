@@ -264,3 +264,36 @@ def test_generic_rank_scan_splits_checkpoint_per_rank(counts, tmp_path):
     for k in (2, 3):
         np.testing.assert_array_equal(first[k][1].losses,
                                       resumed[k][1].losses)
+
+
+def test_fit_best_of_checkpoint_multimodal(counts, tmp_path):
+    """The checkpoint path round-trips the NESTED multimodal params
+    pytree (mods dict) and resumes bitwise."""
+    from salamander_tpu.containers import AnnData, MuData
+    from salamander_tpu.models import MultimodalCorrNMF
+
+    rng = np.random.default_rng(3)
+    other = rng.poisson(25.0, size=(counts.shape[1], 7)) + 1.0
+
+    def mdata():
+        return MuData({
+            "a": AnnData(counts.T.copy()),
+            "b": AnnData(other.astype(np.float64).copy()),
+        })
+
+    def make_model():
+        return MultimodalCorrNMF(ns_signatures=[2, 2], dim_embeddings=2,
+                                 init_method="random", min_iterations=10,
+                                 max_iterations=30, conv_test_freq=10,
+                                 tol=1e-6)
+
+    store = tmp_path / "ckpt"
+    first = fit_best_of(make_model(), mdata(), 3, base_seed=0,
+                        checkpoint_dir=store)
+    assert (store / "restarts_0_3.npz").exists()
+    resumed = fit_best_of(make_model(), mdata(), 3, base_seed=0,
+                          checkpoint_dir=store)
+    np.testing.assert_array_equal(first.losses, resumed.losses)
+    for name in ("a", "b"):
+        np.testing.assert_array_equal(first.signatures[name],
+                                      resumed.signatures[name])
